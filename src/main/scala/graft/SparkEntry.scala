@@ -1,13 +1,377 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every operator has a `queries` entry; all SQL-expressible ones have
+  * a DuckDB oracle in `oracleSql` (same parquet tables, identical
+  * column names/types — see SURVEY.md §6 for the determinism rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reference analytics (analytics.sql)
+    "q31_docs_processed" -> (InvoiceAnalytics.docsProcessed _),
+    "q32_invoice_total_value" -> (InvoiceAnalytics.invoiceTotalValue _),
+    "q33_top_suppliers" -> (InvoiceAnalytics.topSuppliers _),
+    "q34_common_products" -> (InvoiceAnalytics.commonProducts _),
+    "q35_monthly_trend" -> (InvoiceAnalytics.monthlyTrend _),
+    // §2.2 parsing
+    "p01_parse_float" -> (ParseOps.parseFloatQ _),
+    "p02_parse_date_multi" -> (ParseOps.parseDateMultiQ _),
+    "p03_find_first_date" -> (ParseOps.findDateQ _),
+    "p04_tax_rate" -> (ParseOps.taxRateQ _),
+    "p05_invoice_line_parse" -> (ParseOps.invoiceLineQ _),
+    "p06_doc_type_detect" -> (ParseOps.docTypeQ _),
+    "p07_fix_null_total" -> (ParseOps.fixNullTotalQ _),
+    "p08_invoice_number" -> (ParseOps.invoiceNumberQ _),
+    "p09_ocr_line_grouping" -> (ParseOps.ocrLineGroupingQ _),
+    "p10_nc_label_extract" -> (ParseOps.ncLabelExtractQ _),
+    // §2.3 relational core
+    "r01_pricing_summary" -> (Relational.pricingSummary _),
+    "r02_enrich_join" -> (Relational.enrichJoin _),
+    "r03_topn_per_group" -> (Relational.topNPerGroup _),
+    "r04_semi_anti" -> (Relational.semiAnti _),
+    "r05_rollup" -> (Relational.rollupSummary _),
+    "r06_pivot" -> (Relational.pivotEvents _),
+    "r07_asof_join" -> (Relational.asofJoin _),
+    "r08_sessionize" -> (Relational.sessionize _),
+    "r09_running_window" -> (Relational.runningWindow _),
+    "w01_tumbling_window" -> (Relational.tumblingWindow _),
+    // §2.4 dedup
+    "d01_exact_dedup" -> (Dedup.exact _),
+    "d02_minhash_lsh" -> (Dedup.minhashLsh _),
+    "d03_simhash" -> (Dedup.simhash _),
+    "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d05_embedding_dup" -> (Dedup.embeddingDup _),
+    // §2.5 similarity search
+    "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
+    "s02_ann_lsh" -> (Similarity.annLsh _),
+    // §2.6 text analysis
+    "t01_token_count" -> (TextOps.tokenCount _),
+    "t02_quality_score" -> (TextOps.qualityScore _),
+    "t03_lang_id" -> (TextOps.langId _),
+    "t04_fingerprint" -> (TextOps.fingerprint _),
+    // §2.7 multimodal plumbing
+    "m01_binary_meta" -> (Multimodal.binaryMeta _),
+    "m02_blob_features" -> (Multimodal.extractFeatures _))
+
+  // ---- oracle SQL (DuckDB dialect, same table names) ----
+
+  private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** d02 helper: the 16 minhash permutation params — MUST match
+    * operators.Dedup.perms.
+    */
+  private val perms: Seq[(Long, Long)] = Seq(
+    (824633721L, 97L), (297418571L, 1031L), (619234769L, 8191L),
+    (413158523L, 131071L), (928371029L, 524287L), (172938451L, 6700417L),
+    (738201923L, 43L), (564372871L, 2017L), (901273451L, 7919L),
+    (384729157L, 104729L), (647291837L, 15485863L), (293847561L, 49979687L),
+    (758392013L, 86028121L), (482917367L, 122949829L), (918273645L, 13L),
+    (573829167L, 3571L))
+
+  private def minhashLshSql: String = {
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a+$b)%4294967311) AS m$i"
+    }.mkString(", ")
+    val bands = (0 until 4).map { j =>
+      val ks = (0 until 4).map(r => s"CAST(m${4 * j + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, md5($ks) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until 16)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $docTokens AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+bands AS ($bands),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, round(($matches) / 16.0, 4) AS est_sim
+FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+ORDER BY 1, 2"""
+  }
+
+  private def simhashSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val recompose = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($docTokens) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM t),
+s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  AND ((a.simhash & 65535) = (b.simhash & 65535) OR (a.simhash >> 16) = (b.simhash >> 16))
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY 1, 2"""
+  }
+
+  private val langMarkers = Seq(
+    "en" -> "the|and|of|with|fast",
+    "de" -> "der|die|und|nicht|mit",
+    "es" -> "el|la|los|que|por",
+    "fr" -> "le|les|des|est|avec")
+
+  private def langIdSql: String = {
+    val cnts = langMarkers.map { case (l, ws) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b($ws)\\b')) AS INT) AS c_$l"
+    }.mkString(", ")
+    val maxE = "greatest(" + langMarkers.map("c_" + _._1).mkString(", ") + ")"
+    val pick = langMarkers.map { case (l, _) =>
+      s"WHEN c_$l = m AND c_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH c AS (SELECT doc_id, lang, $cnts FROM documents),
+x AS (SELECT doc_id, lang, $maxE AS m, * EXCLUDE (doc_id, lang) FROM c)
+SELECT doc_id, lang AS labeled_lang, CASE $pick ELSE 'und' END AS predicted_lang
+FROM x ORDER BY doc_id"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q31_docs_processed" ->
+      """SELECT o_orderstatus, count(DISTINCT o_orderkey) AS quantity
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q32_invoice_total_value" ->
+      """SELECT o_custkey, round(sum(DISTINCT o_totalprice), 2) AS total_value
+FROM orders GROUP BY o_custkey ORDER BY total_value DESC, o_custkey""",
+    "q33_top_suppliers" ->
+      """SELECT s_name AS supplier_name, round(sum(l_extendedprice), 2) AS total_spent
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY total_spent DESC, supplier_name LIMIT 5""",
+    "q34_common_products" ->
+      """SELECT p_name AS description, count(*) AS occurrences
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_name ORDER BY occurrences DESC, description LIMIT 5""",
+    "q35_monthly_trend" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, round(sum(o_totalprice), 2) AS total_value
+FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "p01_parse_float" ->
+      """SELECT event_id,
+  '$1,' || lpad(regexp_extract(props, '(\d+)', 1), 3, '0') || '.25' AS money_str,
+  CAST('1' || lpad(regexp_extract(props, '(\d+)', 1), 3, '0') AS DOUBLE) + 0.25 AS parsed
+FROM events ORDER BY event_id""",
+    "p02_parse_date_multi" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS parsed_date
+FROM orders ORDER BY o_orderkey""",
+    "p03_find_first_date" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS found_date
+FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p04_tax_rate" ->
+      """SELECT l_orderkey, l_linenumber,
+  CAST(CAST(round(l_tax * 100, 0) AS INT) AS DOUBLE) AS tax_rate
+FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p05_invoice_line_parse" ->
+      """SELECT l_orderkey, l_linenumber, p_name AS description,
+  l_quantity AS qty, floor(l_extendedprice * 100) / 100.0 AS price,
+  floor(l_quantity * l_extendedprice * 100) / 100.0 AS total
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ORDER BY l_orderkey, l_linenumber""",
+    "p06_doc_type_detect" ->
+      """SELECT doc_id,
+  CASE WHEN doc_id % 6 = 0 THEN 'DA00564 Award Letter.pdf'
+       WHEN doc_id % 6 = 1 THEN 'DA00539_Bid Tabs.pdf'
+       WHEN doc_id % 6 = 2 THEN 'DA00542 Invitation to Bid.pdf'
+       WHEN doc_id % 6 = 3 THEN 'L230201A_Item C Report.pdf'
+       WHEN doc_id % 6 = 4 THEN 'DA00543_Bids As Read.pdf'
+       ELSE 'receipt_0001.jpg' END AS file_name,
+  CASE WHEN doc_id % 6 = 0 THEN 'nc_award_letter'
+       WHEN doc_id % 6 = 1 THEN 'nc_bid_tabs'
+       WHEN doc_id % 6 = 2 THEN 'nc_invitation_to_bid'
+       WHEN doc_id % 6 = 3 THEN 'nc_item_c'
+       WHEN doc_id % 6 = 4 THEN 'nc_bids_as_read'
+       ELSE 'invoice' END AS doc_type
+FROM documents ORDER BY doc_id""",
+    "p07_fix_null_total" ->
+      """SELECT o_orderkey,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN floor(o_totalprice * 90) / 100.0 + floor(o_totalprice * 10) / 100.0
+       ELSE o_totalprice END AS total_amount
+FROM orders ORDER BY o_orderkey""",
+    "p08_invoice_number" ->
+      """SELECT o_orderkey,
+  CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey + 100000 AS VARCHAR)
+       ELSE 'R' || lpad(CAST(o_orderkey + 100000 AS VARCHAR), 7, '0') END AS invoice_number
+FROM orders ORDER BY o_orderkey""",
+    "p09_ocr_line_grouping" ->
+      """WITH w AS (SELECT user_id AS page, CAST(floor(value) AS INT) AS y0,
+    event_id AS x0, event_type AS word FROM events),
+x AS (SELECT *, lag(y0) OVER (PARTITION BY page ORDER BY y0, x0) AS prev_y FROM w),
+y AS (SELECT *, CASE WHEN prev_y IS NULL OR y0 - prev_y > 10 THEN 1 ELSE 0 END AS new_line FROM x),
+z AS (SELECT *, CAST(sum(new_line) OVER (PARTITION BY page ORDER BY y0, x0
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS line_id FROM y)
+SELECT page, line_id, count(*) AS n_words, min(y0) AS y_top, max(y0) AS y_bottom,
+  string_agg(word, ' ' ORDER BY y0, x0) AS line_text
+FROM z GROUP BY page, line_id ORDER BY page, line_id""",
+    "p10_nc_label_extract" ->
+      """SELECT o_orderkey,
+  'DA' || lpad(CAST(o_orderkey AS VARCHAR), 5, '0') AS contract_id,
+  'Craven' AS county, o_orderpriority AS description
+FROM orders ORDER BY o_orderkey""",
+
+    "r01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "r02_enrich_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name AS part_name, p_brand AS brand,
+  s_name AS supplier_name,
+  floor(l_extendedprice * (1 - l_discount) * 100) / 100.0 AS net_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+    "r03_topn_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "r04_semi_anti" ->
+      """SELECT c_custkey, c_name, 1 AS has_open_order FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, c_name, 0 AS has_open_order FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+ORDER BY c_custkey""",
+    "r05_rollup" ->
+      """SELECT c_mktsegment, n_name, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(c_mktsegment, n_name)
+ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""",
+    "r06_pivot" ->
+      """SELECT user_id,
+  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+  round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS sum_purchase
+FROM events GROUP BY user_id ORDER BY user_id""",
+    "r07_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+ord AS (SELECT o_custkey AS uid, CAST(o_orderdate AS TIMESTAMP) AS ots,
+  max(o_orderkey) AS o_orderkey, arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.value, o.o_orderkey AS matched_orderkey,
+  o.o_totalprice AS matched_ordertotal
+FROM ev e ASOF JOIN ord o ON e.user_id = o.uid AND e.ts >= o.ots
+ORDER BY e.event_id""",
+    "r08_sessionize" ->
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+y AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM x),
+z AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value,
+  CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "r09_running_window" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg5
+FROM events ORDER BY user_id, ts, event_id""",
+    "w01_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+  count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "d01_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    "d02_minhash_lsh" -> minhashLshSql,
+    "d03_simhash" -> simhashSql,
+    "d04_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
+  CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
+    "d05_embedding_dup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS cos_bp
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.embedding, b.embedding) * 10000) >= 9000
+ORDER BY vec_a, vec_b""",
+
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+s AS (SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, rn, vec_id AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    "s02_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, rn, vec_id AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+
+    "t01_token_count" ->
+      """SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpe
+FROM documents ORDER BY doc_id""",
+    "t02_quality_score" ->
+      """WITH m AS (SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS INT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct
+  FROM documents)
+SELECT doc_id, n_words, n_stopwords, n_punct,
+  round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+    + 0.4 * least((CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0)) * 4, 1.0)
+    + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0), 1.0)), 4) AS quality
+FROM m ORDER BY doc_id""",
+    "t03_lang_id" -> langIdSql,
+    "t04_fingerprint" ->
+      """WITH a AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+t AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS pos FROM a)
+SELECT doc_id,
+  CAST(sum((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1000000007) * pos) % 1000000007 AS BIGINT) AS fingerprint
+FROM t GROUP BY doc_id ORDER BY doc_id""",
+
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+  md5(text) AS content_hash
+FROM documents ORDER BY doc_id""")
 }

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // permissive parsing semantics: malformed input → null (the
+      // reference's parsers never throw), matching DuckDB TRY_ casts
+      .config("spark.sql.ansi.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) parquet — read as long, see Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType}
+
+/** Field-parsing combinators re-expressing the reference's regex/rule
+  * parsers (reference: lib/parse_utils.py) as pure `Column`
+  * expressions. Everything here stays inside whole-stage codegen — no
+  * UDFs — so the parsers run at scan speed on a 100 TB corpus.
+  */
+object Parse {
+
+  /** Currency/float cleaning: strip commas, `$`, whitespace; cast to
+    * double (null on garbage). Reference: parse_utils.py:27-43
+    * (`parse_float` / `clean_currency`).
+    */
+  def parseFloat(c: Column): Column =
+    regexp_replace(trim(c), "[,$]", "").cast(DoubleType)
+
+  /** Multi-format date normalization to DateType. Tries the same five
+    * formats as the reference in order.
+    * Reference: parse_utils.py:46-55 (`parse_date`).
+    */
+  def parseDateMulti(c: Column): Column = {
+    val t = trim(c)
+    coalesce(
+      to_date(t, "MMM d, yyyy"),
+      to_date(t, "MMMM d, yyyy"),
+      to_date(t, "yyyy-MM-dd"),
+      to_date(t, "dd-MM-yyyy"),
+      to_date(t, "M/d/yyyy"))
+  }
+
+  /** Fix common OCR digit confusions inside numeric groups (O→0, S→5,
+    * l/I→1). Reference: parse_utils.py:82-85.
+    */
+  def fixOcrDigits(c: Column): Column = {
+    val o = regexp_replace(c, "(?<=\\d)[Oo](?=\\d)", "0")
+    val s = regexp_replace(o, "(?<=\\d)[Ss](?=\\d)", "5")
+    regexp_replace(s, "(?<=\\d)[lI](?=\\d)", "1")
+  }
+
+  /** dd[-/. ]mm[-/. ]yy(yy) scanner with 2-digit-year coercion
+    * (<=30 → 2000s else 1900s): returns the first match in the string
+    * as a DateType, null if none parses.
+    * Reference: parse_utils.py:58-100 (`DATE_REGEX`, `_coerce_year`,
+    * `_find_invoice_date` — note the reference returns the earliest
+    * date over all lines; callers that need that apply min() over the
+    * exploded lines, see p03 in Operators).
+    */
+  def findDate(c: Column): Column = {
+    val s = fixOcrDigits(c)
+    val pat = "(?<!\\d)(\\d{1,2})[-/.](\\d{1,2})[-/.](\\d{2,4})(?!\\d)"
+    val d = regexp_extract(s, pat, 1).cast("int")
+    val m = regexp_extract(s, pat, 2).cast("int")
+    val yRaw = regexp_extract(s, pat, 3).cast("int")
+    val y = when(yRaw < lit(100),
+        when(yRaw <= lit(30), yRaw + lit(2000)).otherwise(yRaw + lit(1900)))
+      .otherwise(yRaw)
+    // make_date → null on invalid combos like 31-02 (non-ANSI mode)
+    when(regexp_extract(s, pat, 0) =!= "", make_date(y, m, d))
+  }
+
+  /** 'GST 8%' → 8.0. Reference: parse_utils.py:103-108
+    * (`extract_tax_rate`).
+    */
+  def taxRate(c: Column): Column = {
+    val m = regexp_extract(c, "(\\d+\\.?\\d*)\\s*%", 1)
+    when(m =!= "", m.cast(DoubleType))
+  }
+
+  /** Invoice line "NN. DESCRIPTION ... qty price total" → struct
+    * (description, qty, price, total).
+    * Reference: parse_utils.py:129-169 (`parse_invoice_line`). The
+    * reference takes the LAST three numbers on the line; we anchor the
+    * same way with a greedy prefix.
+    */
+  def invoiceLine(c: Column): Column = {
+    val t = trim(c)
+    val pat = "^(\\d+)\\.\\s*(.*?)\\s*\\-?\\s*(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s*\\.?$"
+    val matched = regexp_extract(t, pat, 0) =!= ""
+    struct(
+      when(matched, regexp_extract(t, pat, 2)).as("description"),
+      when(matched, regexp_extract(t, pat, 3).cast(DoubleType)).as("qty"),
+      when(matched, regexp_extract(t, pat, 4).cast(DoubleType)).as("price"),
+      when(matched, regexp_extract(t, pat, 5).cast(DoubleType)).as("total"))
+  }
+
+  /** Filename/content → document type routing.
+    * Reference: lib/pipeline_runner.py:4-21 (`detect_doc_type`).
+    */
+  def docType(fileName: Column, text: Column): Column = {
+    val n = lower(fileName)
+    val t = lower(coalesce(text, lit("")))
+    when(n.contains("award letter") || t.contains("notification of award"),
+        "nc_award_letter")
+      .when(n.contains("bids as read"), "nc_bids_as_read")
+      .when(n.contains("bid tabs"), "nc_bid_tabs")
+      .when(n.contains("invitation to bid"), "nc_invitation_to_bid")
+      .when(n.contains("item c"), "nc_item_c")
+      .otherwise("invoice")
+  }
+
+  /** total := coalesce(total, coalesce(subtotal,0)+coalesce(tax,0)).
+    * Reference: parse_utils.py:110-116 (`fix_null_total`).
+    */
+  def fixNullTotal(total: Column, subtotal: Column, tax: Column): Column =
+    coalesce(total,
+      coalesce(subtotal, lit(0.0)) + coalesce(tax, lit(0.0)))
+
+  /** Invoice-number extraction: direct 'INVOICE/RECEIPT #NNN' forms,
+    * else R/T-prefixed 6+-digit codes.
+    * Reference: parse_utils.py:188-198.
+    */
+  def invoiceNumber(c: Column): Column = {
+    val u = upper(c)
+    val direct = regexp_extract(u,
+      "\\b(?:INVOICE|RECEIPT|TAX\\s*INVOICE)\\s*#?\\s*[:\\-]?\\s*([A-Z]?\\d{3,})\\b", 1)
+    val rt = regexp_extract(u, "\\b([RT]\\d{6,})\\b", 1)
+    when(direct =!= "", direct).when(rt =!= "", rt)
+  }
+
+  /** Label→value extraction for the NC parsers: returns the text after
+    * `label` on its line. Reference: parse_utils.py:853-877 and the
+    * other NC label:value scans.
+    */
+  def labelValue(text: Column, label: String): Column = {
+    val pat = "(?i)" + label + "\\s*[:.]?\\s*([^\\n]+)"
+    val v = trim(regexp_extract(text, pat, 1))
+    when(v =!= "", v)
+  }
+}

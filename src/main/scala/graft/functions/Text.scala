@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis combinators for the training-data-pipeline operators
+  * (SURVEY.md §2.6). Pure Column expressions — codegen'd, scan-speed.
+  */
+object Text {
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alnum symbols each count as one token.
+    */
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Normalized text: lowercased, whitespace collapsed. */
+  def normalize(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Stopword occurrences (word-boundary matches). */
+  def stopwordCount(c: Column): Column =
+    regexp_count(lower(c), lit("\\b(" + stopwords.mkString("|") + ")\\b"))
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[.,;:!?]"))
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, a
+    * natural stopword ratio, and penalizes punctuation soup. The exact
+    * formula is arbitrary (as in any quality classifier) but
+    * deterministic and oracle-replicable.
+    */
+  def qualityScore(c: Column): Column = {
+    val wc = tokenCountWs(c).cast("double")
+    val lengthTerm = least(wc / lit(50.0), lit(1.0))
+    val stopRatio = stopwordCount(c).cast("double") / greatest(wc, lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(wc, lit(1.0))
+    round(lit(0.4) * lengthTerm + lit(0.4) * least(stopRatio * 4, lit(1.0))
+      + lit(0.2) * (lit(1.0) - least(punctRatio, lit(1.0))), 4)
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "with", "fast"),
+    "de" -> Seq("der", "die", "und", "nicht", "mit"),
+    "es" -> Seq("el", "la", "los", "que", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "avec"))
+
+  private def markerCount(c: Column, ws: Seq[String]): Column =
+    regexp_count(lower(c), lit("\\b(" + ws.mkString("|") + ")\\b"))
+
+  /** Marker-word language-ID heuristic: argmax of per-language marker
+    * counts with a deterministic preference order; 'und' when no
+    * marker hits.
+    */
+  def langId(c: Column): Column = {
+    val cnts = markers.map { case (lang, ws) => lang -> markerCount(c, ws) }
+    val maxC = cnts.map(_._2).reduce((a, b) => greatest(a, b))
+    // deterministic argmax: first language (in declared order) whose
+    // count equals the max and is > 0
+    cnts.foldRight(lit("und")) { case ((lang, cnt), els) =>
+      when(cnt === maxC && cnt > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** 64-bit-ish deterministic token hash: first 8 hex chars of md5 as
+    * an unsigned int. Identical in DuckDB:
+    * CAST('0x'||substr(md5(t),1,8) AS BIGINT).
+    */
+  def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Positional rolling-hash document fingerprint:
+    * sum((pos+1) * hash(token)) mod 1e9+7 over whitespace tokens.
+    * Order-sensitive (a permuted doc fingerprints differently), cheap,
+    * and exactly replicable in the oracle.
+    */
+  def fingerprint(c: Column): Column = {
+    val toks = tokens(c)
+    val hashed = zip_with(
+      toks,
+      sequence(lit(1), greatest(size(toks), lit(1))),
+      (t, i) => tokenHash(t) % lit(1000000007L) * i)
+    aggregate(hashed, lit(0L), (acc, x) => (acc + x) % lit(1000000007L))
+  }
+}

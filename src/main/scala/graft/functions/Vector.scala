@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over Array[Float] columns via Spark higher-order
+  * functions (zip_with / aggregate) — stays in Tungsten, no UDF, no
+  * driver-side loops. At 100 TB these run inside whole-stage codegen
+  * per row-pair.
+  */
+object Vector {
+
+  /** Dot product of two float-array columns (computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (null-safe via NaN on zero vectors). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-of-coordinate LSH bucket from `dims` (1-based indices):
+    * bit i set iff element_at(v, dims(i)) >= 0. Cheap deterministic
+    * hyperplane-free bucketing used by the scale-path ANN — exactly
+    * replicable in SQL oracles.
+    */
+  def signBucket(v: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, i) =>
+      when(element_at(v, d) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

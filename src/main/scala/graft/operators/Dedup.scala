@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Text, Vector}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents/embeddings tables
+  * (SURVEY.md §2.4). Scale design: every near-dup operator generates
+  * candidate pairs through a key-equality join (hash bucket /
+  * shingle / band), never a cartesian product over documents — the
+  * shuffle key is the bucket, so the work stays ~linear in corpus
+  * size at 100 TB.
+  */
+object Dedup {
+
+  /** Large prime > 2^32 for minhash universal hashing. */
+  private val P = 4294967311L
+
+  /** 16 fixed (a, b) permutation params; a < 1e9 keeps a*h < 2^63. */
+  private val perms: Seq[(Long, Long)] = Seq(
+    (824633721L, 97L), (297418571L, 1031L), (619234769L, 8191L),
+    (413158523L, 131071L), (928371029L, 524287L), (172938451L, 6700417L),
+    (738201923L, 43L), (564372871L, 2017L), (901273451L, 7919L),
+    (384729157L, 104729L), (647291837L, 15485863L), (293847561L, 49979687L),
+    (758392013L, 86028121L), (482917367L, 122949829L), (918273645L, 13L),
+    (573829167L, 3571L))
+
+  /** (doc_id, shingle) distinct pairs: 3-token shingles of the
+    * whitespace-tokenized text. Docs with <3 tokens contribute none.
+    */
+  def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => array_join(slice(col("t"), i, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** d01 — exact dedup: md5 of normalized text, keep min doc_id per
+    * content group. One shuffle on the 128-bit content hash.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(Text.normalize(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_doc_id"))
+
+  /** Per-doc 16-wide minhash signature columns m0..m15. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val h = Text.tokenHash(col("shingle"))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((h * a + b) % P).as(s"m$i")
+    }
+    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** d02 — MinHash + LSH: 4 bands × 4 rows; docs sharing any band
+    * bucket become candidate pairs; estimated similarity = fraction of
+    * matching minhashes. Deterministic (md5-based) so the DuckDB
+    * oracle replays it exactly.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir).cache()
+    val bands = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => col(s"m${4 * j + r}").cast("string"))
+      sig.select(col("doc_id"), lit(j).as("band"),
+        md5(concat_ws("_", cols: _*)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches: Column = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / 16.0, 4).as("est_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d03 — SimHash: 32-bit sign-sum over token hashes; candidate
+    * pairs share a 16-bit half (the classic hamming-band trick), kept
+    * when hamming distance ≤ 8.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("h", Text.tokenHash(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val sh = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .withColumn("half_lo", col("simhash").bitwiseAND(65535L))
+      .withColumn("half_hi", shiftright(col("simhash"), 16))
+      .cache()
+    val halves = sh.select(col("doc_id"), col("simhash"),
+        lit(0).as("side"), col("half_lo").as("half"))
+      .unionByName(sh.select(col("doc_id"), col("simhash"),
+        lit(1).as("side"), col("half_hi").as("half")))
+    val a = halves.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("side"), col("half"))
+    val b = halves.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("side"), col("half"))
+    a.join(b, Seq("side", "half"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d04 — n-gram Jaccard: shared-shingle equi-join builds pair
+    * intersection counts; per-doc distinct-shingle counts complete the
+    * Jaccard. τ=0.2. (Scale path: cap candidate generation at
+    * shingle doc-frequency ≤ K before the self-join; the verify pass
+    * stays exact.)
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
+        // basis points via floor: integer-exact across engines (no
+        // round-half ambiguity on rational ties)
+        floor(col("inter") * lit(10000.0) /
+          (col("sz_a") + col("sz_b") - col("inter"))).cast("long")
+          .as("jaccard_bp"))
+      // τ = 0.2 as pure integer arithmetic: inter/union >= 1/5
+      .filter(col("inter") * 5 >= col("union_sz"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d05 — embedding near-dup: pairwise cosine ≥ 0.9 (rounded 4dp on
+    * both engines so the threshold compare can't straddle an ulp).
+    * The smaller side is broadcast; at 100 TB this becomes the
+    * LSH-bucketed variant (see Similarity.annLsh) — kept brute here
+    * as the exactness baseline.
+    */
+  def embeddingDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      // basis points via floor — no round-half ambiguity across engines
+      .select(col("vec_a"), col("vec_b"),
+        floor(Vector.cosine(col("ea"), col("eb")) * 10000).cast("long")
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= 9000)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

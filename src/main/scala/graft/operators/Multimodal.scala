@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.7): media payloads are
+  * opaque `binary` columns with typed metadata alongside. The decode /
+  * feature-extract step is STUBBED (no image/audio libs in this
+  * container) with a deterministic byte-statistics "feature vector" —
+  * the Spark-side plumbing (binary encoding, schema, partition-wise
+  * batch processing via mapPartitions on a typed Dataset) is real.
+  */
+object Multimodal {
+
+  /** Blob row: what a media table looks like — opaque bytes + typed
+    * metadata (mirrors how image/audio/video columns ride along a
+    * 100 TB pipeline without being interpreted by the engine).
+    */
+  case class Blob(doc_id: Long, kind: String, byte_len: Long,
+      content_hash: String, payload: Array[Byte])
+
+  case class BlobFeatures(doc_id: Long, kind: String, byte_len: Long,
+      n_stripes: Int, features: Array[Double])
+
+  /** documents.text → opaque binary payload + metadata. */
+  def blobs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      // route a deterministic fake modality from the source id
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      octet_length(col("text")).cast("long").as("byte_len"),
+      md5(col("text")).as("content_hash"),
+      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+
+  /** m01 — oracle-checkable metadata projection of the blob table. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir)
+      .select(col("doc_id"), col("kind"), col("byte_len"), col("content_hash"))
+      .orderBy(col("doc_id"))
+
+  /** STUB decode/feature-extract: partition-wise batch op over the
+    * typed Dataset — the shape a real decoder (pillow/ffmpeg via
+    * Pandas UDF, or a JVM codec) plugs into. Features here are
+    * deterministic per-16-byte-stripe mean byte values.
+    */
+  def extractFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val stripes = b.payload.grouped(16).toArray
+        val feats = stripes.map(st => st.map(_ & 0xff).sum.toDouble / st.length)
+        BlobFeatures(b.doc_id, b.kind, b.byte_len, stripes.length, feats)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+}

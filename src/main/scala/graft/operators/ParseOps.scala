@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Parse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries exercising the Parse function library.
+  * Pattern: construct the reference's input formats from table columns
+  * (deterministically, in-engine), parse them back with the Parse
+  * combinators, and emit values whose oracle is the round-trip
+  * identity — so DuckDB verifies the parser without replicating it.
+  */
+object ParseOps {
+
+  /** p01 — currency parsing (parse_utils.py:27-43): build
+    * "$1,NNN.25"-style strings from event props and parse back.
+    */
+  def parseFloatQ(s: SparkSession, dir: String): DataFrame = {
+    val k = regexp_extract(col("props"), "(\\d+)", 1)
+    val money = concat(lit("$1,"), lpad(k, 3, "0"), lit(".25"))
+    Tables.events(s, dir)
+      .select(col("event_id"), money.as("money_str"),
+        Parse.parseFloat(money).as("parsed"))
+      .orderBy(col("event_id"))
+  }
+
+  /** p02 — multi-format date parsing (parse_utils.py:46-55): format
+    * o_orderdate five different ways by key, parse all back with one
+    * combinator; oracle is the original date.
+    */
+  def parseDateMultiQ(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate")
+    val str = when(col("o_orderkey") % 5 === 0, date_format(d, "MMM d, yyyy"))
+      .when(col("o_orderkey") % 5 === 1, date_format(d, "MMMM d, yyyy"))
+      .when(col("o_orderkey") % 5 === 2, date_format(d, "yyyy-MM-dd"))
+      .when(col("o_orderkey") % 5 === 3, date_format(d, "dd-MM-yyyy"))
+      .otherwise(date_format(d, "M/d/yyyy"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), Parse.parseDateMulti(str).as("parsed_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** p03 — date-in-text scanning with 2-digit-year coercion
+    * (parse_utils.py:58-100): embed dd-MM-yy in prose, recover the
+    * date.
+    */
+  def findDateQ(s: SparkSession, dir: String): DataFrame = {
+    val text = concat(lit("Item shipped "),
+      date_format(col("l_shipdate"), "dd-MM-yy"),
+      lit(" with note ref A"), col("l_orderkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Parse.findDate(text).as("found_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** p04 — tax-rate extraction (parse_utils.py:103-108): 'GST N%' →
+    * N.0 built from l_tax.
+    */
+  def taxRateQ(s: SparkSession, dir: String): DataFrame = {
+    val label = concat(lit("GST "),
+      round(col("l_tax") * 100, 0).cast("int").cast("string"), lit("%"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Parse.taxRate(label).as("tax_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** p05 — invoice line-item parsing (parse_utils.py:129-169):
+    * "NN. desc - qty price total." round trip.
+    */
+  def invoiceLineQ(s: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity").cast("string")
+    // floor-cents: engine-exact (see fixNullTotalQ)
+    val price = (floor(col("l_extendedprice") * 100) / 100.0).cast("string")
+    val total = (floor(col("l_quantity") * col("l_extendedprice") * 100) / 100.0)
+      .cast("string")
+    val line = concat(col("l_linenumber").cast("string"), lit(". "),
+      col("p_name"), lit(" - "), qty, lit(" "), price, lit(" "), total, lit("."))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Parse.invoiceLine(line).as("p"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("p.description").as("description"), col("p.qty").as("qty"),
+        col("p.price").as("price"), col("p.total").as("total"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** p06 — document-type routing (pipeline_runner.py:4-21). */
+  def docTypeQ(s: SparkSession, dir: String): DataFrame = {
+    val name = when(col("doc_id") % 6 === 0, "DA00564 Award Letter.pdf")
+      .when(col("doc_id") % 6 === 1, "DA00539_Bid Tabs.pdf")
+      .when(col("doc_id") % 6 === 2, "DA00542 Invitation to Bid.pdf")
+      .when(col("doc_id") % 6 === 3, "L230201A_Item C Report.pdf")
+      .when(col("doc_id") % 6 === 4, "DA00543_Bids As Read.pdf")
+      .otherwise("receipt_0001.jpg")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), name.as("file_name"),
+        Parse.docType(name, lit(null)).as("doc_type"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p07 — null-total repair (parse_utils.py:110-116). */
+  def fixNullTotalQ(s: SparkSession, dir: String): DataFrame = {
+    // floor-cents instead of round: bit-identical across engines (no
+    // round-half-mode divergence on exact .xx5 ties)
+    val subtotal = floor(col("o_totalprice") * 90) / 100.0
+    val tax = floor(col("o_totalprice") * 10) / 100.0
+    val total = when(col("o_orderkey") % 3 === 0, lit(null).cast("double"))
+      .otherwise(col("o_totalprice"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        Parse.fixNullTotal(total, subtotal, tax).as("total_amount"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** p08 — invoice-number extraction (parse_utils.py:188-198):
+    * 'TAX INVOICE #NNN' and 'RNNNNNNN' forms.
+    */
+  def invoiceNumberQ(s: SparkSession, dir: String): DataFrame = {
+    val key = (col("o_orderkey") + 100000).cast("string")
+    val str = when(col("o_orderkey") % 2 === 0,
+        concat(lit("TAX INVOICE #"), key))
+      .otherwise(concat(lit("Ref R"), lpad(key, 7, "0"), lit(" end")))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), Parse.invoiceNumber(str).as("invoice_number"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** p09 — OCR word→line grouping by y-tolerance
+    * (ocr_utils.py:89-126 `group_ocr_words`): events act as OCR words
+    * (page=user_id, y0=int(value), x0=event_id, word=event_type).
+    * Chain rule: consecutive-y gap > 10 starts a new line. One shuffle
+    * on user_id; the same lag+cumsum pattern sessionize uses.
+    */
+  def ocrLineGroupingQ(s: SparkSession, dir: String): DataFrame = {
+    val byPage = Window.partitionBy(col("page")).orderBy(col("y0"), col("x0"))
+    Tables.events(s, dir)
+      .select(col("user_id").as("page"), floor(col("value")).cast("int").as("y0"),
+        col("event_id").as("x0"), col("event_type").as("word"))
+      .withColumn("prev_y", lag(col("y0"), 1).over(byPage))
+      .withColumn("new_line",
+        when(col("prev_y").isNull || col("y0") - col("prev_y") > 10, 1)
+          .otherwise(0))
+      .withColumn("line_id", sum(col("new_line")).over(byPage))
+      .groupBy(col("page"), col("line_id"))
+      .agg(count(lit(1)).as("n_words"),
+        min(col("y0")).as("y_top"), max(col("y0")).as("y_bottom"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("y0"), col("x0"), col("word")))),
+            t => t.getField("word")), " ").as("line_text"))
+      .orderBy(col("page"), col("line_id"))
+  }
+
+  /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
+    * other NC parsers): multi-line label blocks round-tripped.
+    */
+  def ncLabelExtractQ(s: SparkSession, dir: String): DataFrame = {
+    val contractId = concat(lit("DA"), lpad(col("o_orderkey").cast("string"), 5, "0"))
+    val text = concat(
+      lit("Contract No. "), contractId, lit("\n"),
+      lit("County: Craven\n"),
+      lit("Description: "), col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        Parse.labelValue(text, "Contract No\\.").as("contract_id"),
+        Parse.labelValue(text, "County").as("county"),
+        Parse.labelValue(text, "Description").as("description"))
+      .orderBy(col("o_orderkey"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational/window/join surface of the engine — the query
+  * shapes a user of the reference's `invoices` store runs via SQL,
+  * re-expressed over the star schema. Every query is one shuffle
+  * (its groupBy/window key); dims are broadcast.
+  */
+object Relational {
+
+  /** Single-pass multi-aggregate scan (TPC-H Q1 shape): partial
+    * map-side agg, one shuffle on the 2-col group key.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Fact ⋈ two broadcast dims with a pushed-down filter: the plan
+    * must show PushedFilters on the lineitem scan and two
+    * BroadcastHashJoins (verified in RelationalSpec).
+    */
+  def enrichJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > lit(45))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("p_name").as("part_name"), col("p_brand").as("brand"),
+        col("s_name").as("supplier_name"),
+        // floor-cents: engine-exact (no round-half-tie divergence)
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100) / 100.0)
+          .as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Top-3 orders by value per customer: row_number over a
+    * per-custkey window, single shuffle on o_custkey.
+    */
+  def topNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Customers with ≥1 open order (left_semi) vs none (left_anti),
+    * labeled and unioned. Semi/anti joins broadcast the filtered
+    * orders key set when small; at scale they shuffle on custkey only
+    * (no payload duplication).
+    */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val withOpen = cust.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_open_order", lit(1))
+    val without = cust.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_open_order", lit(0))
+    withOpen.unionByName(without)
+      .select(col("c_custkey"), col("c_name"), col("has_open_order"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Rollup over (mktsegment, nation-name) with order counts and
+    * value; grouping_id distinguishes subtotal levels.
+    */
+  def rollupSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Conditional-aggregation pivot of event counts + value by type
+    * per user. Expressed as sum(case when) so the oracle is plain
+    * ANSI SQL; Spark compiles it to a single hash aggregate.
+    */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    def sm(t: String) =
+      round(coalesce(sum(when(col("event_type") === t, col("value"))), lit(0.0)), 2)
+        .as(s"sum_$t")
+    e.groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
+        cnt("error"), sm("purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: for each purchase event, the latest order of the
+    * same user placed at-or-before the event time. Spark-first
+    * expression: union events+orders tagged, single window pass per
+    * user ordered by time (no O(n²) range join, one shuffle on
+    * user_id). DuckDB oracle uses native ASOF JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts"),
+        col("event_id"), col("value"))
+    // dedupe orders to one per (custkey, date) so ASOF tie-breaks are
+    // deterministic across engines: keep max orderkey + its totalprice
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("uid"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    val tagged = ev.select(col("uid"), col("ts"), lit(1).as("is_event"),
+        col("event_id"), col("value"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+      .unionByName(ord.select(col("uid"), col("ts"), lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("o_orderkey"), col("o_totalprice")))
+    // orders sort before events at identical ts (is_event asc) so an
+    // order dated exactly at the event time matches (<=, ASOF semantics)
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("ts"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_ordertotal", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
+      .select(col("event_id"), col("uid").as("user_id"), col("value"),
+        col("last_orderkey").as("matched_orderkey"),
+        col("last_ordertotal").as("matched_ordertotal"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity gap) per user:
+    * lag → new-session flag → cumulative sum = session id; then one
+    * aggregate per session. Mirrors the reference's OCR y-tolerance
+    * line grouping pattern applied to time (parse_utils/ocr_utils
+    * grouping); single shuffle on user_id.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Per-user running total and 5-row moving average over events. */
+  def runningWindow(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val mov = byUser.rowsBetween(-4, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        round(sum(col("value")).over(byUser), 2).as("running_value"),
+        round(avg(col("value")).over(mov), 4).as("moving_avg5"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Event-time tumbling 1-hour window aggregation — the batch twin
+    * of the streaming path (graft.streaming.EventStream applies the
+    * same grouping with a watermark).
+    */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

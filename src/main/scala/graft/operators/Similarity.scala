@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2.5). Query set = every 100th vector (deterministic).
+  */
+object Similarity {
+
+  private def queriesAndCorpus(s: SparkSession, dir: String) = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    (q, e)
+  }
+
+  /** s01 — brute-force cosine top-5 per query: the correctness
+    * baseline. Queries are a tiny broadcast side; the corpus streams
+    * once — no corpus shuffle, rank window partitioned by query_id.
+    */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Vector.cosine(col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** s02 — LSH-bucketed ANN (scale path): corpus bucketed by the sign
+    * pattern of 3 fixed coordinates (8 buckets); each query only scans
+    * its own bucket — at 100 TB the bucket column is a partition key
+    * and the per-query work drops ~8× (more planes ⇒ more buckets).
+    * Top-3 within bucket.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(1, 9, 17)
+    val (q0, e) = queriesAndCorpus(s, dir)
+    val corpus = e.withColumn("bucket", Vector.signBucket(col("embedding"), dims))
+    val q = q0.withColumn("bucket", Vector.signBucket(col("qv"), dims))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q),
+        corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Vector.cosine(col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+}

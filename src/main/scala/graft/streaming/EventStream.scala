@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.8): the events table as
+  * an unbounded stream. The transform is shared with the batch twin
+  * (Relational.tumblingWindow semantics) so correctness is checked by
+  * the w01 oracle and the streaming path by EventStreamSpec.
+  */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window aggregation — works on a streaming
+    * OR batch DataFrame with the events schema.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Wire stream → windowed agg → memory sink; returns the query name
+    * to poll `spark.table(name)` from tests.
+    */
+  def startToMemory(spark: SparkSession, dir: String, name: String) =
+    windowedCounts(readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+}
