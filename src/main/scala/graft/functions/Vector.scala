@@ -2,16 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Dense-vector math over Array[Float] columns via Spark higher-order
-  * functions (zip_with / aggregate) — stays in Tungsten, no UDF, no
-  * driver-side loops. At 100 TB these run inside whole-stage codegen
-  * per row-pair.
+/** Dense-vector math over Array[Float] columns — the dot product is a
+  * native Catalyst expression (FloatVecDot, with doGenCode) so the
+  * hot loop runs inside whole-stage codegen; no UDF, no driver-side
+  * loops, no per-pair array allocation.
   */
 object Vector {
 
-  /** Dot product of two float-array columns (computed in double). */
+  /** Dot product of two float-array columns (computed in double,
+    * sequential fold — bit-identical to the HOF formulation).
+    */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** HOF formulation kept as the portability/readability reference —
+    * used by tests to cross-check FloatVecDot bit-for-bit.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -163,14 +163,20 @@ object Dedup {
     * as the exactness baseline.
     */
   def embeddingDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // norms precomputed once per vector (O(n)), so the O(n²) pair loop
+    // only evaluates the codegen'd dot product
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       // basis points via floor — no round-half ambiguity across engines
       .select(col("vec_a"), col("vec_b"),
-        floor(Vector.cosine(col("ea"), col("eb")) * 10000).cast("long")
-          .as("cos_bp"))
+        floor(Vector.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+          * 10000).cast("long").as("cos_bp"))
       .filter(col("cos_bp") >= 9000)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private def queriesAndCorpus(s: SparkSession, dir: String) = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // norms precomputed per vector so the pair loop is dot-only
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     (q, e)
   }
+
+  private def pairCosine =
+    Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))
 
   /** s01 — brute-force cosine top-5 per query: the correctness
     * baseline. Queries are a tiny broadcast side; the corpus streams
@@ -27,7 +34,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", Vector.cosine(col("qv"), col("embedding")))
+      .withColumn("cos", pairCosine)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("rn"),
@@ -51,7 +58,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(q),
         corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", Vector.cosine(col("qv"), col("embedding")))
+      .withColumn("cos", pairCosine)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn"),
