@@ -1,0 +1,60 @@
+package graft
+
+/** Every driver-contract query runs at sf0.001 and yields a sane
+  * result; plan-shape assertions confirm the scale-critical choices
+  * (broadcast joins, parquet filter pushdown) actually materialize.
+  */
+class OperatorSmokeSpec extends SparkSpecBase {
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs at sf0.001 and returns rows") {
+      val df = fn(spark, sf0001)
+      val n = df.count()
+      // near-dup/threshold queries may legitimately be empty at tiny SF
+      val mayBeEmpty = Set("d05_embedding_dup", "d04_ngram_jaccard",
+        "d02_minhash_lsh", "d03_simhash")
+      assert(n > 0 || mayBeEmpty(name), s"$name returned no rows")
+    }
+  }
+
+  test("entry() returns rows for the driver smoke check") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has oracle SQL or is a documented rows-only op") {
+    val rowsOnly = Set("m02_blob_features")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("r02 plan broadcasts both dims and pushes the filter to parquet") {
+    val plan = operators.Relational.enrichJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      "filter not pushed to parquet scan")
+  }
+
+  test("q33 plan broadcasts the supplier dim") {
+    val plan = operators.InvoiceAnalytics.topSuppliers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("r01 scan prunes columns (no full-width lineitem read)") {
+    val plan = operators.Relational.pricingSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_partkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("s01 plan keeps the query side broadcast (no corpus shuffle join)") {
+    val plan = operators.Similarity.annBruteForce(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

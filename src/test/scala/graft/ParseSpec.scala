@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.Parse
+import org.apache.spark.sql.functions._
+
+/** Unit checks of the Parse combinators against the reference
+  * parsers' documented behaviors (lib/parse_utils.py).
+  */
+class ParseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("parseFloat strips $ and commas like parse_float") {
+    val df = Seq("$1,234.56", " 42.45 ", "garbage", "7").toDF("s")
+      .select(Parse.parseFloat(col("s")))
+    assert(df.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(1234.56), Some(42.45), None, Some(7.0)))
+  }
+
+  test("parseDateMulti handles the reference's five formats") {
+    val inputs = Seq("Mar 5, 1995", "March 5, 1995", "1995-03-05",
+      "05-03-1995", "3/5/1995", "not a date")
+    val out = inputs.toDF("s")
+      .select(Parse.parseDateMulti(col("s")).cast("string")).collect().map(_.getString(0))
+    assert(out.take(5).forall(_ == "1995-03-05"))
+    assert(out(5) == null)
+  }
+
+  test("findDate scans dd-mm-yy with OCR digit fixes and year coercion") {
+    val cases = Seq(
+      "paid 28-03-18 at noon" -> "2018-03-28",     // yy<=30 → 2000s
+      "ref 28/03/95" -> "1995-03-28",              // yy>30 → 1900s
+      "smudged 28-03-2O18 total" -> "2018-03-28",  // O→0 between digits
+      "bad 45-13-99 day" -> null,                  // invalid date → null
+      "no date here" -> null)
+    val out = cases.map(_._1).toDF("s")
+      .select(Parse.findDate(col("s")).cast("string")).collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("taxRate extracts 'GST 8%' → 8.0") {
+    val out = Seq("GST 8%", "VAT 6.5 %", "no pct").toDF("s")
+      .select(Parse.taxRate(col("s"))).collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(Some(8.0), Some(6.5), None))
+  }
+
+  test("invoiceLine parses 'NN. desc - qty price total.'") {
+    val r = Seq("03. FX100 Graphic Tablet - 1.0 1300.0 1300.0.").toDF("s")
+      .select(Parse.invoiceLine(col("s")).as("p")).select("p.*").collect().head
+    assert(r.getString(0) == "FX100 Graphic Tablet")
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1300.0 && r.getDouble(3) == 1300.0)
+  }
+
+  test("docType routes by filename like detect_doc_type") {
+    val cases = Seq(
+      "DA00564 Award Letter.pdf" -> "nc_award_letter",
+      "DA00543_Bids As Read.pdf" -> "nc_bids_as_read",
+      "DA00539_Bid Tabs.pdf" -> "nc_bid_tabs",
+      "DA00542 Invitation to Bid.pdf" -> "nc_invitation_to_bid",
+      "L230201A_Item C Report.pdf" -> "nc_item_c",
+      "receipt.jpg" -> "invoice")
+    val out = cases.map(_._1).toDF("name")
+      .select(Parse.docType(col("name"), lit(null))).collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("docType routes on text content for award letters") {
+    val out = Seq(("scan001.pdf", "... Notification of Award ..."))
+      .toDF("name", "text")
+      .select(Parse.docType(col("name"), col("text"))).collect().head.getString(0)
+    assert(out == "nc_award_letter")
+  }
+
+  test("invoiceNumber handles direct and R/T-prefixed forms") {
+    val cases = Seq(
+      "TAX INVOICE #12345" -> "12345",
+      "Receipt: 000306020352" -> "000306020352",
+      "see R0001838981 thanks" -> "R0001838981",
+      "nothing" -> null)
+    val out = cases.map(_._1).toDF("s")
+      .select(Parse.invoiceNumber(col("s"))).collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("fixNullTotal fills total from subtotal+tax") {
+    val df = Seq((Some(10.0), Some(9.0), Some(1.0)),
+      (None, Some(9.0), Some(1.0)), (None, None, None))
+      .toDF("t", "s", "x")
+      .select(Parse.fixNullTotal(col("t"), col("s"), col("x")))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(10.0, 10.0, 0.0))
+  }
+
+  test("labelValue extracts NC label:value lines") {
+    val text = "Contract No. DA00569\nCounty: Craven\nDescription: Work Barge"
+    val df = Seq(text).toDF("t").select(
+      Parse.labelValue(col("t"), "Contract No\\."),
+      Parse.labelValue(col("t"), "County"),
+      Parse.labelValue(col("t"), "Description"))
+    val r = df.collect().head
+    assert(r.getString(0) == "DA00569")
+    assert(r.getString(1) == "Craven")
+    assert(r.getString(2) == "Work Barge")
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.EventStream
+import org.apache.spark.sql.SaveMode
+
+/** The streaming path (file source → watermark → windowed agg →
+  * memory sink) must agree with its batch twin on the same data.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamed windowed counts equal the batch twin") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 1.0, "{}"),
+      (2L, ts(10), 10L, "click", 2.0, "{}"),
+      (3L, ts(70), 11L, "view", 3.0, "{}"),
+      (4L, ts(75), 11L, "click", 4.0, "{}"),
+      (5L, ts(130), 12L, "view", 5.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+
+    val q = EventStream.startToMemory(spark, dir, "stream_counts")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_counts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = EventStream.windowedCounts(df)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
+      assert(streamed.exists { case (_, t, n, v) => t == "click" && n == 2 && v == 3.0 })
+    } finally q.stop()
+  }
+}
