@@ -32,6 +32,8 @@ object SparkEntry {
     "p08_invoice_number" -> (ParseOps.invoiceNumberQ _),
     "p09_ocr_line_grouping" -> (ParseOps.ocrLineGroupingQ _),
     "p10_nc_label_extract" -> (ParseOps.ncLabelExtractQ _),
+    "p11_json_props" -> (Relational.jsonProps _),
+    "p12_nc_bid_lines" -> (ParseOps.ncBidLinesQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -42,7 +44,9 @@ object SparkEntry {
     "r07_asof_join" -> (Relational.asofJoin _),
     "r08_sessionize" -> (Relational.sessionize _),
     "r09_running_window" -> (Relational.runningWindow _),
+    "r10_salted_agg" -> (Relational.saltedAgg _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
+    "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
     "d01_exact_dedup" -> (Dedup.exact _),
     "d02_minhash_lsh" -> (Dedup.minhashLsh _),
@@ -220,6 +224,26 @@ FROM z GROUP BY page, line_id ORDER BY page, line_id""",
   'Craven' AS county, o_orderpriority AS description
 FROM orders ORDER BY o_orderkey""",
 
+    "p11_json_props" ->
+      """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+FROM events ORDER BY event_id""",
+    "p12_nc_bid_lines" ->
+      """SELECT o_custkey,
+  'VENDOR ' || o_custkey || '-' || o_orderkey AS contractor_name,
+  floor(o_totalprice * 100) / 100.0 AS amount_bid
+FROM orders ORDER BY o_custkey, contractor_name""",
+    "r10_salted_agg" ->
+      """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price,
+  count(*) AS n_items
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "w02_sliding_window" ->
+      """WITH e AS (SELECT ts, event_type, value,
+    unnest([0, 1, 2]) AS o FROM events),
+w AS (SELECT make_timestamp((CAST(floor(epoch(ts) / 600) AS BIGINT) - o) * 600 * 1000000)
+    AS window_start, event_type, value FROM e)
+SELECT window_start, event_type, count(*) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "r01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,

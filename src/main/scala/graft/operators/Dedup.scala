@@ -122,8 +122,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // filter before the distinct shuffle — far fewer pairs move
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -155,6 +155,38 @@ object ParseOps {
       .orderBy(col("page"), col("line_id"))
   }
 
+  /** p12 — whole-document detail-line parsing, the shape of the NC
+    * 'CONTRACT BIDS AS READ' parser (parse_utils.py:943-1094): one
+    * synthetic document per customer (header + one money line per
+    * order, assembled in-engine), then the parser explodes lines,
+    * filters money lines, and extracts contractor + amount — one row
+    * per bid. Demonstrates group→document→explode round-tripping at
+    * scan speed.
+    */
+  def ncBidLinesQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val amountStr = concat((cents / 100).cast("long").cast("string"),
+      lit("."), lpad(pmod(cents, lit(100)).cast("string"), 2, "0"))
+    val line = concat(lit("VENDOR "), col("o_custkey").cast("string"),
+      lit("-"), col("o_orderkey").cast("string"), lit(" $"), amountStr)
+    val docs = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), line.as("line"))
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws("\n",
+        lit("CONTRACT BIDS AS READ") +:
+        Seq(array_join(transform(
+          array_sort(collect_list(struct(col("o_orderkey"), col("line")))),
+          t => t.getField("line")), "\n")): _*).as("doc"))
+    val moneyPat = "^(.*?)\\s*\\$\\s*([\\d,]+\\.\\d{2})$"
+    docs
+      .select(col("o_custkey"), explode(split(col("doc"), "\n")).as("l"))
+      .filter(regexp_extract(col("l"), moneyPat, 0) =!= "")
+      .select(col("o_custkey"),
+        regexp_extract(col("l"), moneyPat, 1).as("contractor_name"),
+        Parse.parseFloat(regexp_extract(col("l"), moneyPat, 2)).as("amount_bid"))
+      .orderBy(col("o_custkey"), col("contractor_name"))
+  }
+
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
     * other NC parsers): multi-line label blocks round-tripped.
     */

@@ -179,6 +179,37 @@ object Relational {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Skew-resistant two-phase aggregation: lineitem keyed by
+    * l_suppkey is maximally skewed (10 suppliers over the whole
+    * fact). Phase 1 salts the key 16 ways and pre-aggregates; phase 2
+    * merges the partials — at 1000 executors no single reducer sees a
+    * whole hot key. Result is identical to the plain groupBy, which
+    * is exactly what the oracle checks.
+    */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(sum(col("l_extendedprice")).as("part_sum"),
+        count(lit(1)).as("part_n"))
+    salted.groupBy(col("l_suppkey"))
+      .agg(round(sum(col("part_sum")), 2).as("total_price"),
+        sum(col("part_n")).as("n_items"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Schema'd JSON extraction over the events props column — the
+    * engine twin of the reference's read_entities JSON ingestion
+    * (ocr_utils.py:129-142).
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+
   /** Event-time tumbling 1-hour window aggregation — the batch twin
     * of the streaming path (graft.streaming.EventStream applies the
     * same grouping with a watermark).
@@ -189,5 +220,19 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Event-time sliding windows (30-min window, 10-min slide): each
+    * event lands in 3 epoch-aligned windows via Spark's window()
+    * generator — the oracle reproduces the window set with an explicit
+    * offset unnest.
+    */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 }
