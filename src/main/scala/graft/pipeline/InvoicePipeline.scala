@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import graft.functions.Parse
+import graft.sources.DocSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end distributed twin of the reference's
+  * run_extraction_pipeline (lib/pipeline_runner.py:45-179): a
+  * directory of raw documents → per-line text → per-file metadata +
+  * line items → one flat invoices DataFrame with the reference's
+  * `invoices` schema (analytics.sql:13-34).
+  *
+  * The PDF/OCR decode step is the stubbed multimodal path (no pdf or
+  * tesseract libs in this container): text-bearing files are decoded
+  * in-engine; scanned media would enter through
+  * operators.Multimodal.extractFeatures. Everything downstream —
+  * routing, parsing, assembly — is the real engine.
+  *
+  * Scale design: one shuffle (groupBy path) builds per-file metadata;
+  * line items stay row-parallel and join the broadcast metadata —
+  * at 100 TB the unit of work is a file, and files partition evenly.
+  */
+object InvoicePipeline {
+
+  /** Per-file metadata the reference extracts in
+    * extract_invoice_metadata (parse_utils.py:172-296): first
+    * non-empty lines = supplier, regex scans for TIN / invoice number
+    * / dates / GST amounts.
+    */
+  def fileMetadata(lines: DataFrame): DataFrame = {
+    val l = col("line")
+    val firstNonNull: Column => Column = c => first(c, ignoreNulls = true)
+    lines
+      .withColumn("tin", when(
+        regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1) =!= "",
+        regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1)))
+      .withColumn("inv_no", Parse.invoiceNumber(l))
+      .withColumn("inv_date",
+        when(lower(l).contains("invoice date"),
+          Parse.parseDateMulti(regexp_extract(l, "(?i)Invoice Date[:\\s]+(.+)", 1))))
+      .withColumn("any_date", Parse.findDate(l))
+      .withColumn("due_date",
+        when(lower(l).contains("due date"),
+          Parse.parseDateMulti(regexp_extract(l, "(?i)Due Date[:\\s]+(.+)", 1))))
+      .withColumn("gst_rate", when(upper(l).contains("GST"), Parse.taxRate(l)))
+      .withColumn("subtotal",
+        when(lower(l).rlike("sub\\s*total"),
+          Parse.parseFloat(regexp_extract(l, "([\\d,]+\\.\\d+)", 1))))
+      .withColumn("grand_total",
+        when(upper(l).rlike("^TOTAL\\b"),
+          Parse.parseFloat(regexp_extract(l, "([\\d,]+\\.\\d+)", 1))))
+      .withColumn("supplier_line", when(col("line_no") < 2 && trim(l) =!= "", trim(l)))
+      .groupBy(col("path"), col("file_name"), col("doc_type"))
+      .agg(
+        // line_no-ordered join of the first lines (collect_list order
+        // is nondeterministic; the struct sort pins it)
+        array_join(transform(array_sort(collect_list(
+            when(col("supplier_line").isNotNull,
+              struct(col("line_no"), col("supplier_line"))))),
+          t => t.getField("supplier_line")), " ").as("supplier_name"),
+        firstNonNull(col("tin")).as("supplier_tin"),
+        firstNonNull(col("inv_no")).as("invoice_number"),
+        coalesce(firstNonNull(col("inv_date")), min(col("any_date")))
+          .as("invoice_date"),
+        firstNonNull(col("due_date")).as("due_date"),
+        firstNonNull(col("gst_rate")).as("tax_label"),
+        firstNonNull(col("subtotal")).as("subtotal_amount"),
+        firstNonNull(col("grand_total")).as("total_amount"))
+  }
+
+  /** Line items: the reference's table section between the header and
+    * 'Sub Total' (extract_table_section, parse_utils.py:299-308),
+    * parsed row-parallel with Parse.invoiceLine.
+    */
+  def lineItems(lines: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("line_no"))
+    lines
+      .withColumn("in_table",
+        sum(when(col("line").contains("ID DESCRIPTION QTY PRICE TOTAL"), 1)
+          .when(col("line").contains("Sub Total"), -1).otherwise(0)).over(w))
+      .filter(col("in_table") === 1 &&
+        !col("line").contains("ID DESCRIPTION QTY PRICE TOTAL"))
+      .select(col("path"), col("line_no"), Parse.invoiceLine(col("line")).as("p"))
+      .select(col("path"), col("line_no"),
+        col("p.description"), col("p.qty"), col("p.price"), col("p.total"))
+      .filter(col("p.description").isNotNull)
+  }
+
+  /** Full pipeline: root dir → invoices-schema DataFrame (one row per
+    * line item, metadata repeated — exactly the reference's flat
+    * `invoices` table).
+    */
+  def run(spark: SparkSession, root: String, companyId: Int = 1,
+      country: String = "US", processedDate: String = "2026-08-12"): DataFrame = {
+    val lines = DocSource.textLines(DocSource.scanFiles(spark, root))
+      .filter(trim(col("line")) =!= "")
+    val meta = fileMetadata(lines)
+    val items = lineItems(lines)
+    items.join(meta, "path")
+      .select(
+        lit(companyId).as("company_id"),
+        lit(country).as("country"),
+        to_date(lit(processedDate)).as("processed_date"),
+        col("supplier_name"), col("supplier_tin"),
+        col("invoice_number"), col("invoice_date"), col("due_date"),
+        col("description"), col("qty"), col("price"), col("total"),
+        col("tax_label"),
+        (col("subtotal_amount") * col("tax_label") / lit(100.0)).as("tax_amount"),
+        Parse.fixNullTotal(col("total_amount"), col("subtotal_amount"),
+          col("subtotal_amount") * col("tax_label") / lit(100.0)).as("total_amount"),
+        col("file_name").as("file"))
+  }
+
+  /** The reference's five analytics queries (analytics.sql:56-100)
+    * verbatim over a pipeline-produced invoices DataFrame.
+    */
+  object Analytics {
+    def docsProcessed(inv: DataFrame): DataFrame =
+      inv.groupBy(col("invoice_number").as("invoice"))
+        .agg(countDistinct(col("invoice_number")).as("quantity"))
+        .orderBy(col("invoice"))
+
+    def totalValue(inv: DataFrame): DataFrame =
+      inv.groupBy(col("invoice_number").as("invoice"))
+        .agg(sum_distinct(col("total_amount")).as("total_value"))
+        .orderBy(col("total_value").desc)
+
+    def topSuppliers(inv: DataFrame, n: Int = 5): DataFrame =
+      inv.groupBy(col("supplier_name"))
+        .agg(sum(col("total_amount")).as("total_spent"))
+        .orderBy(col("total_spent").desc).limit(n)
+
+    def commonProducts(inv: DataFrame, n: Int = 5): DataFrame =
+      inv.groupBy(col("description"))
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc).limit(n)
+
+    def monthlyTrend(inv: DataFrame): DataFrame =
+      inv.groupBy(date_format(date_trunc("month", col("invoice_date")),
+          "MMM yyyy").as("month"))
+        .agg(sum(col("total_amount")).as("total_value"),
+          min(col("invoice_date")).as("_first"))
+        .orderBy(col("_first")).drop("_first")
+  }
+}

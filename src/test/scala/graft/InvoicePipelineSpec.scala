@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.pipeline.InvoicePipeline
+
+/** Full reference workflow on crafted documents: files → lines →
+  * metadata + table section → flat invoices table → the five
+  * analytics queries.
+  */
+class InvoicePipelineSpec extends SparkSpecBase {
+
+  private lazy val root: String = {
+    val d = Files.createTempDirectory("graft-inv").toString
+    Files.writeString(Paths.get(d, "invoice_a.txt"),
+      """ACME SUPPLIES SDN BHD
+        |123 Jalan Besar
+        |TIN: 123456789
+        |TAX INVOICE #100123
+        |Invoice Date: Mar 5, 2018
+        |Due Date: 2018-04-05
+        |ID DESCRIPTION QTY PRICE TOTAL
+        |1. FX100 Graphic Tablet - 1.0 1300.0 1300.0
+        |2. Cable Pack - 2.0 50.0 100.0
+        |Sub Total 1400.00
+        |GST 6%
+        |TOTAL 1484.00""".stripMargin)
+    Files.writeString(Paths.get(d, "invoice_b.txt"),
+      """PYEDRAIN SUPPLIER
+        |TIN: 987654321
+        |Receipt: 200456
+        |Invoice Date: Apr 2, 2018
+        |ID DESCRIPTION QTY PRICE TOTAL
+        |1. Cable Pack - 1.0 50.0 50.0
+        |Sub Total 50.00
+        |GST 6%
+        |TOTAL 53.00""".stripMargin)
+    root0 = d
+    d
+  }
+  private var root0: String = _
+
+  test("pipeline builds the reference invoices schema") {
+    val inv = InvoicePipeline.run(spark, root).cache()
+    val rows = inv.collect()
+    assert(rows.length == 3) // 2 items + 1 item
+    val a = inv.filter("file = 'invoice_a.txt'")
+    assert(a.count() == 2)
+    val r = a.filter("description = 'FX100 Graphic Tablet'").collect().head
+    assert(r.getAs[String]("supplier_name").startsWith("ACME SUPPLIES"))
+    assert(r.getAs[String]("supplier_tin") == "123456789")
+    assert(r.getAs[String]("invoice_number") == "100123")
+    assert(r.getAs[java.sql.Date]("invoice_date").toString == "2018-03-05")
+    assert(r.getAs[java.sql.Date]("due_date").toString == "2018-04-05")
+    assert(r.getAs[Double]("qty") == 1.0)
+    assert(r.getAs[Double]("price") == 1300.0)
+    assert(r.getAs[Double]("tax_label") == 6.0)
+    assert(math.abs(r.getAs[Double]("tax_amount") - 84.0) < 1e-9)
+    assert(r.getAs[Double]("total_amount") == 1484.0)
+  }
+
+  test("the five reference analytics run over the pipeline output") {
+    val inv = InvoicePipeline.run(spark, root).cache()
+    import InvoicePipeline.Analytics._
+    assert(docsProcessed(inv).count() == 2)
+    val tv = totalValue(inv).collect()
+    assert(tv.head.getAs[Double]("total_value") == 1484.0)
+    val ts = topSuppliers(inv).collect()
+    assert(ts.head.getAs[String]("supplier_name").startsWith("ACME"))
+    val cp = commonProducts(inv).collect()
+    assert(cp.head.getAs[String]("description") == "Cable Pack")
+    assert(cp.head.getAs[Long]("occurrences") == 2)
+    val mt = monthlyTrend(inv).collect()
+    assert(mt.map(_.getAs[String]("month")).toSeq == Seq("Mar 2018", "Apr 2018"))
+  }
+}
