@@ -56,6 +56,7 @@ object SparkEntry {
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
+    "s03_ann_ivf" -> (Similarity.annIvf _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -367,6 +368,25 @@ SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
+    "s03_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 4),
+asg AS (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c),
+cells AS (SELECT a.vec_id, a.cid, e.embedding
+  FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM cells WHERE vec_id % 100 = 0),
+s AS (SELECT q.query_id, c.vec_id,
+    list_cosine_similarity(q.qv, c.embedding) AS cos
+  FROM cells c JOIN q ON c.cid = q.cid AND c.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, rn, vec_id AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

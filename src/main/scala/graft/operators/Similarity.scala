@@ -66,4 +66,43 @@ object Similarity {
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** s03 — IVF-style ANN (coarse quantization): the corpus is
+    * assigned to cells by nearest of 4 fixed centroids (the first 4
+    * vectors — deterministic seeds); a query probes only its own
+    * cell. At 100 TB the cell id is the partition key: queries touch
+    * 1/K of the corpus and the assignment pass is a single broadcast
+    * scan. Top-3 within cell.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val cells = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        Vector.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rr", row_number().over(wAsg))
+      .filter(col("rr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val q = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(q),
+        cells("cid") === q("cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }
