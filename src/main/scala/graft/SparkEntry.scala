@@ -62,9 +62,12 @@ object SparkEntry {
     "t02_quality_score" -> (TextOps.qualityScore _),
     "t03_lang_id" -> (TextOps.langId _),
     "t04_fingerprint" -> (TextOps.fingerprint _),
+    "t05_ngram_profile" -> (TextOps.ngramProfile _),
+    "t06_validation_gate" -> (TextOps.validationGate _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
-    "m02_blob_features" -> (Multimodal.extractFeatures _))
+    "m02_blob_features" -> (Multimodal.extractFeatures _),
+    "m03_frame_sample" -> (Multimodal.frameSample _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -411,6 +414,36 @@ SELECT doc_id,
   CAST(sum((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1000000007) * pos) % 1000000007 AS BIGINT) AS fingerprint
 FROM t GROUP BY doc_id ORDER BY doc_id""",
 
+    "t05_ngram_profile" ->
+      """WITH n AS (SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+g AS (SELECT lang, unnest(list_transform(range(1, len(t)-1), i -> substr(t, CAST(i AS INT), 3))) AS gram
+  FROM n WHERE len(t) >= 3),
+c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+r AS (SELECT lang, gram, cnt,
+    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rn FROM c)
+SELECT lang, rn, gram, cnt FROM r WHERE rn <= 5 ORDER BY lang, rn""",
+    "t06_validation_gate" ->
+      """WITH x AS (SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS amount,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) END AS order_date
+  FROM orders)
+SELECT o_orderkey, amount, order_date,
+  (amount IS NOT NULL AND order_date IS NOT NULL) AS is_valid,
+  CASE WHEN amount IS NULL AND order_date IS NULL THEN 'bad_amount;bad_date'
+       WHEN amount IS NULL THEN 'bad_amount'
+       WHEN order_date IS NULL THEN 'bad_date' END AS reasons
+FROM x ORDER BY o_orderkey""",
+    "m03_frame_sample" ->
+      """WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, text
+  FROM documents),
+f AS (SELECT doc_id, kind, text, byte_len, unnest([0, 1, 2, 3]) AS frame_no FROM d)
+SELECT doc_id, kind, frame_no,
+  CAST(floor(byte_len * frame_no / 4) AS BIGINT) AS offset,
+  md5(substr(text, CAST(floor(byte_len * frame_no / 4) AS INT) + 1, 16)) AS frame_hash
+FROM f ORDER BY doc_id, frame_no""",
     "m01_binary_meta" ->
       """SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image'

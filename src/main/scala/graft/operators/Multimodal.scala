@@ -41,6 +41,31 @@ object Multimodal {
       .select(col("doc_id"), col("kind"), col("byte_len"), col("content_hash"))
       .orderBy(col("doc_id"))
 
+  /** m03 — frame sampling plumbing: one row per sampled frame offset
+    * per blob (4 evenly-spaced offsets), with a deterministic
+    * 16-byte-window digest standing in for the decoded frame. The
+    * one-to-many explode + offset arithmetic + per-frame digest is
+    * exactly the shape a real video frame-sampler has; only the codec
+    * is stubbed.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        octet_length(col("text")).cast("long").as("byte_len"), col("text"))
+      .select(col("doc_id"), col("kind"), col("text"),
+        explode(sequence(lit(0), lit(3))).as("frame_no"),
+        col("byte_len"))
+      .select(col("doc_id"), col("kind"), col("frame_no"),
+        floor(col("byte_len") * col("frame_no") / 4).cast("long").as("offset"),
+        col("text"))
+      .select(col("doc_id"), col("kind"), col("frame_no"), col("offset"),
+        md5(col("text").substr((col("offset") + 1).cast("int"), lit(16)))
+          .as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
   /** STUB decode/feature-extract: partition-wise batch op over the
     * typed Dataset — the shape a real decoder (pillow/ffmpeg via
     * Pandas UDF, or a JVM codec) plugs into. Features here are

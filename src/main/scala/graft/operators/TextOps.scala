@@ -42,4 +42,49 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** t05 — per-language character-trigram profile (top-5 by corpus
+    * frequency): the statistical building block of real language ID.
+    * One explode + one shuffle on (lang, gram).
+    */
+  def ngramProfile(s: SparkSession, dir: String): DataFrame = {
+    val norm = Text.normalize(col("text"))
+    val grams = Tables.documents(s, dir)
+      .select(col("lang"), norm.as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), length(col("t")) - 2),
+        i => col("t").substr(i, lit(3)))).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram"))
+    grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("gram"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** t06 — validation/quarantine gate: rows flagged with parse
+    * failures and a reason string instead of being dropped — the
+    * side-output pattern every production ETL needs (the reference
+    * silently nulls bad fields; at 100 TB you quarantine and audit).
+    * Corrupt inputs are synthesized deterministically by key.
+    */
+  def validationGate(s: SparkSession, dir: String): DataFrame = {
+    val moneyStr = when(col("o_orderkey") % 7 === 0, lit("N/A"))
+      .otherwise(concat(lit("$"), col("o_totalprice").cast("string")))
+    val dateStr = when(col("o_orderkey") % 5 === 0, lit("??"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val money = graft.functions.Parse.parseFloat(moneyStr)
+    val date = graft.functions.Parse.parseDateMulti(dateStr)
+    val reasons = concat_ws(";",
+      when(money.isNull, lit("bad_amount")),
+      when(date.isNull, lit("bad_date")))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), money.as("amount"), date.as("order_date"),
+        (money.isNotNull && date.isNotNull).as("is_valid"),
+        when(reasons =!= "", reasons).as("reasons"))
+      .orderBy(col("o_orderkey"))
+  }
 }
