@@ -34,6 +34,7 @@ object SparkEntry {
     "p10_nc_label_extract" -> (ParseOps.ncLabelExtractQ _),
     "p11_json_props" -> (Relational.jsonProps _),
     "p12_nc_bid_lines" -> (ParseOps.ncBidLinesQ _),
+    "p13_nc_bid_tabs" -> (ParseOps.ncBidTabsQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -236,6 +237,19 @@ FROM events ORDER BY event_id""",
   'VENDOR ' || o_custkey || '-' || o_orderkey AS contractor_name,
   floor(o_totalprice * 100) / 100.0 AS amount_bid
 FROM orders ORDER BY o_custkey, contractor_name""",
+    "p13_nc_bid_tabs" ->
+      """WITH x AS (SELECT l_orderkey, l_linenumber, p_name,
+    CAST(CAST(l_quantity AS INT) AS DOUBLE) AS qty,
+    floor(l_extendedprice / l_quantity * 100) / 100.0 AS u1,
+    floor(l_extendedprice * 100) / 100.0 AS a1,
+    floor(l_extendedprice * 1.1 / l_quantity * 100) / 100.0 AS u2,
+    floor(l_extendedprice * 1.1 * 100) / 100.0 AS a2
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+b AS (SELECT *, unnest([1, 2]) AS bidder_index FROM x)
+SELECT l_orderkey, l_linenumber, p_name AS description, qty, bidder_index,
+  CASE WHEN bidder_index = 1 THEN u1 ELSE u2 END AS unit_price,
+  CASE WHEN bidder_index = 1 THEN a1 ELSE a2 END AS amount
+FROM b ORDER BY l_orderkey, l_linenumber, bidder_index""",
     "r10_salted_agg" ->
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price,
   count(*) AS n_items

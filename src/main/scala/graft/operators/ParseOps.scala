@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Parse
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,53 @@ object ParseOps {
         regexp_extract(col("l"), moneyPat, 1).as("contractor_name"),
         Parse.parseFloat(regexp_extract(col("l"), moneyPat, 2)).as("amount_bid"))
       .orderBy(col("o_custkey"), col("contractor_name"))
+  }
+
+  /** p13 — NC 'Bid Tabs' item-line parsing
+    * (parse_utils.py:1099-1425 `parse_nc_bid_tabs`): lines of the form
+    * "0001 <description> <qty> EA $u1 $a1 $u2 $a2" carry one
+    * (unit_price, amount) pair per bidder; the parser extracts the
+    * money tokens positionally and emits one row per bidder — the
+    * one-line→N-bidder-rows fan-out, fully in-engine.
+    */
+  def ncBidTabsQ(s: SparkSession, dir: String): DataFrame = {
+    def centsStr(x: Column) = {
+      val c = floor(x * 100).cast("long")
+      concat((c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    }
+    val u1 = centsStr(col("l_extendedprice") / col("l_quantity"))
+    val a1 = centsStr(col("l_extendedprice"))
+    val u2 = centsStr(col("l_extendedprice") * 1.1 / col("l_quantity"))
+    val a2 = centsStr(col("l_extendedprice") * 1.1)
+    val line = concat(lpad(col("l_linenumber").cast("string"), 4, "0"),
+      lit(" "), col("p_name"), lit(" "),
+      col("l_quantity").cast("int").cast("string"), lit(" EA $"),
+      u1, lit(" $"), a1, lit(" $"), u2, lit(" $"), a2)
+    val money = regexp_extract_all(col("line"), lit("\\$([\\d,]+\\.\\d{2})"), lit(1))
+    val parsed = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), line.as("line"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        regexp_extract(col("line"), "^\\d{4} (.*?) (\\d+) EA", 1).as("description"),
+        regexp_extract(col("line"), "^\\d{4} .*? (\\d+) EA", 1)
+          .cast("double").as("qty"),
+        money.as("money"))
+    parsed
+      .select(col("l_orderkey"), col("l_linenumber"), col("description"),
+        col("qty"),
+        explode(array(
+          struct(lit(1).as("bidder_index"),
+            Parse.parseFloat(element_at(col("money"), 1)).as("unit_price"),
+            Parse.parseFloat(element_at(col("money"), 2)).as("amount")),
+          struct(lit(2).as("bidder_index"),
+            Parse.parseFloat(element_at(col("money"), 3)).as("unit_price"),
+            Parse.parseFloat(element_at(col("money"), 4)).as("amount"))))
+          .as("b"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("description"),
+        col("qty"), col("b.bidder_index").as("bidder_index"),
+        col("b.unit_price").as("unit_price"), col("b.amount").as("amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("bidder_index"))
   }
 
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
