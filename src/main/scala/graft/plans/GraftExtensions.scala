@@ -74,6 +74,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
@@ -88,6 +89,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),

@@ -1,0 +1,50 @@
+package graft
+
+import graft.plans.{GraftExtensions, TopK}
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerKey operator must match the row_number-window
+  * formulation exactly, plan as partial+final (only k rows per key
+  * per partition cross the shuffle), and handle ties/small groups.
+  */
+class TopKSpec extends SparkSpecBase {
+
+  private lazy val session = { GraftExtensions.install(spark); spark }
+
+  test("TopK.perKey equals the window formulation on orders") {
+    val s = session
+    val df = Tables.orders(s, sf0001)
+    val viaTopK = TopK.perKey(df, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTopK == viaWindow)
+    assert(viaTopK.nonEmpty)
+  }
+
+  test("plan shows the two-phase exec with one exchange between") {
+    val s = session
+    val df = TopK.perKey(Tables.orders(s, sf0001), Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc), 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, plan.take(1500))
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"),
+      plan.take(1500))
+  }
+
+  test("groups smaller than k pass through whole") {
+    val s = session
+    import s.implicits._
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val out = TopK.perKey(df, Seq(col("k")), Seq(col("v").desc), 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out == Set((1, 10), (1, 20), (2, 5)))
+  }
+}
