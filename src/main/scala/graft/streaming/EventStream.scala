@@ -42,4 +42,14 @@ object EventStream {
     windowedCounts(readEventsStream(spark, dir))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
+
+  /** Streaming exact dedup — the streaming twin of Dedup.exact:
+    * dropDuplicates on event_id bounded by the watermark (state for
+    * ids older than the watermark is evicted — the only way exact
+    * dedup is viable on an unbounded stream).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
 }

@@ -37,4 +37,23 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.exists { case (_, t, n, v) => t == "click" && n == 2 && v == 3.0 })
     } finally q.stop()
   }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 1.0, "{}"),
+      (1L, ts(0), 10L, "click", 1.0, "{}"),   // exact duplicate
+      (2L, ts(5), 10L, "view", 2.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val q = EventStream.dedupedEvents(EventStream.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
