@@ -67,11 +67,14 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir).cache()
-    val bands = (0 until 4).map { j =>
+    // one scan → all 4 band keys via explode (no 4-way union re-scan)
+    val bandStructs = (0 until 4).map { j =>
       val cols = (0 until 4).map(r => col(s"m${4 * j + r}").cast("string"))
-      sig.select(col("doc_id"), lit(j).as("band"),
-        md5(concat_ws("_", cols: _*)).as("bkey"))
-    }.reduce(_ unionByName _)
+      struct(lit(j).as("band"), md5(concat_ws("_", cols: _*)).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey"))
@@ -110,10 +113,12 @@ object Dedup {
       .withColumn("half_lo", col("simhash").bitwiseAND(65535L))
       .withColumn("half_hi", shiftright(col("simhash"), 16))
       .cache()
-    val halves = sh.select(col("doc_id"), col("simhash"),
-        lit(0).as("side"), col("half_lo").as("half"))
-      .unionByName(sh.select(col("doc_id"), col("simhash"),
-        lit(1).as("side"), col("half_hi").as("half")))
+    val halves = sh
+      .select(col("doc_id"), col("simhash"), explode(array(
+        struct(lit(0).as("side"), col("half_lo").as("half")),
+        struct(lit(1).as("side"), col("half_hi").as("half")))).as("h"))
+      .select(col("doc_id"), col("simhash"),
+        col("h.side").as("side"), col("h.half").as("half"))
     val a = halves.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       col("side"), col("half"))
     val b = halves.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),

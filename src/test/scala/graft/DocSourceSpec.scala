@@ -28,6 +28,22 @@ class DocSourceSpec extends SparkSpecBase {
     assert(files.forall(_.getAs[Long]("byte_len") > 0))
   }
 
+  test("scanFiles routes the REAL reference corpus filenames correctly") {
+    // read-only scan of the reference's actual NC-DOT PDF tree — the
+    // routing must recognize every document family from filenames
+    val byType = DocSource.scanFiles(spark, "/root/reference/data/2023-nc-d1")
+      .groupBy("doc_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all five NC families recognized; a handful of variant names
+    // (Award_Letter.docx.pdf, AwardLetter.pdf, Bid Summary.pdf) fall
+    // through to 'invoice' exactly as the reference's matcher does
+    assert(Set("nc_award_letter", "nc_bids_as_read", "nc_bid_tabs",
+      "nc_invitation_to_bid", "nc_item_c").subsetOf(byType.keySet),
+      byType.toString)
+    assert(byType.getOrElse("invoice", 0L) <= 10, byType.toString)
+    assert(byType.values.sum > 50)
+  }
+
   test("textLines explodes decoded content to per-line rows") {
     val lines = DocSource.textLines(DocSource.scanFiles(spark, root))
     val award = lines.filter("doc_type = 'nc_award_letter'").collect()

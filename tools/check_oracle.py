@@ -20,7 +20,7 @@ def canon(df):
         if v is None: return "NULL"
         if isinstance(v, float):
             if math.isnan(v): return "NaN"
-            return f"{v:.6g}"
+            return repr(v)  # full precision — bit-exact compare
         return str(v)
     rows = sorted(tuple(norm(v) for v in r) for r in recs)
     return cols, rows
