@@ -46,6 +46,7 @@ object SparkEntry {
     "r08_sessionize" -> (Relational.sessionize _),
     "r09_running_window" -> (Relational.runningWindow _),
     "r10_salted_agg" -> (Relational.saltedAgg _),
+    "r11_region_rollup" -> (Relational.regionRollup _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -254,6 +255,14 @@ FROM b ORDER BY l_orderkey, l_linenumber, bidder_index""",
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price,
   count(*) AS n_items
 FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "r11_region_rollup" ->
+      """SELECT r_name AS region_name, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_value,
+  count(DISTINCT c_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
     "w02_sliding_window" ->
       """WITH e AS (SELECT ts, event_type, value,
     unnest([0, 1, 2]) AS o FROM events),

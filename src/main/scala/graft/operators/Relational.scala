@@ -198,6 +198,21 @@ object Relational {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Full dimension-chain aggregate (orders → customer → nation →
+    * region): every dim broadcast, one shuffle on r_name — exercises
+    * the whole star schema including the region table.
+    */
+  def regionRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("region_name"))
+
   /** Schema'd JSON extraction over the events props column — the
     * engine twin of the reference's read_entities JSON ingestion
     * (ocr_utils.py:129-142).
