@@ -47,6 +47,7 @@ object SparkEntry {
     "r09_running_window" -> (Relational.runningWindow _),
     "r10_salted_agg" -> (Relational.saltedAgg _),
     "r11_region_rollup" -> (Relational.regionRollup _),
+    "r12_approx_stats" -> (Relational.approxStats _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup

@@ -213,6 +213,25 @@ object Relational {
         countDistinct(col("c_custkey")).as("n_customers"))
       .orderBy(col("region_name"))
 
+  /** Sketch-based approximate statistics per order status: HLL++
+    * distinct counts and approximate quantiles next to their exact
+    * counterparts. At 100 TB the sketches are the only viable path
+    * for interactive cardinality/quantile answers (fixed-size state,
+    * mergeable across executors); the exact columns let tests bound
+    * the error. Rows-only in the driver gate (HLL internals are not
+    * portable across engines).
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"))
+      .orderBy(col("o_orderstatus"))
+
   /** Schema'd JSON extraction over the events props column — the
     * engine twin of the reference's read_entities JSON ingestion
     * (ocr_utils.py:129-142).

@@ -21,8 +21,21 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx sketches land within 5% of exact answers") {
+    val rows = operators.Relational.approxStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ac, ec) = (r.getAs[Long]("approx_customers"),
+        r.getAs[Long]("exact_customers"))
+      assert(math.abs(ac - ec).toDouble / ec <= 0.05, s"HLL off: $ac vs $ec")
+      val (am, em) = (r.getAs[Double]("approx_median"),
+        r.getAs[Double]("exact_median"))
+      assert(math.abs(am - em) / em <= 0.05, s"quantile off: $am vs $em")
+    }
+  }
+
   test("every query has oracle SQL or is a documented rows-only op") {
-    val rowsOnly = Set("m02_blob_features")
+    val rowsOnly = Set("m02_blob_features", "r12_approx_stats")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
