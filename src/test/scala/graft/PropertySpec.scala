@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Date
+import graft.functions.{Parse, Text, Vector}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style checks over seeded random inputs: parsers
+  * round-trip generated values, sketches respect their contracts.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("parseFloat round-trips comma-grouped currency strings") {
+    val cases = (0 until 200).map { _ =>
+      val cents = math.abs(rnd.nextLong() % 10000000000L)
+      val whole = (cents / 100).toString.reverse.grouped(3)
+        .mkString(",").reverse
+      (cents / 100.0, f"$$$whole.${cents % 100}%02d")
+    }
+    val out = cases.map(_._2).toDF("s")
+      .select(Parse.parseFloat(col("s"))).collect().map(_.getDouble(0))
+    assert(out.toSeq == cases.map(_._1))
+  }
+
+  test("parseDateMulti inverts all five reference formats") {
+    val dates = (0 until 100).map { _ =>
+      Date.valueOf(f"${1940 + rnd.nextInt(91)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d")
+    }
+    val df = dates.map(Tuple1(_)).toDF("d")
+    Seq("MMM d, yyyy", "MMMM d, yyyy", "yyyy-MM-dd", "dd-MM-yyyy", "M/d/yyyy")
+      .foreach { f =>
+        val out = df.select(
+          Parse.parseDateMulti(date_format(col("d"), f)).as("p"), col("d"))
+          .collect()
+        assert(out.forall(r => r.getDate(0) == r.getDate(1)), s"format $f")
+      }
+  }
+
+  test("findDate recovers any dd-MM-yy date planted in prose") {
+    val dates = (0 until 100).map { _ =>
+      Date.valueOf(f"${1940 + rnd.nextInt(91)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d")
+    }
+    // two-digit years are ambiguous: the scanner maps yy<=30 → 2000s,
+    // else 1900s — mirror that expectation
+    val df = dates.map(Tuple1(_)).toDF("d")
+    val out = df.select(
+      Parse.findDate(concat(lit("note before "),
+        date_format(col("d"), "dd-MM-yy"), lit(" after"))).as("found"),
+      col("d")).collect()
+    out.foreach { r =>
+      val orig = r.getDate(1).toLocalDate
+      val yy = orig.getYear % 100
+      val expectedYear = if (yy <= 30) 2000 + yy else 1900 + yy
+      val found = r.getDate(0).toLocalDate
+      assert(found.getYear == expectedYear &&
+        found.getMonthValue == orig.getMonthValue &&
+        found.getDayOfMonth == orig.getDayOfMonth, s"$orig -> $found")
+    }
+  }
+
+  test("fingerprint is order-sensitive") {
+    val docs = (0 until 50).map { _ =>
+      (0 until 8).map(_ => Random.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+    }.filter(ws => ws != ws.reverse)
+    val rows = docs.flatMap(ws => Seq(ws.mkString(" "), ws.reverse.mkString(" ")))
+    val out = rows.toDF("text")
+      .select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    docs.indices.foreach { i =>
+      assert(out(2 * i) != out(2 * i + 1), s"permutation collision at $i")
+    }
+  }
+
+  test("cosine is symmetric and bounded") {
+    val vecs = (0 until 50).map { _ =>
+      (Array.fill(16)(rnd.nextFloat() * 20 - 10),
+        Array.fill(16)(rnd.nextFloat() * 20 - 10))
+    }
+    val out = vecs.toDF("a", "b").select(
+      Vector.cosine(col("a"), col("b")).as("ab"),
+      Vector.cosine(col("b"), col("a")).as("ba")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= -1.0000001 && r.getDouble(0) <= 1.0000001)
+    }
+  }
+}
