@@ -35,6 +35,7 @@ object SparkEntry {
     "p11_json_props" -> (Relational.jsonProps _),
     "p12_nc_bid_lines" -> (ParseOps.ncBidLinesQ _),
     "p13_nc_bid_tabs" -> (ParseOps.ncBidTabsQ _),
+    "p14_receipt_lines" -> (ParseOps.receiptLinesQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -252,6 +253,15 @@ SELECT l_orderkey, l_linenumber, p_name AS description, qty, bidder_index,
   CASE WHEN bidder_index = 1 THEN u1 ELSE u2 END AS unit_price,
   CASE WHEN bidder_index = 1 THEN a1 ELSE a2 END AS amount
 FROM b ORDER BY l_orderkey, l_linenumber, bidder_index""",
+    "p14_receipt_lines" ->
+      """SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_orderkey % 5 IN (0, 1, 2)
+       THEN CAST(l_partkey + 10000 AS VARCHAR) END AS sku,
+  CASE WHEN l_orderkey % 5 = 1 THEN 1.0
+       ELSE CAST(CAST(l_quantity AS INT) AS DOUBLE) END AS qty,
+  floor(l_extendedprice / l_quantity * 100) / 100.0 AS unit_price,
+  floor(l_extendedprice * 100) / 100.0 AS line_total
+FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "r10_salted_agg" ->
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price,
   count(*) AS n_items

@@ -121,6 +121,50 @@ object Parse {
     when(direct =!= "", direct).when(rt =!= "", rt)
   }
 
+  /** Receipt product-line parser: the reference's OCR receipt
+    * patterns (parse_utils.py:366-385 PRICE_PATTERNS), tried in the
+    * same order:
+    *   1. "SKU qty X price total"   — "9556268000210 3 X 15.00 45.00"
+    *   2. "SKU X price total"       — "9072363 X 29.90 29.90" (qty=1)
+    *   3. "SKU price qty X total"   — "9021937 3.90 1 X 3.90"
+    *   4. "price qty X total"       — "3.90 1 X 3.90"
+    *   5. "qty X price total"       — "1 X 29.90 29.90"
+    * Returns struct(sku, qty, unit_price, line_total); null fields on
+    * no match.
+    */
+  def receiptLine(c: Column): Column = {
+    val t = regexp_replace(trim(c), "\\s+", " ")
+    val num = "(\\d+(?:[.,]\\d{1,2}))"
+    val pats = Seq(
+      // (pattern, skuGroup, qtyGroup, priceGroup, totalGroup) 0=absent
+      (s"^(\\d{5,}) (\\d{1,3}) ?[Xx] ?$num $num$$", 1, 2, 3, 4),
+      (s"^(\\d{5,}) ?[Xx] ?$num $num$$", 1, 0, 2, 3),
+      (s"^(\\d{5,}) $num (\\d{1,3}) ?[Xx] ?$num$$", 1, 3, 2, 4),
+      (s"^$num (\\d{1,3}) ?[Xx] ?$num$$", 0, 2, 1, 3),
+      (s"^(\\d{1,3}) ?[Xx] ?$num $num$$", 0, 1, 2, 3))
+    def field(sel: ((String, Int, Int, Int, Int)) => Int,
+        numeric: Boolean): Column =
+      pats.foldRight(lit(null).cast(if (numeric) "double" else "string")) {
+        case (p @ (pat, _, _, _, _), els) =>
+          val g = sel(p)
+          val matched = regexp_extract(t, pat, 0) =!= ""
+          val v = if (g == 0) {
+            // absent group: qty defaults to 1 for pattern 2
+            if (numeric) lit(1.0) else lit(null).cast("string")
+          } else {
+            val raw = regexp_extract(t, pat, g)
+            if (numeric) regexp_replace(raw, ",", ".").cast(DoubleType)
+            else raw
+          }
+          when(matched, v).otherwise(els)
+      }
+    struct(
+      field(_._2, numeric = false).as("sku"),
+      field(_._3, numeric = true).as("qty"),
+      field(_._4, numeric = true).as("unit_price"),
+      field(_._5, numeric = true).as("line_total"))
+  }
+
   /** Label→value extraction for the NC parsers: returns the text after
     * `label` on its line. Reference: parse_utils.py:853-877 and the
     * other NC label:value scans.

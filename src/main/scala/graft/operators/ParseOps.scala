@@ -234,6 +234,37 @@ object ParseOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("bidder_index"))
   }
 
+  /** p14 — OCR receipt product-line parsing
+    * (parse_utils.py:318-809 `extract_product_info` PRICE_PATTERNS):
+    * the five SKU/qty/price layout variants constructed by key and
+    * parsed back with the multi-pattern receipt parser.
+    */
+  def receiptLinesQ(s: SparkSession, dir: String): DataFrame = {
+    def centsStr(x: Column) = {
+      val c = floor(x * 100).cast("long")
+      concat((c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    }
+    val sku = (col("l_partkey") + 10000).cast("string")
+    val qty = col("l_quantity").cast("int").cast("string")
+    val price = centsStr(col("l_extendedprice") / col("l_quantity"))
+    val total = centsStr(col("l_extendedprice"))
+    val k = col("l_orderkey") % 5
+    val line = when(k === 0, concat_ws(" ", sku, qty, lit("X"), price, total))
+      .when(k === 1, concat_ws(" ", sku, lit("X"), price, total))
+      .when(k === 2, concat_ws(" ", sku, price, qty, lit("X"), total))
+      .when(k === 3, concat_ws(" ", price, qty, lit("X"), total))
+      .otherwise(concat_ws(" ", qty, lit("X"), price, total))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Parse.receiptLine(line).as("p"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("p.sku").as("sku"), col("p.qty").as("qty"),
+        col("p.unit_price").as("unit_price"),
+        col("p.line_total").as("line_total"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
     * other NC parsers): multi-line label blocks round-tripped.
     */

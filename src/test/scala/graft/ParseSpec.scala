@@ -92,6 +92,26 @@ class ParseSpec extends SparkSpecBase {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(10.0, 10.0, 0.0))
   }
 
+  test("receiptLine parses the reference's five OCR receipt layouts") {
+    // literal examples from parse_utils.py:366-385
+    val cases = Seq(
+      ("9556268000210 3 X 15.00 45.00", (Some("9556268000210"), 3.0, 15.0, 45.0)),
+      ("9072363 X 29.90 29.90", (Some("9072363"), 1.0, 29.9, 29.9)),
+      ("9021937 3.90 1 X 3.90", (Some("9021937"), 1.0, 3.9, 3.9)),
+      ("3.90 1 X 3.90", (None, 1.0, 3.9, 3.9)),
+      ("1 X 29.90 29.90", (None, 1.0, 29.9, 29.9)))
+    val out = cases.map(_._1).toDF("s")
+      .select(Parse.receiptLine(col("s")).as("p")).select("p.*").collect()
+    cases.zip(out).foreach { case ((in, (sku, q, u, t)), r) =>
+      assert(Option(r.getString(0)) == sku, in)
+      assert(r.getDouble(1) == q && r.getDouble(2) == u && r.getDouble(3) == t, in)
+    }
+    // non-product lines must not match
+    val none = Seq("TOTAL 45.00", "CASH 50.00", "random words").toDF("s")
+      .select(Parse.receiptLine(col("s")).as("p")).select("p.unit_price").collect()
+    assert(none.forall(_.isNullAt(0)))
+  }
+
   test("labelValue extracts NC label:value lines") {
     val text = "Contract No. DA00569\nCounty: Craven\nDescription: Work Barge"
     val df = Seq(text).toDF("t").select(
