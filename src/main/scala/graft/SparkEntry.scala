@@ -68,6 +68,8 @@ object SparkEntry {
     "t04_fingerprint" -> (TextOps.fingerprint _),
     "t05_ngram_profile" -> (TextOps.ngramProfile _),
     "t06_validation_gate" -> (TextOps.validationGate _),
+    "t07_vocabulary" -> (TextOps.vocabulary _),
+    "t08_pii_redact" -> (TextOps.piiRedact _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> (Multimodal.extractFeatures _),
@@ -450,6 +452,20 @@ SELECT doc_id,
   CAST(sum((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1000000007) * pos) % 1000000007 AS BIGINT) AS fingerprint
 FROM t GROUP BY doc_id ORDER BY doc_id""",
 
+    "t07_vocabulary" ->
+      """WITH t AS (SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 50""",
+    "t08_pii_redact" ->
+      """SELECT c_custkey,
+  regexp_replace(regexp_replace(
+    c_name || ' can be reached at user' || c_custkey || '@example.com or +1-555-'
+      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' for account matters',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted_text
+FROM customer ORDER BY c_custkey""",
     "t05_ngram_profile" ->
       """WITH n AS (SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
 g AS (SELECT lang, unnest(list_transform(range(1, len(t)-1), i -> substr(t, CAST(i AS INT), 3))) AS gram

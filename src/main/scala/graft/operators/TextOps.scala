@@ -65,6 +65,38 @@ object TextOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** t07 — corpus vocabulary: top-50 tokens by total frequency with
+    * document frequency — the tokenizer-training / stopword-discovery
+    * primitive. One explode, one shuffle on token.
+    */
+  def vocabulary(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("token"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(50)
+  }
+
+  /** t08 — PII redaction: scrub emails and phone-like numbers from
+    * text (constructed deterministically here since the corpus is
+    * synthetic) — the redaction pass every training pipeline runs
+    * before the tokenizer. Codegen'd regexp_replace chain.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = concat(lit("user"), col("c_custkey"), lit("@example.com"))
+    val phone = concat(lit("+1-555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val text = concat(col("c_name"), lit(" can be reached at "), email,
+      lit(" or "), phone, lit(" for account matters"))
+    val redacted = regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "\\+?\\d[\\d-]{7,}\\d", "[PHONE]")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), redacted.as("redacted_text"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** t06 — validation/quarantine gate: rows flagged with parse
     * failures and a reason string instead of being dropped — the
     * side-output pattern every production ETL needs (the reference
