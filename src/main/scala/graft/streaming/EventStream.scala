@@ -43,6 +43,21 @@ object EventStream {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
 
+  /** Stream → parquet lake sink: availableNow trigger drains the
+    * backlog exactly once (checkpointed) and appends to the output
+    * table — the incremental-ingest pattern a 100 TB pipeline uses to
+    * land raw events continuously.
+    */
+  def startToParquet(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String) =
+    readEventsStream(spark, inDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup — the streaming twin of Dedup.exact:
     * dropDuplicates on event_id bounded by the watermark (state for
     * ids older than the watermark is evicted — the only way exact

@@ -38,6 +38,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("availableNow parquet sink lands the backlog exactly once") {
+    val in = Files.createTempDirectory("graft-sink-in").toString
+    val out = Files.createTempDirectory("graft-sink-out").toString + "/events"
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val rows = (1 to 20).map(i => (i.toLong, ts(i), i % 3L, "click", i * 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(in)
+    val q1 = EventStream.startToParquet(spark, in, out, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 20)
+    // re-run with the same checkpoint: nothing new → no duplicates
+    val q2 = EventStream.startToParquet(spark, in, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
