@@ -30,7 +30,10 @@ object InvoicePipeline {
     */
   def fileMetadata(lines: DataFrame): DataFrame = {
     val l = col("line")
-    val firstNonNull: Column => Column = c => first(c, ignoreNulls = true)
+    // earliest non-null value by line number — deterministic under any
+    // partitioning/retry order (first(ignoreNulls) is not)
+    val firstNonNull: Column => Column = c =>
+      min(when(c.isNotNull, struct(col("line_no"), c.as("v")))).getField("v")
     lines
       .withColumn("tin", when(
         regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1) =!= "",
