@@ -43,6 +43,28 @@ object EventStream {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
 
+  /** Stream-stream join: attribute each purchase to the same user's
+    * clicks in the preceding hour. Both sides watermarked so the
+    * click state store is bounded (clicks older than purchase-wm −
+    * 1 h are evicted) — the canonical attribution join shape.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** Stream → parquet lake sink: availableNow trigger drains the
     * backlog exactly once (checkpointed) and appends to the output
     * table — the incremental-ingest pattern a 100 TB pipeline uses to

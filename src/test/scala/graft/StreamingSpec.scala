@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("stream-stream join attributes purchases to preceding clicks") {
+    val dir = Files.createTempDirectory("graft-attr").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 7L, "click", 0.0, "{}"),
+      (2L, ts(30), 7L, "purchase", 99.0, "{}"),   // joins click 1 (30m before)
+      (3L, ts(100), 7L, "click", 0.0, "{}"),
+      (4L, ts(200), 7L, "purchase", 50.0, "{}"),  // click 3 is 100m before → outside 1h
+      (5L, ts(10), 8L, "click", 0.0, "{}"),
+      (6L, ts(20), 9L, "purchase", 10.0, "{}"))   // other user's click → no match
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val q = EventStream.purchaseAttribution(
+        EventStream.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("attribution")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(out == Set((2L, 1L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
