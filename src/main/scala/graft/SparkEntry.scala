@@ -73,7 +73,9 @@ object SparkEntry {
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> (Multimodal.extractFeatures _),
-    "m03_frame_sample" -> (Multimodal.frameSample _))
+    "m03_frame_sample" -> (Multimodal.frameSample _),
+    "m04_label_centroids" -> (VectorAgg.labelCentroids _),
+    "w03_session_window" -> (Relational.sessionWindow _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -496,6 +498,24 @@ SELECT doc_id, kind, frame_no,
   CAST(floor(byte_len * frame_no / 4) AS BIGINT) AS offset,
   md5(substr(text, CAST(floor(byte_len * frame_no / 4) AS INT) + 1, 16)) AS frame_hash
 FROM f ORDER BY doc_id, frame_no""",
+    "m04_label_centroids" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+    unnest(range(1, len(embedding)+1)) AS idx FROM embeddings),
+a AS (SELECT label, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS c
+  FROM x GROUP BY 1, 2)
+SELECT label, list(c ORDER BY idx) AS centroid_milli,
+  CAST(count(*) AS INT) AS dims
+FROM a GROUP BY label ORDER BY label""",
+    "w03_session_window" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+y AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM x),
+z AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM z GROUP BY user_id, session_id ORDER BY user_id, session_start""",
     "m01_binary_meta" ->
       """SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image'

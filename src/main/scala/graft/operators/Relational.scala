@@ -256,6 +256,22 @@ object Relational {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Native session windows (Spark's session_window generator, 30-min
+    * gap) — the declarative twin of the lag+cumsum formulation in
+    * sessionize; the oracle derives identical sessions via the window
+    * SQL and maps start=min(ts), end=max(ts)+gap.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Event-time sliding windows (30-min window, 10-min slide): each
     * event lands in 3 epoch-aligned windows via Spark's window()
     * generator — the oracle reproduces the window set with an explicit
