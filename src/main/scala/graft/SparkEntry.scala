@@ -57,6 +57,7 @@ object SparkEntry {
     "d03_simhash" -> (Dedup.simhash _),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d05_embedding_dup" -> (Dedup.embeddingDup _),
+    "d06_fuzzy_match" -> (Dedup.fuzzyMatch _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -361,6 +362,13 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
   min(doc_id) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    "d06_fuzzy_match" ->
+      """SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+  a.s_name AS name_a, b.s_name AS name_b,
+  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 3
+ORDER BY key_a, key_b""",
     "d02_minhash_lsh" -> minhashLshSql,
     "d03_simhash" -> simhashSql,
     "d04_ngram_jaccard" ->

@@ -170,6 +170,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d06 — fuzzy entity matching: supplier-name pairs within edit
+    * distance 3 (the reference's invoices carry free-text
+    * supplier_name — matching OCR'd variants of the same vendor is
+    * the classic entity-resolution step). Small-dim self-join with
+    * codegen'd levenshtein; at scale the same filter runs after a
+    * blocking key (e.g. name prefix or phonetic bucket).
+    */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    val a = sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
+    val b = sup.select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 3)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("edit_dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   /** d05 — embedding near-dup: pairwise cosine ≥ 0.9 (rounded 4dp on
     * both engines so the threshold compare can't straddle an ulp).
     * The smaller side is broadcast; at 100 TB this becomes the
