@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.DocSource
+
+/** DataSource V2 'graft-docs' format: equals the DataFrame-built
+  * textLines pipeline, prunes columns into the reader, and
+  * partitions per file.
+  */
+class DocTextSourceSpec extends SparkSpecBase {
+
+  private lazy val root: String = {
+    val d = Files.createTempDirectory("graft-dsv2")
+    Files.writeString(Paths.get(d.toString, "DA00564 Award Letter.pdf"),
+      "STATE OF NORTH CAROLINA\nContract No. DA00564")
+    Files.writeString(Paths.get(d.toString, "receipt_9.txt"),
+      "ACME SDN BHD\nTAX INVOICE #123\nGST 6%")
+    d.toString
+  }
+
+  test("graft-docs format matches the DataFrame textLines pipeline") {
+    val v2 = spark.read.format("graft-docs").load(root)
+      .select("file_name", "doc_type", "line_no", "line")
+      .collect().map(_.toSeq).toSet
+    val v1 = DocSource.textLines(DocSource.scanFiles(spark, root))
+      .select("file_name", "doc_type", "line_no", "line")
+      .collect().map(_.toSeq).toSet
+    assert(v2 == v1)
+    assert(v2.size == 5)
+  }
+
+  test("column pruning reaches the reader (scan schema is pruned)") {
+    val df = spark.read.format("graft-docs").load(root).select("doc_type")
+    val scan = df.queryExecution.executedPlan.toString
+    assert("BatchScan [^\\[]*\\[doc_type#\\d+\\]".r.findFirstIn(scan).isDefined,
+      scan.take(1200))
+    assert(df.distinct().collect().map(_.getString(0)).toSet ==
+      Set("nc_award_letter", "invoice"))
+  }
+
+  test("one input partition per file") {
+    val df = spark.read.format("graft-docs").load(root)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+}
