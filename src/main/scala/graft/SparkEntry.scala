@@ -386,10 +386,19 @@ SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
     "d05_embedding_dup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS cos_bp
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE floor(list_cosine_similarity(a.embedding, b.embedding) * 10000) >= 9000
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+b0 AS (SELECT vec_id, embedding, unnest([0, 1, 2, 3]) AS band FROM e),
+b AS (SELECT vec_id, band,
+    (CASE WHEN embedding[band+1] >= 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN embedding[band+9] >= 0 THEN 2 ELSE 0 END)
+  + (CASE WHEN embedding[band+17] >= 0 THEN 4 ELSE 0 END) AS bucket
+  FROM b0),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+SELECT c.vec_a, c.vec_b,
+  CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) AS BIGINT) AS cos_bp
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 9000
 ORDER BY vec_a, vec_b""",
 
     "s01_ann_bruteforce" ->
@@ -421,14 +430,21 @@ FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
     "s03_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cent AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 4),
+cm AS (SELECT label AS cid, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+  GROUP BY label, idx),
+cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
 asg AS (SELECT e.vec_id, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
   FROM e, cent c),
 cells AS (SELECT a.vec_id, a.cid, e.embedding
   FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
-q AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM cells WHERE vec_id % 100 = 0),
+q AS (SELECT a.vec_id AS query_id, e.embedding AS qv, a.cid
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 100 = 0 AND a.rr <= 2),
 s AS (SELECT q.query_id, c.vec_id,
     list_cosine_similarity(q.qv, c.embedding) AS cos
   FROM cells c JOIN q ON c.cid = q.cid AND c.vec_id <> q.query_id),
@@ -508,13 +524,26 @@ SELECT doc_id, kind, frame_no,
 FROM f ORDER BY doc_id, frame_no""",
     "m04_label_centroids" ->
       """WITH x AS (SELECT label, unnest(embedding) AS v,
-    unnest(range(1, len(embedding)+1)) AS idx FROM embeddings),
-a AS (SELECT label, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS c
-  FROM x GROUP BY 1, 2)
-SELECT label, list(c ORDER BY idx) AS centroid_milli,
-  CAST(count(*) AS INT) AS dims
-FROM a GROUP BY label ORDER BY label""",
+    unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+SELECT label, CAST(idx AS INT) AS idx,
+  CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS c_milli
+FROM x GROUP BY label, idx ORDER BY label, idx""",
+    "m02_blob_features" ->
+      """WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(length(text) AS BIGINT) AS byte_len, text
+  FROM documents),
+st AS (SELECT doc_id, kind, byte_len,
+    unnest(range(0, CAST(ceil(byte_len / 16.0) AS BIGINT))) AS stripe_no, text
+  FROM d),
+f AS (SELECT doc_id, kind, byte_len, stripe_no,
+    substr(text, CAST(stripe_no * 16 AS INT) + 1, 16) AS stx
+  FROM st)
+SELECT doc_id, kind, byte_len, CAST(stripe_no AS INT) AS stripe_no,
+  CAST(length(stx) AS INT) AS n_bytes,
+  CAST(list_sum(list_transform(string_split(stx, ''), c -> unicode(c))) * 1000 // length(stx) AS BIGINT) AS mean_milli
+FROM f ORDER BY doc_id, stripe_no""",
     "w03_session_window" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
 x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),

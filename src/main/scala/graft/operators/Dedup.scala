@@ -173,15 +173,27 @@ object Dedup {
   /** d06 — fuzzy entity matching: supplier-name pairs within edit
     * distance 3 (the reference's invoices carry free-text
     * supplier_name — matching OCR'd variants of the same vendor is
-    * the classic entity-resolution step). Small-dim self-join with
-    * codegen'd levenshtein; at scale the same filter runs after a
-    * blocking key (e.g. name prefix or phonetic bucket).
+    * the classic entity-resolution step).
+    *
+    * Candidate generation is an EXACT length-band blocking equi-join,
+    * not a cartesian: levenshtein ≤ 3 ⇒ |len(a)−len(b)| ≤ 3 ⇒ the
+    * floor(len/4) band ids differ by at most 1. Side a emits its own
+    * band; side b emits bands {blk−1, blk, blk+1}; the join key is the
+    * band id, so the plan is a hash join whose pair count is bounded
+    * by the band co-occurrence — identical result set to the all-pairs
+    * formulation, but it survives a 100× entity table.
     */
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
-    val a = sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
-    val b = sup.select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"))
-    a.join(broadcast(b), col("key_a") < col("key_b"))
+    val a = sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"),
+      floor(length(col("s_name")) / 4).cast("long").as("blk"))
+    // b emits 3 band keys; a emits exactly 1, so each qualifying pair
+    // meets on exactly one key — no post-join distinct needed
+    val b = sup.select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"),
+        explode(array((-1 to 1).map(d =>
+          floor(length(col("s_name")) / 4).cast("long") + d): _*)).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b"))
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= 3)
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
@@ -189,15 +201,55 @@ object Dedup {
       .orderBy(col("key_a"), col("key_b"))
   }
 
-  /** d05 — embedding near-dup: pairwise cosine ≥ 0.9 (rounded 4dp on
-    * both engines so the threshold compare can't straddle an ulp).
-    * The smaller side is broadcast; at 100 TB this becomes the
-    * LSH-bucketed variant (see Similarity.annLsh) — kept brute here
-    * as the exactness baseline.
+  /** d05 — embedding near-dup: cosine ≥ 0.9 pairs found by sign-LSH
+    * banding, not all-pairs. Each vector emits 4 band buckets (sign
+    * pattern of 3 coordinates per band — `Vector.signBucket`);
+    * candidate pairs share at least one (band, bucket), i.e. the
+    * candidate join is a key-equality join on the bucket id that
+    * shuffles ~n·4 rows, never n² — the same plan shape at 100 TB.
+    * cos ≥ 0.9 means angle ≤ 25.8°, so a random hyperplane splits the
+    * pair with p ≈ 0.143; P(some 3-dim band agrees) ≈ 1−(1−0.63)⁴ ≈
+    * 0.98 — the recall trade-off is part of the operator's declared
+    * semantics and the oracle replays the identical bucketing.
+    * The brute-force formulation is kept as a spec-level cross-check
+    * (see `embeddingDupBrute` / DedupSpec).
     */
   def embeddingDup(s: SparkSession, dir: String): DataFrame = {
-    // norms precomputed once per vector (O(n)), so the O(n²) pair loop
-    // only evaluates the codegen'd dot product
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"))
+    // one scan → all 4 band keys via explode (no 4-way union re-scan)
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        Vector.signBucket(col("embedding"), Seq(j + 1, j + 9, j + 17))
+          .as("bucket"))
+    }
+    val bands = e
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+    val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      // basis points via floor — no round-half ambiguity across engines
+      .select(col("vec_a"), col("vec_b"),
+        floor(Vector.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+          * 10000).cast("long").as("cos_bp"))
+      .filter(col("cos_bp") >= 9000)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
+    * deliberately NOT in the driver inventory: O(n²) does not scale.
+    */
+  def embeddingDupBrute(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
@@ -206,7 +258,6 @@ object Dedup {
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("nrm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      // basis points via floor — no round-half ambiguity across engines
       .select(col("vec_a"), col("vec_b"),
         floor(Vector.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
           * 10000).cast("long").as("cos_bp"))

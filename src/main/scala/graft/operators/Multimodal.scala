@@ -20,8 +20,13 @@ object Multimodal {
   case class Blob(doc_id: Long, kind: String, byte_len: Long,
       content_hash: String, payload: Array[Byte])
 
-  case class BlobFeatures(doc_id: Long, kind: String, byte_len: Long,
-      n_stripes: Int, features: Array[Double])
+  /** One feature row per 16-byte stripe of the payload. `mean_milli`
+    * is the stripe's mean byte value in integer milli-units
+    * (`sum*1000 / n` with integer floor division) — scalar columns
+    * only, so the cross-engine compare can sort/hash rows.
+    */
+  case class StripeFeature(doc_id: Long, kind: String, byte_len: Long,
+      stripe_no: Int, n_bytes: Int, mean_milli: Long)
 
   /** documents.text → opaque binary payload + metadata. */
   def blobs(s: SparkSession, dir: String): DataFrame =
@@ -69,16 +74,20 @@ object Multimodal {
   /** STUB decode/feature-extract: partition-wise batch op over the
     * typed Dataset — the shape a real decoder (pillow/ffmpeg via
     * Pandas UDF, or a JVM codec) plugs into. Features here are
-    * deterministic per-16-byte-stripe mean byte values.
+    * deterministic per-16-byte-stripe mean byte values, emitted one
+    * row per stripe (integer milli-units — floor division is exact on
+    * both engines, no float summation order to disagree about).
     */
   def extractFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     blobs(s, dir).as[Blob].mapPartitions { it =>
-      it.map { b =>
-        val stripes = b.payload.grouped(16).toArray
-        val feats = stripes.map(st => st.map(_ & 0xff).sum.toDouble / st.length)
-        BlobFeatures(b.doc_id, b.kind, b.byte_len, stripes.length, feats)
+      it.flatMap { b =>
+        b.payload.grouped(16).zipWithIndex.map { case (st, i) =>
+          val sum = st.foldLeft(0L)((acc, x) => acc + (x & 0xff))
+          StripeFeature(b.doc_id, b.kind, b.byte_len, i, st.length,
+            sum * 1000L / st.length)
+        }
       }
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF().orderBy(col("doc_id"), col("stripe_no"))
   }
 }

@@ -72,29 +72,34 @@ object Similarity {
     rankTopK(s, scored, 3)
   }
 
-  /** s03 — IVF-style ANN (coarse quantization): the corpus is
-    * assigned to cells by nearest of 4 fixed centroids (the first 4
-    * vectors — deterministic seeds); a query probes only its own
-    * cell. At 100 TB the cell id is the partition key: queries touch
-    * 1/K of the corpus and the assignment pass is a single broadcast
-    * scan. Top-3 within cell.
+  /** s03 — IVF-style ANN (coarse quantization) with REAL centroids:
+    * the 10 per-label mean vectors (VectorAgg.centroidVectors — the
+    * un-exploded m04 aggregate, components floored to milli-units so
+    * the oracle rebuilds bit-identical centroids). Corpus vectors are
+    * assigned to their nearest centroid's cell; a query probes its
+    * top-2 cells (the standard nprobe>1 recall lever). At 100 TB the
+    * cell id is the partition key: the assignment pass is one
+    * broadcast scan (centroids are tiny) and each query touches
+    * ~2/K of the corpus. Top-3 within probed cells.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
-    val cent = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cnrm"))
+    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
+      .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val cells = e.join(broadcast(cent), lit(true))
+    val asg = e.join(broadcast(cent), lit(true))
       .withColumn("ccos",
         Vector.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rr", row_number().over(wAsg))
-      .filter(col("rr") === 1)
+    val cells = asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-    val q = cells.filter(col("vec_id") % 100 === 0)
+    // queries probe their 2 nearest cells; a corpus vector lives in
+    // exactly one cell and probe cids are distinct, so the cid
+    // equi-join yields each (query, candidate) pair at most once
+    val q = asg.filter(col("vec_id") % 100 === 0 && col("rr") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
     val scored = cells.join(broadcast(q),

@@ -44,8 +44,10 @@ object VectorAgg {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
-  /** m04 — label centroids, components floored to micro-units so the
-    * (order-nondeterministic) float summation can't flip the compare.
+  /** m04 — label centroids, exploded to one row per (label, idx)
+    * component with the value floored to milli-units: scalar columns
+    * only (a top-level array column breaks the cross-engine row
+    * sort/hash), and the floor absorbs float-summation-order ulps.
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -56,10 +58,28 @@ object VectorAgg {
       .mapValues(_.embedding)
       .agg(MeanVector.toColumn.name("centroid"))
       .toDF("label", "centroid")
-      .select(col("label"),
-        transform(col("centroid"), x => floor(x * 1000).cast("long"))
-          .as("centroid_milli"),
-        size(col("centroid")).as("dims"))
-      .orderBy(col("label"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("idx"),
+        floor(col("c") * 1000).cast("long").as("c_milli"))
+      .orderBy(col("label"), col("idx"))
+  }
+
+  /** Internal (s03 IVF): per-label mean centroid as a float array —
+    * the un-exploded form of m04, reused as real IVF centroids.
+    */
+  def centroidVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("embedding"))
+      .as[LabeledVec]
+      .groupByKey(_.label)
+      .mapValues(_.embedding)
+      .agg(MeanVector.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      // floor to milli-units BEFORE use so downstream cosine math is
+      // bit-identical to an oracle that rebuilds the same centroids
+      .select(col("label").as("cid"),
+        transform(col("centroid"), x =>
+          (floor(x * 1000) / lit(1000.0)).cast("float")).as("cv"))
   }
 }

@@ -56,6 +56,54 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
   }
 
+  test("d06 length-band blocking is exact: same pairs as the all-pairs formulation") {
+    val blocked = operators.Dedup.fuzzyMatch(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Int]("edit_dist"))).toSet
+    // brute reference computed inline (the pre-blocking formulation)
+    import org.apache.spark.sql.functions._
+    val sup = Tables.supplier(spark, sf0001).select(col("s_suppkey"), col("s_name"))
+    val brute = sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
+      .join(broadcast(sup.select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"))),
+        col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 3)
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Int]("edit_dist"))).toSet
+    assert(blocked == brute, s"blocking changed the result set: " +
+      s"missing=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
+    assert(blocked.nonEmpty)
+  }
+
+  private lazy val vecDir: String = {
+    val d = Files.createTempDirectory("graft-vec").toString
+    val dim = 64
+    def mk(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31.7 + i * 1.3).toFloat)
+    val v0 = mk(1)
+    val v1 = v0.clone()                                   // exact dup
+    val v2 = v0.zipWithIndex.map { case (x, i) =>         // tiny perturbation
+      if (i == 0) x + 0.01f else x }
+    Seq((0L, v0, 0), (1L, v1, 0), (2L, v2, 0),
+        (3L, mk(7), 1), (4L, mk(13), 1), (5L, mk(29), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("d05 LSH bucketing finds exact and near duplicates; pairs ⊆ brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val bucketed = pairs(operators.Dedup.embeddingDup(spark, vecDir))
+    val brute = pairs(operators.Dedup.embeddingDupBrute(spark, vecDir))
+    // identical vectors share every band bucket — always recalled
+    assert(bucketed.contains((0L, 1L)))
+    // the ε-perturbed near-dup keeps all coordinate signs — recalled too
+    assert(bucketed.contains((0L, 2L)) && bucketed.contains((1L, 2L)))
+    // bucketing only ever prunes candidates, never invents pairs
+    assert(bucketed.subsetOf(brute))
+  }
+
   test("simhash hamming distance: dups at 0, near-dups small, unrelated apart") {
     val pairs = operators.Dedup.simhash(spark, dir)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

@@ -35,7 +35,7 @@ class OperatorSmokeSpec extends SparkSpecBase {
   }
 
   test("every query has oracle SQL or is a documented rows-only op") {
-    val rowsOnly = Set("m02_blob_features", "r12_approx_stats")
+    val rowsOnly = Set("r12_approx_stats")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -69,5 +69,19 @@ class OperatorSmokeSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("d06 candidate generation is an equi-join (no nested-loop cartesian)") {
+    val plan = operators.Dedup.fuzzyMatch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("d05 candidate generation is an equi-join (no nested-loop cartesian)") {
+    val plan = operators.Dedup.embeddingDup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 }
