@@ -36,6 +36,8 @@ object SparkEntry {
     "p12_nc_bid_lines" -> (ParseOps.ncBidLinesQ _),
     "p13_nc_bid_tabs" -> (ParseOps.ncBidTabsQ _),
     "p14_receipt_lines" -> (ParseOps.receiptLinesQ _),
+    "p15_nc_item_c" -> (ParseOps.ncItemCQ _),
+    "p16_nc_invitation_to_bid" -> (ParseOps.ncInvitationQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -49,6 +51,7 @@ object SparkEntry {
     "r10_salted_agg" -> (Relational.saltedAgg _),
     "r11_region_rollup" -> (Relational.regionRollup _),
     "r12_approx_stats" -> (Relational.approxStats _),
+    "r13_exact_stats" -> (Relational.exactStats _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -267,6 +270,38 @@ FROM b ORDER BY l_orderkey, l_linenumber, bidder_index""",
   floor(l_extendedprice / l_quantity * 100) / 100.0 AS unit_price,
   floor(l_extendedprice * 100) / 100.0 AS line_total
 FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p15_nc_item_c" ->
+      """WITH x AS (SELECT *, unnest(['A', 'B']) AS tag FROM orders)
+SELECT o_orderkey,
+  'STATE OF NORTH CAROLINA' AS state_header,
+  'DEPARTMENT OF TRANSPORTATION' AS owner_header,
+  CAST(o_orderdate AS DATE) AS letting_date,
+  'DA' || lpad(CAST(o_orderkey AS VARCHAR), 5, '0') AS contract_id,
+  'BRZ-' || CAST(o_orderkey AS VARCHAR) AS project_number,
+  'Craven' AS county,
+  o_orderpriority AS proposal_description,
+  'NC-' || CAST(o_custkey AS VARCHAR) AS location,
+  floor(o_totalprice * 100) / 100.0 AS owner_cost_estimate,
+  CAST(o_orderdate AS DATE) + 180 AS final_completion,
+  'VENDOR ' || o_custkey || '-' || tag AS vendor_name,
+  CASE WHEN tag = 'A' THEN floor(o_totalprice * 0.95 * 100) / 100.0
+       ELSE floor(o_totalprice * 1.05 * 100) / 100.0 END AS bid_value
+FROM x ORDER BY o_orderkey, vendor_name""",
+    "p16_nc_invitation_to_bid" ->
+      """SELECT o_orderkey,
+  'STATE OF NORTH CAROLINA' AS state_header,
+  'DEPARTMENT OF TRANSPORTATION' AS owner_header,
+  'Division ' || CAST(o_custkey % 14 + 1 AS VARCHAR) AS division,
+  'DA' || lpad(CAST(o_orderkey AS VARCHAR), 5, '0') AS contract_id,
+  o_orderpriority AS proposal_description,
+  CAST(o_orderdate AS DATE) + 365 AS completion_date,
+  CAST(o_orderdate AS DATE) AS letting_date
+FROM orders ORDER BY o_orderkey""",
+    "r13_exact_stats" ->
+      """SELECT o_orderstatus,
+  count(DISTINCT o_custkey) AS exact_customers,
+  floor(quantile_cont(o_totalprice, 0.5) * 100) / 100.0 AS exact_median
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "r10_salted_agg" ->
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price,
   count(*) AS n_items

@@ -174,4 +174,53 @@ object Parse {
     val v = trim(regexp_extract(text, pat, 1))
     when(v =!= "", v)
   }
+
+  /** Line-number-bounded header scan: the first of the document's
+    * first `maxLines` non-blank lines matching `pattern`, or null.
+    * This is the positional variant of labelValue the NC header scans
+    * need — the reference only honours "STATE OF …" / "DEPARTMENT
+    * OF …" when they appear at the top of the page.
+    * Reference: parse_utils.py:812-830 (`extract_nc_header`) and
+    * :1428-1475 (`extract_generic_owner_header`).
+    */
+  def headerLine(text: Column, pattern: String, maxLines: Int = 15): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val hit = filter(slice(lines, 1, maxLines), l => trim(l).rlike(pattern))
+    trim(element_at(hit, 1))
+  }
+
+  /** "STATE OF …" header within the first 15 non-blank lines. */
+  def ncStateHeader(text: Column): Column =
+    headerLine(text, "(?i)^\\s*STATE OF\\b")
+
+  /** Owner header (DEPARTMENT / TRANSPORTATION / HIGHWAY line) within
+    * the first 15 non-blank lines.
+    */
+  def ncOwnerHeader(text: Column): Column =
+    headerLine(text, "(?i)DEPARTMENT|TRANSPORTATION|HIGHWAY")
+
+  private val monthPat =
+    "(?i)\\b(?:JANUARY|FEBRUARY|MARCH|APRIL|MAY|JUNE|JULY|AUGUST|SEPTEMBER|OCTOBER|NOVEMBER|DECEMBER)\\s+\\d{1,2},\\s+\\d{4}"
+
+  /** First month-name date in the text ("MAY 3, 2023" → date), any
+    * case. Reference: the letting-date scan, parse_utils.py:1517-1527.
+    */
+  def monthNameDate(text: Column): Column = {
+    val m = regexp_extract(text, monthPat, 0)
+    when(m =!= "", to_date(initcap(lower(m)), "MMMM d, yyyy"))
+  }
+
+  /** First month-name date appearing after `marker` (a regex).
+    * Reference: the "Completion Date …" / "Bid Opening …" scans,
+    * parse_utils.py:1822-1859.
+    */
+  def monthNameDateAfter(text: Column, marker: String): Column =
+    monthNameDate(regexp_extract(text, "(?is)" + marker + "(.*)", 1))
+
+  /** Lowercase + trim every column name — a schema (not data)
+    * transform, so it is plan-only and free at any scale.
+    * Reference: parse_utils.py:119-126 (`standardize_columns`).
+    */
+  def standardizeColumns(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.toDF(df.columns.map(_.trim.toLowerCase): _*)
 }

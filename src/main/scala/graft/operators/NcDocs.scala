@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.Parse
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whole-document NC parsers as reusable column sets: the same field
+  * extraction backs both the oracle-checked queries (ParseOps
+  * p15/p16, which synthesize documents from table columns) and
+  * InvoicePipeline's doc-type router over real files — exactly the
+  * reference's parse_document_by_type split
+  * (parse_utils.py:1882-1945).
+  */
+object NcDocs {
+
+  private val vendorLinePat = "^(.*?)\\s*([\\d,]+\\.\\d{2})$"
+
+  /** Item C scalar fields (parse_utils.py:1479-1718 `parse_nc_item_c`):
+    * bounded STATE OF/owner header scan, first month-name letting
+    * date, DA##### contract line, FED AID project number + next-line
+    * county, TYPE OF WORK / LOCATION labels, ESTIMATE money scan,
+    * FINAL COMPLETION date.
+    */
+  def itemCFields(doc: Column): Seq[Column] = Seq(
+    Parse.ncStateHeader(doc).as("state_header"),
+    Parse.ncOwnerHeader(doc).as("owner_header"),
+    Parse.monthNameDate(doc).as("letting_date"),
+    regexp_extract(doc, "(?m)^(DA\\d{5})$", 1).as("contract_id"),
+    Parse.labelValue(doc, "FED AID NO").as("project_number"),
+    regexp_extract(doc, "(?m)^FED AID NO[^\\n]*\\n([^\\n]+)", 1).as("county"),
+    Parse.labelValue(doc, "TYPE OF WORK").as("proposal_description"),
+    Parse.labelValue(doc, "LOCATION").as("location"),
+    Parse.parseFloat(regexp_extract(doc,
+      "ESTIMATE\\s+([\\d,]+\\.\\d{2})", 1)).as("owner_cost_estimate"),
+    Parse.monthNameDateAfter(doc, "FINAL COMPLETION").as("final_completion"))
+
+  /** The "$ TOTALS" → "ESTIMATE TOTAL"/"LETTING TOTAL" vendor block
+    * (parse_utils.py:1645-1674).
+    */
+  def vendorSection(doc: Column): Column =
+    regexp_extract(doc,
+      "(?s)\\$ TOTALS\\n(.*?)\\n(?:ESTIMATE TOTAL|LETTING TOTAL)", 1)
+
+  /** Item C over whole documents: `df` must carry `keyCols` and the
+    * document text in `docCol`; emits one row per vendor bid with all
+    * scalar fields repeated (the reference's record-per-vendor shape).
+    */
+  def parseItemC(df: DataFrame, docCol: String, keyCols: Seq[String]): DataFrame = {
+    val doc = col(docCol)
+    df.select(keyCols.map(col) ++ itemCFields(doc) :+
+        explode(split(vendorSection(doc), "\n")).as("vl"): _*)
+      .filter(regexp_extract(col("vl"), "[\\d,]+\\.\\d{2}", 0) =!= "")
+      .withColumn("vendor_name", trim(regexp_extract(col("vl"), vendorLinePat, 1)))
+      .withColumn("bid_value",
+        Parse.parseFloat(regexp_extract(col("vl"), vendorLinePat, 2)))
+      .drop("vl")
+  }
+
+  /** Invitation to Bid fields (parse_utils.py:1721-1877
+    * `parse_nc_invitation_to_bid`): headers, Division line (trailing
+    * colon stripped), the "Requesting bids…"-anchored
+    * "<id> – <description>" line, Completion Date / Bid Opening
+    * month-name dates.
+    */
+  def invitationFields(doc: Column): Seq[Column] = {
+    val reqNext = regexp_extract(doc, "(?i)REQUESTING BIDS[^\\n]*\\n([^\\n]+)", 1)
+    val idDescPat = "^\\s*(\\S+)\\s*[–-]\\s*(.+)$"
+    Seq(
+      Parse.ncStateHeader(doc).as("state_header"),
+      Parse.ncOwnerHeader(doc).as("owner_header"),
+      rtrim(Parse.headerLine(doc, "(?i)\\bDIVISION\\b"), ":").as("division"),
+      regexp_extract(reqNext, idDescPat, 1).as("contract_id"),
+      regexp_extract(reqNext, idDescPat, 2).as("proposal_description"),
+      Parse.monthNameDateAfter(doc, "Completion Date").as("completion_date"),
+      Parse.monthNameDateAfter(doc, "Bid Opening").as("letting_date"))
+  }
+
+  /** Invitation to Bid over whole documents — one row per document. */
+  def parseInvitation(df: DataFrame, docCol: String,
+      keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) ++ invitationFields(col(docCol)): _*)
+}

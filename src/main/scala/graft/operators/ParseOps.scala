@@ -265,6 +265,73 @@ object ParseOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** p15 — NC 'Item C' report parsing (parse_utils.py:1479-1718
+    * `parse_nc_item_c`): one synthetic Item C page per order — STATE
+    * OF/DEPARTMENT header, month-name letting date, DA##### contract
+    * line, FED AID project number + county line, TYPE OF WORK /
+    * LOCATION labels, owner-cost ESTIMATE money scan, FINAL COMPLETION
+    * date, and a "$ TOTALS"→"ESTIMATE TOTAL" vendor section emitting
+    * one row per vendor bid. All regex fields stay in codegen; the
+    * vendor fan-out is one explode.
+    */
+  def ncItemCQ(s: SparkSession, dir: String): DataFrame = {
+    def centsStr(x: Column) = {
+      val c = floor(x * 100).cast("long")
+      concat((c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    }
+    val key5 = lpad(col("o_orderkey").cast("string"), 5, "0")
+    val ck = col("o_custkey").cast("string")
+    val lettingStr = upper(date_format(col("o_orderdate"), "MMMM d, yyyy"))
+    val compStr = upper(date_format(date_add(col("o_orderdate"), 180), "MMMM d, yyyy"))
+    val doc = concat_ws("\n",
+      lit("STATE OF NORTH CAROLINA"),
+      lit("DEPARTMENT OF TRANSPORTATION"),
+      concat(lit("LETTING OF "), lettingStr),
+      concat(lit("DA"), key5),
+      concat(lit("FED AID NO: BRZ-"), col("o_orderkey").cast("string")),
+      lit("Craven"),
+      concat(lit("TYPE OF WORK "), col("o_orderpriority")),
+      concat(lit("LOCATION NC-"), ck),
+      concat(lit("ESTIMATE "), centsStr(col("o_totalprice"))),
+      concat(lit("FINAL COMPLETION "), compStr),
+      lit("$ TOTALS"),
+      concat(lit("VENDOR "), ck, lit("-A "), centsStr(col("o_totalprice") * 0.95)),
+      concat(lit("VENDOR "), ck, lit("-B "), centsStr(col("o_totalprice") * 1.05)),
+      concat(lit("ESTIMATE TOTAL "), centsStr(col("o_totalprice"))))
+    NcDocs.parseItemC(
+        Tables.orders(s, dir).select(col("o_orderkey"), doc.as("doc")),
+        "doc", Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"), col("vendor_name"))
+  }
+
+  /** p16 — NC 'Invitation to Bid' parsing (parse_utils.py:1721-1877
+    * `parse_nc_invitation_to_bid`): STATE/owner header (bounded scan),
+    * Division line (trailing colon stripped), the "Requesting
+    * bids…"-anchored "<id> – <description>" line, and the Completion
+    * Date / Bid Opening month-name dates — one row per document.
+    */
+  def ncInvitationQ(s: SparkSession, dir: String): DataFrame = {
+    val key5 = lpad(col("o_orderkey").cast("string"), 5, "0")
+    val divN = (col("o_custkey") % 14 + 1).cast("string")
+    // completion in title case, letting uppercase — both must parse
+    val compStr = date_format(date_add(col("o_orderdate"), 365), "MMMM d, yyyy")
+    val lettingStr = upper(date_format(col("o_orderdate"), "MMMM d, yyyy"))
+    val doc = concat_ws("\n",
+      lit("STATE OF NORTH CAROLINA"),
+      lit("DEPARTMENT OF TRANSPORTATION"),
+      concat(lit("Division "), divN, lit(":")),
+      lit("NOTICE TO PROSPECTIVE BIDDERS"),
+      lit("Requesting bids for the following project"),
+      concat(lit("DA"), key5, lit(" - "), col("o_orderpriority")),
+      concat(lit("The Completion Date for this Contract is "), compStr),
+      concat(lit("Bid Opening will be held on "), lettingStr))
+    NcDocs.parseInvitation(
+        Tables.orders(s, dir).select(col("o_orderkey"), doc.as("doc")),
+        "doc", Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
     * other NC parsers): multi-line label blocks round-tripped.
     */

@@ -47,15 +47,22 @@ object Relational {
           .as("net_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** Top-3 orders by value per customer: row_number over a
-    * per-custkey window, single shuffle on o_custkey.
+  /** Top-3 orders by value per customer — through the custom bounded
+    * TopKPerKey operator (plans/TopKPerKey.scala): only ≤3 rows per
+    * customer per input partition reach the shuffle, where the
+    * row_number window formulation would shuffle and fully sort every
+    * order. The tiny rank window afterwards runs over ≤3 rows/key.
     */
   def topNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
+    graft.plans.TopK.perKey(
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
         col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
@@ -214,22 +221,35 @@ object Relational {
       .orderBy(col("region_name"))
 
   /** Sketch-based approximate statistics per order status: HLL++
-    * distinct counts and approximate quantiles next to their exact
-    * counterparts. At 100 TB the sketches are the only viable path
-    * for interactive cardinality/quantile answers (fixed-size state,
-    * mergeable across executors); the exact columns let tests bound
-    * the error. Rows-only in the driver gate (HLL internals are not
-    * portable across engines).
+    * distinct counts and approximate quantiles. At 100 TB the
+    * sketches are the only viable path for interactive
+    * cardinality/quantile answers (fixed-size state, mergeable across
+    * executors). Rows-only in the driver gate — HLL internals are not
+    * portable across engines; the exact twin (`exactStats` / r13) IS
+    * oracle-checked, and the spec bounds this one's error against it.
     */
   def approxStats(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
         approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        countDistinct(col("o_custkey")).as("exact_customers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-          .as("approx_median"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"))
+          .as("approx_median"))
+      .orderBy(col("o_orderstatus"))
+
+  /** r13 — the exact counterpart of approxStats: true distinct counts
+    * and the interpolated median, oracle-checked. Exact distinct is a
+    * two-stage shuffle (expand on the distinct column); exact
+    * percentile needs the full value set per group — the cost
+    * approxStats exists to avoid, kept here as the correctness anchor.
+    */
+  def exactStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        (floor(expr("percentile(o_totalprice, 0.5)") * 100) / 100.0)
+          .as("exact_median"))
       .orderBy(col("o_orderstatus"))
 
   /** Schema'd JSON extraction over the events props column — the

@@ -116,6 +116,30 @@ object InvoicePipeline {
         col("file_name").as("file"))
   }
 
+  /** Doc-type router (reference parse_document_by_type,
+    * parse_utils.py:1882-1945): whole-file text fans out to the parser
+    * its doc_type routes to. NC structured docs parse document-at-a-
+    * time (NcDocs); `invoice` files flow through `run`'s
+    * line-granular path. Unrouted types fall through as raw text —
+    * same contract as the reference's final return.
+    */
+  def routeNcDocs(spark: SparkSession, root: String): Map[String, DataFrame] = {
+    val docs = DocSource.scanFiles(spark, root)
+      .withColumn("text", decode(col("content"), "UTF-8"))
+      .select(col("path"), col("file_name"), col("doc_type"), col("text"))
+    Map(
+      "nc_item_c" -> graft.operators.NcDocs.parseItemC(
+        docs.filter(col("doc_type") === "nc_item_c"),
+        "text", Seq("path", "file_name")),
+      "nc_invitation_to_bid" -> graft.operators.NcDocs.parseInvitation(
+        docs.filter(col("doc_type") === "nc_invitation_to_bid"),
+        "text", Seq("path", "file_name")),
+      "other" -> docs.filter(!col("doc_type")
+        .isin("nc_item_c", "nc_invitation_to_bid", "invoice"))
+        .select(col("path"), col("file_name"), col("doc_type"),
+          col("text").as("raw_text")))
+  }
+
   /** The reference's five analytics queries (analytics.sql:56-100)
     * verbatim over a pipeline-produced invoices DataFrame.
     */

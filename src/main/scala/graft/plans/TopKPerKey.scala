@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
@@ -24,18 +24,35 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
-/** Physical per-key bounded top-k. `partial = true` runs on whatever
-  * partitioning the child has (map-side pre-trim); `partial = false`
-  * requires clustering on the keys, which gives the exact answer.
+/** Physical per-key bounded top-k, memory-bounded in both phases:
+  *
+  *  - `partial = true` runs on the child's partitioning (map-side
+  *    pre-trim). Its per-key buffer map is capped at `flushKeys`
+  *    distinct keys: on overflow the current per-key top-k rows are
+  *    emitted downstream and the map resets. Each flushed segment's
+  *    top-k is a superset of that segment's contribution to the true
+  *    per-partition top-k, so flushing never loses a qualifying row —
+  *    it only forwards a few extra rows for the final phase to trim.
+  *    Peak memory: flushKeys × 2k rows, regardless of key cardinality.
+  *  - `partial = false` (exact answer) requires clustering AND
+  *    key-sorted input — Spark plans a spillable external sort under
+  *    it — and streams one key group at a time with O(k) state. No
+  *    per-partition key map at all, so a partition with millions of
+  *    distinct keys runs in constant memory.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan,
+    flushKeys: Int = 1 << 16) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -44,33 +61,95 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val cap = flushKeys
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
-      // per key: sorted-on-demand buffer, trimmed at 2k to amortize
-      val buffers = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val buf = buffers.get(key) match {
-          case Some(b) => b
-          case None =>
-            val b = mutable.ArrayBuffer.empty[InternalRow]
-            buffers.put(key.copy(), b)
-            b
-        }
-        buf += row.copy()
-        if (buf.length >= 2 * limit) {
-          val kept = buf.sorted(rowOrdering.asInstanceOf[Ordering[InternalRow]])
-            .take(limit)
-          buf.clear()
-          buf ++= kept
-        }
-      }
-      buffers.valuesIterator.flatMap { buf =>
-        buf.sorted(rowOrdering.asInstanceOf[Ordering[InternalRow]]).take(limit)
-      }
+        .asInstanceOf[Ordering[InternalRow]]
+      if (isPartial) partialIterator(iter, keyProj, rowOrdering, limit, cap)
+      else finalIterator(iter, keyProj, rowOrdering, limit)
     }
   }
+
+  /** Hash-buffer pre-trim with flush-on-cap. */
+  private def partialIterator(iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection, rowOrdering: Ordering[InternalRow],
+      limit: Int, cap: Int): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private val buffers =
+        mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+      private var pending: Iterator[InternalRow] = Iterator.empty
+
+      private def drain(): Iterator[InternalRow] = {
+        val out = buffers.valuesIterator
+          .flatMap(b => b.sorted(rowOrdering).take(limit)).toArray
+        buffers.clear()
+        out.iterator
+      }
+
+      private def fill(): Unit = {
+        while (!pending.hasNext && iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          val buf = buffers.get(key) match {
+            case Some(b) => b
+            case None =>
+              val b = mutable.ArrayBuffer.empty[InternalRow]
+              buffers.put(key.copy(), b)
+              b
+          }
+          buf += row.copy()
+          // sorted-on-demand trim at 2k amortizes the sort cost
+          if (buf.length >= 2 * limit) {
+            val kept = buf.sorted(rowOrdering).take(limit)
+            buf.clear()
+            buf ++= kept
+          }
+          if (buffers.size >= cap) pending = drain()
+        }
+        if (!pending.hasNext && !iter.hasNext && buffers.nonEmpty)
+          pending = drain()
+      }
+
+      override def hasNext: Boolean = { fill(); pending.hasNext }
+      override def next(): InternalRow = { fill(); pending.next() }
+    }
+
+  /** Streaming group-at-a-time top-k over key-sorted input. */
+  private def finalIterator(iter: Iterator[InternalRow],
+      keyProj: UnsafeProjection, rowOrdering: Ordering[InternalRow],
+      limit: Int): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var curKey: UnsafeRow = _
+      private val buf = mutable.ArrayBuffer.empty[InternalRow]
+      private var pending: Iterator[InternalRow] = Iterator.empty
+
+      private def emit(): Iterator[InternalRow] = {
+        val out = buf.sorted(rowOrdering).take(limit).toArray
+        buf.clear()
+        out.iterator
+      }
+
+      private def fill(): Unit = {
+        while (!pending.hasNext && iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          if (curKey != null && key != curKey) pending = emit()
+          if (curKey == null || key != curKey) curKey = key.copy()
+          buf += row.copy()
+          if (buf.length >= 2 * limit) {
+            val kept = buf.sorted(rowOrdering).take(limit)
+            buf.clear()
+            buf ++= kept
+          }
+        }
+        if (!pending.hasNext && !iter.hasNext && buf.nonEmpty) pending = emit()
+      }
+
+      override def hasNext: Boolean = { fill(); pending.hasNext }
+      override def next(): InternalRow = { fill(); pending.next() }
+    }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)

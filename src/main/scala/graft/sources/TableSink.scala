@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Write-side plumbing for the 100 TB layout decisions: partitioned
   * parquet for pruning, bucketed tables for shuffle-free co-located
@@ -25,4 +26,31 @@ object TableSink {
     df.write.mode(mode)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Idempotent load: append only rows whose key tuple is absent from
+    * the existing table — the reference's pre-insert
+    * `invoice_exists(company_id, invoice_number, invoice_date)` check
+    * (db_connection.py:72-88) re-expressed as one left-anti join
+    * against the current snapshot's distinct keys, so a re-run of the
+    * same batch adds zero rows. Like the reference, an already-loaded
+    * key suppresses ALL its incoming rows (an invoice's line items
+    * load together or not at all); new keys keep every row. The
+    * anti-join is a key-equality join on a distinct-key set that is
+    * usually tiny relative to the data — AQE broadcasts it — and the
+    * batch is materialized (cached) before the append so the write
+    * never scans the directory it is appending to.
+    * Returns the number of rows actually appended.
+    */
+  def appendIfAbsent(df: DataFrame, path: String,
+      keys: Seq[String] = Seq("company_id", "invoice_number", "invoice_date")): Long = {
+    val spark = df.sparkSession
+    val existingKeys =
+      try Some(spark.read.parquet(path).select(keys.map(col): _*).distinct())
+      catch { case _: AnalysisException => None } // first load: nothing there
+    val fresh = existingKeys.fold(df)(ex => df.join(ex, keys, "left_anti")).cache()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+    fresh.unpersist()
+    n
+  }
 }

@@ -77,10 +77,18 @@ class DocScan(root: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** File listing runs on the driver over java.nio — the source
+    * therefore requires the root to be a path visible from driver AND
+    * executors (shared/NFS mount in cluster mode); an HDFS/object-
+    * store deployment would swap these java.nio calls for the Hadoop
+    * FileSystem API, the rest of the source is storage-agnostic.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val base = Paths.get(root)
-    val files = Files.walk(base).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(_.toString).toArray.sorted
+    val walk = Files.walk(Paths.get(root))
+    val files =
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(_.toString).toArray.sorted
+      finally walk.close() // Files.walk holds open directory handles
     files.map(DocFilePartition(_): InputPartition)
   }
 

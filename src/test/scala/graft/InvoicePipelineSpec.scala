@@ -58,6 +58,65 @@ class InvoicePipelineSpec extends SparkSpecBase {
     assert(r.getAs[Double]("total_amount") == 1484.0)
   }
 
+  private lazy val ncRoot: String = {
+    val d = Files.createTempDirectory("graft-nc").toString
+    Files.writeString(Paths.get(d, "L230201A_Item C Report.txt"),
+      """STATE OF NORTH CAROLINA
+        |DEPARTMENT OF TRANSPORTATION
+        |LETTING OF MAY 3, 2023
+        |DA00564
+        |FED AID NO: BRZ-0711
+        |Craven
+        |TYPE OF WORK Grading, Drainage and Paving
+        |LOCATION NC 43 Bridge 25
+        |ESTIMATE 1,234,567.89
+        |FINAL COMPLETION NOVEMBER 15, 2024
+        |$ TOTALS
+        |BLYTHE CONSTRUCTION, INC. 1,999,999.99
+        |S T WOOTEN CORPORATION 2,111,000.50
+        |ESTIMATE TOTAL 1,234,567.89""".stripMargin)
+    Files.writeString(Paths.get(d, "DA00542 Invitation to Bid.txt"),
+      """STATE OF NORTH CAROLINA
+        |DEPARTMENT OF TRANSPORTATION
+        |Division One:
+        |NOTICE TO PROSPECTIVE BIDDERS
+        |Requesting bids for the following project
+        |12089199 - Milling, Resurfacing, and Shoulder Reconstruction
+        |The Completion Date for this Contract is October 30, 2023
+        |Bid Opening will be held on MAY 3, 2023""".stripMargin)
+    d
+  }
+
+  test("doc-type router parses reference-shaped Item C and Invitation docs") {
+    val routed = InvoicePipeline.routeNcDocs(spark, ncRoot)
+    val itemC = routed("nc_item_c").collect()
+    assert(itemC.length == 2) // one row per vendor bid
+    val b = itemC.find(_.getAs[String]("vendor_name")
+      .startsWith("BLYTHE")).get
+    assert(b.getAs[String]("contract_id") == "DA00564")
+    assert(b.getAs[java.sql.Date]("letting_date").toString == "2023-05-03")
+    assert(b.getAs[String]("project_number") == "BRZ-0711")
+    assert(b.getAs[String]("county") == "Craven")
+    assert(b.getAs[String]("proposal_description") ==
+      "Grading, Drainage and Paving")
+    assert(b.getAs[String]("location") == "NC 43 Bridge 25")
+    assert(b.getAs[Double]("owner_cost_estimate") == 1234567.89)
+    assert(b.getAs[java.sql.Date]("final_completion").toString == "2024-11-15")
+    assert(b.getAs[Double]("bid_value") == 1999999.99)
+    val inv = routed("nc_invitation_to_bid").collect()
+    assert(inv.length == 1)
+    val i = inv.head
+    assert(i.getAs[String]("state_header") == "STATE OF NORTH CAROLINA")
+    assert(i.getAs[String]("owner_header") == "DEPARTMENT OF TRANSPORTATION")
+    assert(i.getAs[String]("division") == "Division One")
+    assert(i.getAs[String]("contract_id") == "12089199")
+    assert(i.getAs[String]("proposal_description") ==
+      "Milling, Resurfacing, and Shoulder Reconstruction")
+    assert(i.getAs[java.sql.Date]("completion_date").toString == "2023-10-30")
+    assert(i.getAs[java.sql.Date]("letting_date").toString == "2023-05-03")
+    assert(routed("other").count() == 0)
+  }
+
   test("the five reference analytics run over the pipeline output") {
     val inv = InvoicePipeline.run(spark, root).cache()
     import InvoicePipeline.Analytics._

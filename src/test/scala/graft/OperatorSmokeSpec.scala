@@ -21,15 +21,18 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("approx sketches land within 5% of exact answers") {
-    val rows = operators.Relational.approxStats(spark, sf0001).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (ac, ec) = (r.getAs[Long]("approx_customers"),
-        r.getAs[Long]("exact_customers"))
+  test("approx sketches land within 5% of the exact (r13) answers") {
+    val approx = operators.Relational.approxStats(spark, sf0001).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("approx_customers"), r.getAs[Double]("approx_median")))
+      .toMap
+    val exact = operators.Relational.exactStats(spark, sf0001).collect()
+    assert(exact.nonEmpty && approx.size == exact.length)
+    exact.foreach { r =>
+      val (ac, am) = approx(r.getAs[String]("o_orderstatus"))
+      val ec = r.getAs[Long]("exact_customers")
+      val em = r.getAs[Double]("exact_median")
       assert(math.abs(ac - ec).toDouble / ec <= 0.05, s"HLL off: $ac vs $ec")
-      val (am, em) = (r.getAs[Double]("approx_median"),
-        r.getAs[Double]("exact_median"))
       assert(math.abs(am - em) / em <= 0.05, s"quantile off: $am vs $em")
     }
   }

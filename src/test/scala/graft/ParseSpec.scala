@@ -123,4 +123,35 @@ class ParseSpec extends SparkSpecBase {
     assert(r.getString(1) == "Craven")
     assert(r.getString(2) == "Work Barge")
   }
+
+  test("headerLine honours the first-N-lines bound; NC header scans") {
+    // STATE OF beyond line 15 must NOT be picked up
+    val deep = (1 to 16).map(i => s"filler line $i").mkString("\n") +
+      "\nSTATE OF NOWHERE"
+    val top = "noise\nSTATE OF NORTH CAROLINA\nDEPARTMENT OF TRANSPORTATION\nbody"
+    val r = Seq((top, deep)).toDF("a", "b").select(
+      Parse.ncStateHeader(col("a")), Parse.ncOwnerHeader(col("a")),
+      Parse.ncStateHeader(col("b"))).collect().head
+    assert(r.getString(0) == "STATE OF NORTH CAROLINA")
+    assert(r.getString(1) == "DEPARTMENT OF TRANSPORTATION")
+    assert(r.isNullAt(2), "bound not applied: matched beyond line 15")
+  }
+
+  test("monthNameDate parses any-case month-name dates, first match wins") {
+    val r = Seq(("Opening on MAY 3, 2023 and then June 9, 2024",
+        "Completion Date is October 30, 2023", "no date here"))
+      .toDF("a", "b", "c").select(
+        Parse.monthNameDate(col("a")),
+        Parse.monthNameDateAfter(col("b"), "Completion Date"),
+        Parse.monthNameDate(col("c"))).collect().head
+    assert(r.getDate(0).toString == "2023-05-03")
+    assert(r.getDate(1).toString == "2023-10-30")
+    assert(r.isNullAt(2))
+  }
+
+  test("standardizeColumns lowercases and trims column names") {
+    val df = Seq((1, "x")).toDF(" Company_ID ", "Invoice_Number")
+    assert(Parse.standardizeColumns(df).columns.toSeq ==
+      Seq("company_id", "invoice_number"))
+  }
 }

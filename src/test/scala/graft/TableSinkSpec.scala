@@ -22,6 +22,31 @@ class TableSinkSpec extends SparkSpecBase {
       Tables.documents(spark, sf0001).filter("lang = 'en'").count())
   }
 
+  test("appendIfAbsent: re-running the same batch adds zero rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-merge").toString + "/invoices"
+    // two invoices, one with two line items (same key tuple)
+    val batch1 = Seq(
+      (1, "INV-1", "2023-05-01", "item a", 10.0),
+      (1, "INV-1", "2023-05-01", "item b", 20.0),
+      (1, "INV-2", "2023-05-02", "item c", 30.0))
+      .toDF("company_id", "invoice_number", "invoice_date", "description", "total")
+    assert(TableSink.appendIfAbsent(batch1, out) == 3) // first load: all rows
+    assert(TableSink.appendIfAbsent(batch1, out) == 0) // re-run: idempotent
+    assert(spark.read.parquet(out).count() == 3)
+    // a later batch with one known + one new invoice loads only the new
+    // one, keeping ALL its line items
+    val batch2 = Seq(
+      (1, "INV-2", "2023-05-02", "item c", 30.0),   // duplicate key
+      (1, "INV-3", "2023-05-03", "item d", 40.0),
+      (1, "INV-3", "2023-05-03", "item e", 50.0))
+      .toDF("company_id", "invoice_number", "invoice_date", "description", "total")
+    assert(TableSink.appendIfAbsent(batch2, out) == 2)
+    assert(spark.read.parquet(out).count() == 5)
+    assert(spark.read.parquet(out)
+      .filter("invoice_number = 'INV-3'").count() == 2)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

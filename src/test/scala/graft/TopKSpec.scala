@@ -47,4 +47,28 @@ class TopKSpec extends SparkSpecBase {
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(out == Set((1, 10), (1, 20), (2, 5)))
   }
+
+  test("partial phase flush-on-cap never drops a qualifying row") {
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+    val s = session
+    import s.implicits._
+    // 10 interleaved keys × 10 rows each; cap of 3 keys forces many
+    // mid-partition flushes of the buffer map
+    val df = Seq.tabulate(100)(i => (i % 10, i)).toDF("k", "v").coalesce(1)
+    val child = df.queryExecution.executedPlan
+    val out = child.output
+    val partial = graft.plans.TopKPerKeyExec(
+      Seq(out(0)), Seq(SortOrder(out(1), Descending)), 2,
+      partial = true, child, flushKeys = 3)
+    val rows = partial.execute().map(r => (r.getInt(0), r.getInt(1))).collect()
+    // flushing may forward extra per-segment rows (final phase trims),
+    // but the true global top-2 of every key must survive
+    val byKey = rows.groupBy(_._1)
+    (0 until 10).foreach { k =>
+      val got = byKey(k).map(_._2).toSet
+      assert(got.contains(k + 90) && got.contains(k + 80),
+        s"key $k lost a top row: $got")
+    }
+    assert(rows.length <= 100)
+  }
 }
