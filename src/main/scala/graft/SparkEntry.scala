@@ -38,6 +38,7 @@ object SparkEntry {
     "p14_receipt_lines" -> (ParseOps.receiptLinesQ _),
     "p15_nc_item_c" -> (ParseOps.ncItemCQ _),
     "p16_nc_invitation_to_bid" -> (ParseOps.ncInvitationQ _),
+    "p17_nc_award_letter" -> (ParseOps.ncAwardLetterQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d05_embedding_dup" -> (Dedup.embeddingDup _),
     "d06_fuzzy_match" -> (Dedup.fuzzyMatch _),
+    "d07_dup_clusters" -> (Dedup.dupClusters _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -74,6 +76,7 @@ object SparkEntry {
     "t06_validation_gate" -> (TextOps.validationGate _),
     "t07_vocabulary" -> (TextOps.vocabulary _),
     "t08_pii_redact" -> (TextOps.piiRedact _),
+    "t09_tfidf" -> (TextOps.tfidf _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> (Multimodal.extractFeatures _),
@@ -96,7 +99,11 @@ object SparkEntry {
     (758392013L, 86028121L), (482917367L, 122949829L), (918273645L, 13L),
     (573829167L, 3571L))
 
-  private def minhashLshSql: String = {
+  /** Shared CTE chain: documents → shingles → minhash sigs → band
+    * buckets → candidate pairs. `matchesExpr` counts agreeing
+    * signature positions between sides sa/sb.
+    */
+  private def minhashCtes: String = {
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min((h*$a+$b)%4294967311) AS m$i"
     }.mkString(", ")
@@ -105,20 +112,43 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $j AS band, md5($ks) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    val matches = (0 until 16)
-      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, $docTokens AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $docTokens AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
 sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
 bands AS ($bands),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-SELECT c.doc_a, c.doc_b, round(($matches) / 16.0, 4) AS est_sim
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
+  private def matchesExpr: String = (0 until 16)
+    .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  private def minhashLshSql: String =
+    s"""WITH $minhashCtes
+SELECT c.doc_a, c.doc_b, round(($matchesExpr) / 16.0, 4) AS est_sim
 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
 ORDER BY 1, 2"""
-  }
+
+  /** d07: min-doc_id connected components over est_sim ≥ 0.5 pairs
+    * (= ≥ 8 of 16 matching minhashes, integer-exact), via a recursive
+    * transitive-closure CTE.
+    */
+  private def dupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+sims AS (SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE ($matchesExpr) >= 8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM sims
+  UNION ALL SELECT doc_b, doc_a FROM sims),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id"""
 
   private def simhashSql: String = {
     val bitSums = (0 until 32).map { j =>
@@ -297,6 +327,18 @@ FROM x ORDER BY o_orderkey, vendor_name""",
   CAST(o_orderdate AS DATE) + 365 AS completion_date,
   CAST(o_orderdate AS DATE) AS letting_date
 FROM orders ORDER BY o_orderkey""",
+    "p17_nc_award_letter" ->
+      """SELECT o_orderkey,
+  'STATE OF NORTH CAROLINA' AS state_header,
+  'DEPARTMENT OF TRANSPORTATION' AS owner_header,
+  'DA' || lpad(CAST(o_orderkey AS VARCHAR), 5, '0') AS contract_id,
+  'STATE FUNDED' AS project_number,
+  'Craven' AS county,
+  o_orderpriority AS description,
+  'VENDOR ' || CAST(o_custkey AS VARCHAR) AS vendor,
+  CAST(o_orderdate AS DATE) AS letting_date,
+  floor(o_totalprice * 100) / 100.0 AS award_value
+FROM orders ORDER BY o_orderkey""",
     "r13_exact_stats" ->
       """SELECT o_orderstatus,
   count(DISTINCT o_custkey) AS exact_customers,
@@ -405,6 +447,7 @@ FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 3
 ORDER BY key_a, key_b""",
     "d02_minhash_lsh" -> minhashLshSql,
+    "d07_dup_clusters" -> dupClustersSql,
     "d03_simhash" -> simhashSql,
     "d04_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -527,6 +570,20 @@ FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 50""",
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
     '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted_text
 FROM customer ORDER BY c_custkey""",
+    "t09_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    CAST(floor(tf.tf * (n.n_docs + 1) * 10000 / (df.df + 1)) AS BIGINT) AS score_bp
+  FROM tf JOIN df USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score_bp DESC, token) AS rn FROM sc)
+SELECT doc_id, CAST(rn AS INT) AS rn, token, tf, df, score_bp
+FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
     "t05_ngram_profile" ->
       """WITH n AS (SELECT lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
 g AS (SELECT lang, unnest(list_transform(range(1, len(t)-1), i -> substr(t, CAST(i AS INT), 3))) AS gram

@@ -246,6 +246,73 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** d07 — duplicate CLUSTERING: near-dup pairs (d02 MinHash-LSH,
+    * est_sim ≥ 0.5) define an undirected graph; every document gets
+    * `cluster_id` = the smallest doc_id in its connected component
+    * (the canonical keeper a dedup pass retains). Pregel-style
+    * min-label propagation: each iteration is one join + one
+    * aggregation, both key-equality shuffles; iterations = component
+    * diameter (tiny for dup clusters — dups of the same content link
+    * densely). The per-iteration convergence check is an aggregate
+    * (count of changed labels), not a data collect; intermediate
+    * labels are cached so lineage stays one iteration deep. The
+    * oracle replays it with a recursive transitive-closure CTE.
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    // est_sim is an exact multiple of 1/16, so >= 0.5 is float-safe
+    val sims = minhashLsh(s, dir).filter(col("est_sim") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    // localCheckpoint (not cache) on everything the loop re-references:
+    // an iterative self-referencing plan re-inlines the whole upstream
+    // pipeline on every use (measured: 160 FileScans / 1.1 MB plan per
+    // iteration with cache()); checkpointing physically truncates the
+    // lineage so each iteration plans only its own two tiny joins. On
+    // a cluster this would be a reliable checkpoint dir; local mode
+    // stores the (few-KB) RDD in executor memory.
+    val edges = sims
+      .union(sims.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    // propagate only over documents that have at least one edge — the
+    // overwhelming singleton majority never changes label and joins
+    // back after convergence, so each iteration touches only the
+    // (small) paired subset
+    val paired = edges.select(col("doc_a").as("doc_id")).distinct()
+      .localCheckpoint()
+    var labels = paired.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      // (1) neighbor propagation: min label over incident edges
+      val msgs = edges.join(labels, col("doc_a") === col("doc_id"))
+        .groupBy(col("doc_b")).agg(min(col("cluster_id")).as("cand"))
+      val prop = labels.join(msgs, labels("doc_id") === msgs("doc_b"), "left")
+        .select(labels("doc_id"),
+          least(labels("cluster_id"),
+            coalesce(col("cand"), labels("cluster_id"))).as("cluster_id"))
+      // (2) path halving (pointer jumping): also adopt the label of
+      // your current label — collapses chains in O(log diameter)
+      // rounds instead of O(diameter)
+      val parents = prop
+        .select(col("doc_id").as("pid"), col("cluster_id").as("pcl"))
+      val upd = prop.join(parents, col("cluster_id") === col("pid"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("pcl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      // labels only ever decrease — strict < detects any change
+      converged = upd
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") < col("old")).limit(1).count() == 0
+      labels = upd
+      iter += 1
+    }
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(paired, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.union(singletons).orderBy(col("doc_id"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

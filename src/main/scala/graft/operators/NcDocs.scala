@@ -79,4 +79,28 @@ object NcDocs {
   def parseInvitation(df: DataFrame, docCol: String,
       keyCols: Seq[String]): DataFrame =
     df.select(keyCols.map(col) ++ invitationFields(col(docCol)): _*)
+
+  /** Award Letter fields (parse_utils.py:832-940
+    * `parse_nc_award_letter`): Contract No. / Federal Aid No. /
+    * County / Description label lines, the "inform you that <vendor>
+    * has been" prose scan, "bid submitted on <date>", and the
+    * "amount … $N.NN" award value.
+    */
+  def awardLetterFields(doc: Column): Seq[Column] = Seq(
+    Parse.ncStateHeader(doc).as("state_header"),
+    Parse.ncOwnerHeader(doc).as("owner_header"),
+    Parse.labelValue(doc, "Contract No\\.").as("contract_id"),
+    Parse.labelValue(doc, "Federal Aid No\\.").as("project_number"),
+    Parse.labelValue(doc, "County").as("county"),
+    Parse.labelValue(doc, "Description").as("description"),
+    trim(regexp_extract(doc, "(?is)inform you that\\s+(.+?)\\s+has been", 1))
+      .as("vendor"),
+    Parse.monthNameDateAfter(doc, "bid submitted on").as("letting_date"),
+    Parse.parseFloat(regexp_extract(doc,
+      "(?is)amount\\b.*?\\$?\\s*([\\d,]+\\.\\d{2})", 1)).as("award_value"))
+
+  /** Award Letter over whole documents — one row per document. */
+  def parseAwardLetter(df: DataFrame, docCol: String,
+      keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) ++ awardLetterFields(col(docCol)): _*)
 }

@@ -332,6 +332,41 @@ object ParseOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** p17 — NC 'Notification of Award' letter parsing
+    * (parse_utils.py:832-940 `parse_nc_award_letter`): label:value
+    * header block plus three prose scans (awarded vendor, bid
+    * submission date, award amount) — one row per letter. With p12
+    * (bids-as-read), p13 (bid tabs), p15 (Item C) and p16
+    * (invitation), all five routed NC doc types now have a dedicated
+    * parser.
+    */
+  def ncAwardLetterQ(s: SparkSession, dir: String): DataFrame = {
+    def centsStr(x: Column) = {
+      val c = floor(x * 100).cast("long")
+      concat((c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    }
+    val key5 = lpad(col("o_orderkey").cast("string"), 5, "0")
+    val lettingStr = date_format(col("o_orderdate"), "MMMM d, yyyy")
+    val doc = concat_ws("\n",
+      lit("STATE OF NORTH CAROLINA"),
+      lit("DEPARTMENT OF TRANSPORTATION"),
+      lit("NOTIFICATION OF AWARD"),
+      concat(lit("Contract No. DA"), key5),
+      lit("Federal Aid No.: STATE FUNDED"),
+      lit("County: Craven"),
+      concat(lit("Description: "), col("o_orderpriority")),
+      concat(lit("We are pleased to inform you that VENDOR "),
+        col("o_custkey").cast("string"),
+        lit(" has been awarded this contract")),
+      concat(lit("based on the bid submitted on "), lettingStr,
+        lit(" in the amount of $"), centsStr(col("o_totalprice"))))
+    NcDocs.parseAwardLetter(
+        Tables.orders(s, dir).select(col("o_orderkey"), doc.as("doc")),
+        "doc", Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
     * other NC parsers): multi-line label blocks round-tripped.
     */

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents table (SURVEY.md §2.6).
@@ -76,6 +77,40 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(50)
+  }
+
+  /** t09 — per-document top-3 salient terms by TF-IDF. The idf factor
+    * is the rational surrogate (N+1)/(df+1) instead of its log —
+    * order-equivalent per fixed df, and integer-exact across engines
+    * (a natural log's last-ulp may differ between libm builds, which
+    * would flip floor() hashes; swapping `ln` back in is a one-line
+    * change when cross-engine bit-equality is not required). Ranking
+    * runs through the bounded TopKPerKey operator: only 3 rows per
+    * doc per partition reach the shuffle — at 100 TB the tf table is
+    * corpus-sized and the full row_number sort is the cost to avoid.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      // exact in double: numerator < 2^53, quotient ulp ≪ 1/(df+1)
+      .withColumn("score_bp",
+        floor(col("tf") * (col("n_docs") + 1) * 10000 / (col("df") + 1))
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_bp").desc, col("token"))
+    graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+        Seq(col("score_bp").desc, col("token").asc), 3)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+        col("score_bp"))
+      .orderBy(col("doc_id"), col("rn"))
   }
 
   /** t08 — PII redaction: scrub emails and phone-like numbers from

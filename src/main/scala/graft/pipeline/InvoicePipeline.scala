@@ -134,8 +134,11 @@ object InvoicePipeline {
       "nc_invitation_to_bid" -> graft.operators.NcDocs.parseInvitation(
         docs.filter(col("doc_type") === "nc_invitation_to_bid"),
         "text", Seq("path", "file_name")),
+      "nc_award_letter" -> graft.operators.NcDocs.parseAwardLetter(
+        docs.filter(col("doc_type") === "nc_award_letter"),
+        "text", Seq("path", "file_name")),
       "other" -> docs.filter(!col("doc_type")
-        .isin("nc_item_c", "nc_invitation_to_bid", "invoice"))
+        .isin("nc_item_c", "nc_invitation_to_bid", "nc_award_letter", "invoice"))
         .select(col("path"), col("file_name"), col("doc_type"),
           col("text").as("raw_text")))
   }

@@ -66,6 +66,58 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     }
 }
 
+/** Catalyst optimizer rule: the ubiquitous top-N-per-group idiom
+  *
+  *   df.withColumn("rn", row_number().over(W.partitionBy(k).orderBy(o)))
+  *     .filter($"rn" <= n)
+  *
+  * shuffles and FULLY SORTS every row before discarding all but n per
+  * key. This rule inserts the bounded TopKPerKey operator beneath the
+  * Window, so only ≤n rows per key per partition reach the shuffle and
+  * the sort runs over the survivors; the Window then computes rn over
+  * ≤n rows per key and the Filter is unchanged. Output-identical
+  * whenever the window order is deterministic (with order ties,
+  * row_number itself is nondeterministic and any valid answer was
+  * already acceptable). Fires only on a single row_number window
+  * expression with a non-empty ORDER BY.
+  */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+
+  /** cond must be a bare `rn <= lit` / `rn < lit` / `lit >= rn` /
+    * `lit > rn` / `rn = 1` on the row_number attribute.
+    */
+  private def limitFromCond(cond: Expression, rnId: ExprId): Option[Int] = {
+    def isRn(e: Expression) = e match {
+      case a: AttributeReference => a.exprId == rnId
+      case _ => false
+    }
+    cond match {
+      case LessThanOrEqual(a, Literal(v: Int, _)) if isRn(a) => Some(v)
+      case LessThan(a, Literal(v: Int, _)) if isRn(a) => Some(v - 1)
+      case GreaterThanOrEqual(Literal(v: Int, _), a) if isRn(a) => Some(v)
+      case GreaterThan(Literal(v: Int, _), a) if isRn(a) => Some(v - 1)
+      case EqualTo(a, Literal(1, _)) if isRn(a) => Some(1)
+      case EqualTo(Literal(1, _), a) if isRn(a) => Some(1)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partitionSpec, orderSpec, child, _))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          !child.isInstanceOf[TopKPerKey] =>
+      limitFromCond(cond, alias.exprId) match {
+        case Some(k) if k > 0 =>
+          f.copy(child = w.copy(child =
+            TopKPerKey(partitionSpec, orderSpec, k, child)))
+        case _ => f
+      }
+  }
+}
+
 /** SparkSessionExtensions entry point: registers the optimizer rule
   * and a `graft_dot(a, b)` SQL function. Activate with
   * `.withExtensions(GraftExtensions)` or
@@ -74,6 +126,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
@@ -89,6 +142,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteWindowTopK
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

@@ -104,6 +104,18 @@ class DedupSpec extends SparkSpecBase {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("d07 clusters connect exact+near dups transitively; singletons keep own id") {
+    val rows = operators.Dedup.dupClusters(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toMap
+    assert(rows.size == 5)
+    // docs 0,1,2 (exact/ws dups) and 3 (near dup, est_sim>0.5) collapse
+    // into the min-id cluster 0 — transitivity through shared pairs
+    assert(rows(0L) == 0L && rows(1L) == 0L && rows(2L) == 0L && rows(3L) == 0L)
+    // the unrelated doc stays its own cluster
+    assert(rows(4L) == 4L)
+  }
+
   test("simhash hamming distance: dups at 0, near-dups small, unrelated apart") {
     val pairs = operators.Dedup.simhash(spark, dir)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

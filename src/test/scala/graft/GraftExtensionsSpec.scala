@@ -20,6 +20,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     GraftExtensions.install(s)
     s
   }
+  private val sf0001 = "/root/testdata/sf0.001"
 
   test("optimizer rewrites HOF dot to FloatVecDot, same results") {
     import spark.implicits._
@@ -55,5 +56,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("vecs")
     val r = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").collect()
     assert(r.head.getDouble(0) == 11.0)
+  }
+
+  test("row_number window + rn<=k filter is rewritten to TopKPerKey") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf0001)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n${plan.take(1500)}")
+    // results identical to the unrewritten formulation (deterministic
+    // tie-break, so exact equality is required, not just "a valid rn")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expectedCount = orders.groupBy("o_custkey").count()
+      .agg(sum(least(col("count"), lit(3)))).collect().head.getLong(0)
+    assert(got.size == expectedCount)
+    // spot-check: every customer's rn=1 row is its max-price order
+    // (min orderkey on price ties, matching the window's tie-break)
+    val top1 = got.filter(_._2 == 1).map(t => (t._1, t._3)).toMap
+    val expTop1 = orders.groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice").as("p"),
+        (col("o_orderkey") * -1).as("nk"))).as("m"))
+      .select(col("o_custkey"), (col("m.nk") * -1).as("k1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1 == expTop1)
+  }
+
+  test("rewrite leaves non-row_number windows and unfiltered windows alone") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf0001)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    // rank() is not row_number: no rewrite
+    val ranked = orders.withColumn("r", rank().over(w)).filter(col("r") <= 2)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // row_number without a bounding filter: no rewrite
+    val unfiltered = orders.withColumn("rn", row_number().over(w))
+    assert(!unfiltered.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 }
