@@ -22,6 +22,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same optimizer for every query regardless of map order
+    graft.plans.GraftExtensions.install(spark)
     // warm the JVM/codegen/parquet-footer caches so per-query numbers
     // measure data work, not first-query JIT latency
     try {

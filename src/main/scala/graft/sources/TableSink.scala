@@ -27,6 +27,30 @@ object TableSink {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Idempotent re-runs of appendIfAbsent
+    * and streaming micro-batches accumulate small files; at 100 TB
+    * the file count (not the byte count) is what kills scan planning
+    * and shuffle fan-in, so periodic compaction is part of the sink's
+    * contract. Sizing uses the directory's on-disk footprint; the
+    * rewrite is a single repartition (round-robin — no skew) through
+    * a temp dir so a crash never leaves the table half-compacted.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    nFiles
+  }
+
   /** Idempotent load: append only rows whose key tuple is absent from
     * the existing table — the reference's pre-insert
     * `invoice_exists(company_id, invoice_number, invoice_date)` check

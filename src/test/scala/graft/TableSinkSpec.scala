@@ -47,6 +47,23 @@ class TableSinkSpec extends SparkSpecBase {
       .filter("invoice_number = 'INV-3'").count() == 2)
   }
 
+  test("compact collapses many small files into few, preserving rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 20 tiny appends → ≥20 small files
+    (1 to 20).foreach { i =>
+      Seq((i, s"row$i")).toDF("id", "v")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+    }
+    def parquetFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 20)
+    val before = spark.read.parquet(out).collect().toSet
+    TableSink.compact(spark, out, targetBytes = 1L << 30) // everything → 1 file
+    assert(parquetFiles == 1, s"expected 1 file, got $parquetFiles")
+    assert(spark.read.parquet(out).collect().toSet == before)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
