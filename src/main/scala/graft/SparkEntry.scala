@@ -67,6 +67,7 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
     "s03_ann_ivf" -> (Similarity.annIvf _),
+    "s04_hybrid_search" -> (Similarity.hybridSearch _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -77,6 +78,8 @@ object SparkEntry {
     "t07_vocabulary" -> (TextOps.vocabulary _),
     "t08_pii_redact" -> (TextOps.piiRedact _),
     "t09_tfidf" -> (TextOps.tfidf _),
+    "t10_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
+    "t11_stratified_sample" -> (TextOps.stratifiedSample _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> (Multimodal.extractFeatures _),
@@ -532,6 +535,45 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    "s04_hybrid_search" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+q AS (SELECT doc_id AS query_id, shingle FROM shr WHERE doc_id % 10 = 0),
+cand AS (SELECT DISTINCT q.query_id, shr.doc_id FROM shr JOIN q USING (shingle)
+  WHERE shr.doc_id <> q.query_id),
+e AS (SELECT vec_id, embedding FROM embeddings),
+sc AS (SELECT c.query_id, c.doc_id,
+    list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id JOIN e ec ON ec.vec_id = c.doc_id),
+r AS (SELECT query_id, doc_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+  FROM sc)
+SELECT query_id, CAST(rn AS INT) AS rn, doc_id AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    "t10_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+  FROM d)
+SELECT doc_id, lang, n_tokens,
+  CAST(floor(prev_cum / 512.0) AS BIGINT) AS bin_id,
+  CAST(prev_cum % 512 AS BIGINT) AS bin_offset
+FROM c ORDER BY lang, doc_id""",
+    "t11_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+    CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
+         WHEN lang = 'es' THEN 25 ELSE 10 END AS keep_pct
+  FROM documents)
+SELECT doc_id, lang, bucket, CAST(keep_pct AS INT) AS keep_pct
+FROM d WHERE bucket < keep_pct ORDER BY doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -72,6 +72,46 @@ object Similarity {
     rankTopK(s, scored, 3)
   }
 
+  /** s04 — hybrid retrieval: a lexical recall stage (documents
+    * sharing ≥1 rare 3-token shingle with the query, df ≤ 1000 — the
+    * same stop-shingle cap d04 uses, so candidate generation is a
+    * key-equality join that stays ~linear) followed by an embedding
+    * cosine rerank, top-3 per query through TopKPerKey. This is the
+    * keyword-prefilter → vector-rerank shape of a production retrieval
+    * pipeline: the lexical stage bounds the vector work to candidates
+    * instead of the whole corpus. Queries: every 10th document.
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val sh = Dedup.shingles(s, dir)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select(col("shingle"))
+    val shr = sh.join(rare, "shingle")
+    val q = shr.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val cand = shr.join(q, Seq("shingle"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"))
+    val qe = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("nrm").as("qnrm"))
+    val ce = e.select(col("vec_id").as("doc_id"), col("embedding").as("dv"),
+      col("nrm").as("dnrm"))
+    val scored = cand.join(broadcast(qe), "query_id").join(ce, "doc_id")
+      .withColumn("cos",
+        Vector.dot(col("qv"), col("dv")) / (col("qnrm") * col("dnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("doc_id").asc), 3)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("doc_id").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s03 — IVF-style ANN (coarse quantization) with REAL centroids:
     * the 10 per-label mean vectors (VectorAgg.centroidVectors — the
     * un-exploded m04 aggregate, components floored to milli-units so

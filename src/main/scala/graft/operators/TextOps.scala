@@ -113,6 +113,50 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** t10 — context-window sequence packing: documents stream into
+    * fixed `capacity`-token windows (concat-then-split packing, the
+    * standard pretraining batcher). Within each language shard, docs
+    * are laid out in doc_id order by a running token cumsum; a doc's
+    * window is floor(prev_cum / capacity) and its offset is
+    * prev_cum % capacity (docs may straddle windows, exactly like a
+    * packed token stream). One window pass per shard — at 100 TB the
+    * shard key is what bounds the sort, and shards pack
+    * independently on their own executors.
+    */
+  def sequencePack(s: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("prev_cum",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("prev_cum") / capacity).cast("long").as("bin_id"),
+        (col("prev_cum") % capacity).as("bin_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** t11 — deterministic stratified sampling: per-language keep rates
+    * applied via an md5 hash bucket of the doc id (bucket = first 8
+    * md5 hex digits mod 100). Hash-based Bernoulli sampling is THE
+    * scalable sampling primitive: no global count, no shuffle, same
+    * sample on every engine and every re-run, and rates are tunable
+    * per stratum — the data-mixing step of a training pipeline.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L))
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 25)
+      .when(col("lang") === "es", 25)
+      .otherwise(10)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        rate.as("keep_pct"))
+      .filter(col("bucket") < col("keep_pct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
     * synthetic) — the redaction pass every training pipeline runs
