@@ -73,6 +73,62 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("monthNameDate round-trips random dates in upper/lower/title case") {
+    val dates = (0 until 100).map { _ =>
+      Date.valueOf(f"${1940 + rnd.nextInt(91)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d")
+    }
+    val df = dates.map(Tuple1(_)).toDF("d")
+    Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      upper _, lower _, identity _).foreach { caseFn =>
+      val out = df.select(
+        Parse.monthNameDate(concat(lit("due by "),
+          caseFn(date_format(col("d"), "MMMM d, yyyy")), lit(" sharp"))).as("p"),
+        col("d")).collect()
+      assert(out.forall(r => r.getDate(0) == r.getDate(1)))
+    }
+  }
+
+  test("sequence packing invariant: offsets stay within capacity and chain") {
+    val rows = operators.TextOps.sequencePack(spark, sf0001, capacity = 512)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("bin_offset")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      val sorted = shard.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, bin, off) =>
+        assert(bin == cum / 512 && off == cum % 512)
+        cum += n
+      }
+    }
+  }
+
+  test("stratified sample rates land near their targets") {
+    val docs = Tables.documents(spark, sf0001)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = operators.TextOps.stratifiedSample(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("en" -> 0.50, "de" -> 0.25, "es" -> 0.25)
+    want.foreach { case (lang, rate) =>
+      val total = byLang.getOrElse(lang, 0L)
+      if (total >= 50) {
+        val got = sampled.getOrElse(lang, 0L).toDouble / total
+        // md5 buckets are uniform; allow generous sampling noise
+        assert(math.abs(got - rate) < 0.15, s"$lang: got $got want $rate")
+      }
+    }
+    // determinism: a second run is bit-identical
+    val again = operators.TextOps.stratifiedSample(spark, sf0001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val first = operators.TextOps.stratifiedSample(spark, sf0001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == first)
+  }
+
   test("cosine is symmetric and bounded") {
     val vecs = (0 until 50).map { _ =>
       (Array.fill(16)(rnd.nextFloat() * 20 - 10),
