@@ -87,4 +87,24 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("s04 hybrid search: every join is key-equality, rerank is TopKPerKey") {
+    val plan = operators.Similarity.hybridSearch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+  }
+
+  test("t10/t11 plans are single-scan (no join, no extra shuffle)") {
+    val packPlan = operators.TextOps.sequencePack(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!packPlan.contains("Join"), packPlan.take(1500))
+    val samplePlan = operators.TextOps.stratifiedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Join") && !samplePlan.contains("Window"),
+      samplePlan.take(1500))
+    // the sample filter runs at scan level: one stage, no aggregation
+    assert(!samplePlan.contains("HashAggregate"), samplePlan.take(1500))
+  }
 }
