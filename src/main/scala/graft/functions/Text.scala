@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Text-analysis combinators for the training-data-pipeline operators
   * (SURVEY.md §2.6). Pure Column expressions — codegen'd, scan-speed.
@@ -91,4 +92,13 @@ object Text {
       (t, i) => tokenHash(t) % lit(1000000007L) * i)
     aggregate(hashed, lit(0L), (acc, x) => (acc + x) % lit(1000000007L))
   }
+
+  /** Edit distance when ≤ k, else -1 — the native banded-DP kernel
+    * (LevenshteinAtMost): O(min(len)·k) with row-level early exit,
+    * vs the built-in levenshtein's full O(n·m) matrix. Use for
+    * threshold filters (entity blocking) where k is small.
+    */
+  def levAtMost(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(LevenshteinAtMost(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 }

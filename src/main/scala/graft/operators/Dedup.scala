@@ -194,8 +194,12 @@ object Dedup {
           floor(length(col("s_name")) / 4).cast("long") + d): _*)).as("blk"))
     a.join(b, Seq("blk"))
       .filter(col("key_a") < col("key_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") <= 3)
+      // banded-DP kernel: O(len·k) with early exit instead of the
+      // built-in levenshtein's full O(n·m) matrix — the per-pair cost
+      // is what multiplies by the candidate count at scale
+      .withColumn("edit_dist", graft.functions.Text.levAtMost(
+        col("name_a"), col("name_b"), 3))
+      .filter(col("edit_dist") =!= -1)
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
         col("edit_dist"))
       .orderBy(col("key_a"), col("key_b"))

@@ -129,6 +129,23 @@ class PropertySpec extends SparkSpecBase {
     assert(again == first)
   }
 
+  test("banded levAtMost agrees with full levenshtein on random pairs") {
+    val alpha = "abcde" // small alphabet → many near-misses
+    def word() = (0 until 1 + rnd.nextInt(12))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (0 until 400).map(_ => (word(), word()))
+    (0 to 4).foreach { k =>
+      val out = pairs.toDF("a", "b").select(
+        Text.levAtMost(col("a"), col("b"), k).as("banded"),
+        levenshtein(col("a"), col("b")).as("full")).collect()
+      out.foreach { r =>
+        val (banded, full) = (r.getInt(0), r.getInt(1))
+        if (full <= k) assert(banded == full, s"k=$k: $banded vs $full")
+        else assert(banded == -1, s"k=$k: expected -1, got $banded (full=$full)")
+      }
+    }
+  }
+
   test("cosine is symmetric and bounded") {
     val vecs = (0 until 50).map { _ =>
       (Array.fill(16)(rnd.nextFloat() * 20 - 10),
