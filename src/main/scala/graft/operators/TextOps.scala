@@ -143,18 +143,24 @@ object TextOps {
     * sample on every engine and every re-run, and rates are tunable
     * per stratum — the data-mixing step of a training pipeline.
     */
-  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    sampleTransform(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The stateless sampling transform itself — works unchanged on a
+    * streaming DataFrame (no window, no state), which is how a
+    * training pipeline samples an arriving corpus.
+    */
+  def sampleTransform(docs: DataFrame): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
       16, 10).cast("long"), lit(100L))
     val rate = when(col("lang") === "en", 50)
       .when(col("lang") === "de", 25)
       .when(col("lang") === "es", 25)
       .otherwise(10)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("lang"), bucket.as("bucket"),
         rate.as("keep_pct"))
       .filter(col("bucket") < col("keep_pct"))
-      .orderBy(col("doc_id"))
   }
 
   /** t08 — PII redaction: scrub emails and phone-like numbers from

@@ -79,6 +79,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stratified sampling transform runs unchanged on a document stream") {
+    val dir = Files.createTempDirectory("graft-sample-stream").toString
+    val docs = (0L until 200L).map(i =>
+      (i, s"text $i", Seq("en", "de", "es", "fr")((i % 4).toInt), "s", 6L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = operators.TextOps.sampleTransform(stream)
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sample_stream")
+        .collect().map(_.getLong(0)).toSet
+      val batch = operators.TextOps.sampleTransform(spark.read.parquet(dir))
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Per-query benchmark delta between two Bench JSON outputs.
+
+Usage: python3 tools/bench_diff.py old.json new.json [threshold_pct]
+Accepts either raw Bench output ({"metric":...,"queries":{...}}) or a
+driver BENCH_r{N}.json wrapper (falls back to parsing its "tail").
+Prints queries whose time changed more than threshold_pct (default 30)
+plus totals; new/removed queries are listed separately.
+"""
+import json, re, sys
+
+
+def load(path):
+    d = json.load(open(path))
+    if "queries" in d:
+        return d
+    if d.get("parsed"):
+        return d["parsed"]
+    m = re.search(r'\{"metric":.*\}', d.get("tail", ""))
+    if m:
+        return json.loads(m.group(0))
+    raise SystemExit(f"{path}: no bench JSON found")
+
+
+def main(old_path, new_path, thresh=30.0):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({len(oq)} -> {len(nq)} queries)")
+    moved = []
+    for k in common:
+        a, b = oq[k], nq[k]
+        if a <= 0 or b <= 0:
+            moved.append((float("inf"), k, a, b))
+            continue
+        pct = (b - a) / a * 100
+        if abs(pct) >= thresh:
+            moved.append((pct, k, a, b))
+    for pct, k, a, b in sorted(moved, key=lambda t: -abs(t[0])):
+        tag = "FAIL" if a <= 0 or b <= 0 else f"{pct:+.0f}%"
+        print(f"  {k}: {a:.2f}s -> {b:.2f}s  {tag}")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print("new: " + ", ".join(f"{k} ({nq[k]:.2f}s)" for k in added))
+    if removed:
+        print("removed: " + ", ".join(removed))
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 30.0
+    main(sys.argv[1], sys.argv[2], t)
