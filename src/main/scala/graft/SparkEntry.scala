@@ -555,17 +555,17 @@ SELECT query_id, CAST(rn AS INT) AS rn, doc_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
     "t10_sequence_pack" ->
-      """WITH d AS (SELECT doc_id, lang,
+      """WITH d AS (SELECT doc_id, lang, doc_id % 8 AS shard_id,
     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
   FROM documents),
-c AS (SELECT doc_id, lang, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+c AS (SELECT doc_id, lang, shard_id, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY lang, shard_id ORDER BY doc_id
       ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
   FROM d)
-SELECT doc_id, lang, n_tokens,
+SELECT doc_id, lang, CAST(shard_id AS BIGINT) AS shard_id, n_tokens,
   CAST(floor(prev_cum / 512.0) AS BIGINT) AS bin_id,
   CAST(prev_cum % 512 AS BIGINT) AS bin_offset
-FROM c ORDER BY lang, doc_id""",
+FROM c ORDER BY lang, shard_id, doc_id""",
     "t11_stratified_sample" ->
       """WITH d AS (SELECT doc_id, lang,
     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,

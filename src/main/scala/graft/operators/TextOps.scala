@@ -115,25 +115,33 @@ object TextOps {
 
   /** t10 — context-window sequence packing: documents stream into
     * fixed `capacity`-token windows (concat-then-split packing, the
-    * standard pretraining batcher). Within each language shard, docs
-    * are laid out in doc_id order by a running token cumsum; a doc's
-    * window is floor(prev_cum / capacity) and its offset is
-    * prev_cum % capacity (docs may straddle windows, exactly like a
-    * packed token stream). One window pass per shard — at 100 TB the
-    * shard key is what bounds the sort, and shards pack
-    * independently on their own executors.
+    * standard pretraining batcher). Docs are laid out in doc_id order
+    * by a running token cumsum within their shard; a doc's window is
+    * floor(prev_cum / capacity) and its offset is prev_cum % capacity
+    * (docs may straddle windows, exactly like a packed token stream).
+    *
+    * The shard key is (lang, doc_id % nShards), NOT just lang: a
+    * per-language window would cap parallelism at the language count
+    * and put the biggest language's entire sort on one executor.
+    * Sub-sharding by a deterministic doc_id bucket scales the sort
+    * width with the cluster (set nShards ∝ executors); packing order
+    * within a shard is still total and reproducible, and a window is
+    * globally identified by (lang, shard_id, bin_id).
     */
-  def sequencePack(s: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+  def sequencePack(s: SparkSession, dir: String, capacity: Int = 512,
+      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard_id"))
+      .orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard_id"),
         Text.tokenCountWs(col("text")).cast("long").as("n_tokens"))
       .withColumn("prev_cum",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("shard_id"), col("n_tokens"),
         floor(col("prev_cum") / capacity).cast("long").as("bin_id"),
         (col("prev_cum") % capacity).as("bin_offset"))
-      .orderBy(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("shard_id"), col("doc_id"))
   }
 
   /** t11 — deterministic stratified sampling: per-language keep rates

@@ -91,10 +91,11 @@ class PropertySpec extends SparkSpecBase {
   test("sequence packing invariant: offsets stay within capacity and chain") {
     val rows = operators.TextOps.sequencePack(spark, sf0001, capacity = 512)
       .collect()
-      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
-        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id"),
-        r.getAs[Long]("bin_offset")))
+      .map(r => ((r.getAs[String]("lang"), r.getAs[Long]("shard_id")),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))
     assert(rows.nonEmpty)
+    assert(rows.map(_._1._2).distinct.length > 1, "sub-sharding inactive")
     rows.groupBy(_._1).foreach { case (_, shard) =>
       val sorted = shard.sortBy(_._2)
       var cum = 0L
