@@ -112,6 +112,71 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s05 — product-quantization ANN: vectors are compressed to 4
+    * one-byte codes (nearest per-subspace centroid over 16-dim
+    * slices; codebooks = the label centroids restricted to each
+    * subspace — deterministic, oracle-replicable) and queries scan
+    * the CODES, not the vectors, ranking by asymmetric distance
+    * (|q_j|² + |c_j|² − 2·q_j·c_j summed over subspaces, fixed
+    * left-to-right association so both engines add in the same
+    * order). This is the memory-side scale path: at 100 TB the code
+    * table is 16× smaller than the float corpus and the per-candidate
+    * cost is 4 codebook lookups — the scan is embarrassingly parallel
+    * with no shuffle on the corpus. Top-3 per query via TopKPerKey.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val nSub = 4
+    val subLen = 16
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
+    val centJ = cent
+      .select(col("cid"), explode(array((0 until nSub).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("cv"), j * subLen + 1, subLen).as("scv"))): _*)).as("b"))
+      .select(col("b.j").as("j"), col("cid"), col("b.scv").as("scv"))
+    val subVec = e
+      .select(col("vec_id"), explode(array((0 until nSub).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.j").as("j"), col("b.sv").as("sv"))
+    // encode: argmin ||sv − scv||² ≡ argmin (|scv|² − 2·sv·scv)
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("cid"))
+    val codes = subVec.join(broadcast(centJ), "j")
+      .withColumn("d2", Vector.dot(col("scv"), col("scv"))
+        - lit(2.0) * Vector.dot(col("sv"), col("scv")))
+      .withColumn("rr", row_number().over(wEnc)).filter(col("rr") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("j") === 0, col("cid"))).as("code0"),
+        (1 until nSub).map(j =>
+          max(when(col("j") === j, col("cid"))).as(s"code$j")): _*)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id") +: (0 until nSub).map(j =>
+        slice(col("embedding"), j * subLen + 1, subLen).as(s"qv$j")): _*)
+    var scan = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+    (0 until nSub).foreach { j =>
+      val cj = centJ.filter(col("j") === j)
+        .select(col("cid").as(s"code$j"), col("scv").as(s"cv$j"))
+      scan = scan.join(broadcast(cj), s"code$j")
+    }
+    val adc = (0 until nSub).map { j =>
+      Vector.dot(col(s"qv$j"), col(s"qv$j")) +
+        Vector.dot(col(s"cv$j"), col(s"cv$j")) -
+        lit(2.0) * Vector.dot(col(s"qv$j"), col(s"cv$j"))
+    }.reduceLeft(_ + _)
+    val scored = scan.withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("vec_id").asc), 3)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        floor(col("adc") * 1000).cast("long").as("adc_milli"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s03 — IVF-style ANN (coarse quantization) with REAL centroids:
     * the 10 per-label mean vectors (VectorAgg.centroidVectors — the
     * un-exploded m04 aggregate, components floored to milli-units so
