@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+
+/** ANN quality contracts on a clusterable corpus. The driver's sf*
+  * embeddings are near-random (approximate recall on noise is
+  * meaningless), so these specs craft 3 tight clusters and assert the
+  * approximate methods recover the structure exact search finds:
+  * IVF/LSH recall vs brute force, and PQ's code-level cluster
+  * resolution.
+  */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** 3 well-separated centers × 40 members each; components bounded
+    * away from 0 so tiny perturbations can't flip coordinate signs.
+    * Queries (vec_id % 100 == 0) are ids 0 (cluster 0) and 100
+    * (cluster 2).
+    */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-sim").toString
+    val dim = 64
+    def center(c: Int): Array[Float] = Array.tabulate(dim) { i =>
+      val s = math.sin(c * 131.7 + i * 2.3)
+      (math.signum(s) * (0.2 + 0.8 * math.abs(s))).toFloat
+    }
+    val rows = (0 until 120).map { id =>
+      val c = id / 40
+      val base = center(c)
+      val v = base.zipWithIndex.map { case (x, i) =>
+        x + 0.001f * math.sin(id * 17.3 + i).toFloat
+      }
+      (id.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().filter(_.getAs[Int]("rn") <= 3)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  private def cluster(id: Long): Long = id / 40
+
+  test("brute-force ground truth: every neighbor is same-cluster") {
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    assert(bf.keySet == Set(0L, 100L))
+    bf.foreach { case (q, ns) =>
+      assert(ns.size == 3 && ns.forall(cluster(_) == cluster(q)), s"$q -> $ns")
+    }
+  }
+
+  test("s02 LSH recall: sign buckets keep the cluster together") {
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    val lsh = top3(operators.Similarity.annLsh(spark, dir))
+    bf.foreach { case (q, truth) =>
+      val got = lsh.getOrElse(q, Set.empty)
+      assert((got & truth).size >= 2, s"recall@3 < 2/3 for $q: $got vs $truth")
+    }
+  }
+
+  test("s03 IVF recall: probing the own-label cell recovers brute top-3") {
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    val ivf = top3(operators.Similarity.annIvf(spark, dir))
+    bf.foreach { case (q, truth) =>
+      val got = ivf.getOrElse(q, Set.empty)
+      assert((got & truth).size >= 2, s"recall@3 < 2/3 for $q: $got vs $truth")
+    }
+  }
+
+  test("s05 PQ codes resolve cluster membership") {
+    val pq = top3(operators.Similarity.annPq(spark, dir))
+    assert(pq.keySet == Set(0L, 100L))
+    // same-cluster members share all 4 codes, so ADC puts the whole
+    // own cluster ahead of any other — every retrieved neighbor must
+    // be same-cluster (within-cluster order legitimately differs from
+    // brute: identical codes tie and break by vec_id)
+    pq.foreach { case (q, ns) =>
+      assert(ns.size == 3 && ns.forall(cluster(_) == cluster(q)), s"$q -> $ns")
+    }
+  }
+}
