@@ -53,6 +53,8 @@ object SparkEntry {
     "r11_region_rollup" -> (Relational.regionRollup _),
     "r12_approx_stats" -> (Relational.approxStats _),
     "r13_exact_stats" -> (Relational.exactStats _),
+    "r14_table_diff" -> (Relational.tableDiff _),
+    "r15_cube" -> (Relational.cubeSummary _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -343,6 +345,32 @@ FROM orders ORDER BY o_orderkey""",
   CAST(o_orderdate AS DATE) AS letting_date,
   floor(o_totalprice * 100) / 100.0 AS award_value
 FROM orders ORDER BY o_orderkey""",
+    "r14_table_diff" ->
+      """WITH old AS (SELECT o_orderkey AS key, o_totalprice AS old_total FROM orders),
+kept AS (SELECT o_orderkey AS key,
+    CASE WHEN o_orderkey % 31 = 0 THEN (floor(o_totalprice * 100) + 1) / 100.0
+         ELSE o_totalprice END AS new_total
+  FROM orders WHERE o_orderkey % 97 <> 0),
+ins AS (SELECT o_orderkey + 10000000 AS key, o_totalprice AS new_total
+  FROM orders WHERE o_orderkey % 89 = 0),
+nw AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+j AS (SELECT coalesce(o.key, n.key) AS key, o.old_total, n.new_total
+  FROM old o FULL OUTER JOIN nw n ON o.key = n.key)
+SELECT key,
+  CASE WHEN old_total IS NULL THEN 'added'
+       WHEN new_total IS NULL THEN 'removed'
+       WHEN old_total <> new_total THEN 'changed' END AS status,
+  old_total, new_total
+FROM j
+WHERE old_total IS NULL OR new_total IS NULL OR old_total <> new_total
+ORDER BY key""",
+    "r15_cube" ->
+      """SELECT c_mktsegment, n_name, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE(c_mktsegment, n_name)
+ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""",
     "r13_exact_stats" ->
       """SELECT o_orderstatus,
   count(DISTINCT o_custkey) AS exact_customers,

@@ -205,6 +205,56 @@ object Relational {
       .orderBy(col("l_suppkey"))
   }
 
+  /** r14 — snapshot reconciliation: diff two versions of a keyed
+    * table via one full-outer join and classify every key as
+    * added / removed / changed (unchanged keys are dropped — they are
+    * the bulk and carry no information). The "new" snapshot is
+    * derived deterministically from orders (drops, mutations,
+    * inserts) so the oracle rebuilds both sides. At scale this is one
+    * co-partitioned join on the key — THE pattern for incremental
+    * load validation and CDC backfills.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val old = base.select(col("o_orderkey").as("key"),
+      col("o_totalprice").as("old_total"))
+    // new snapshot: drop %97 keys, bump %31 totals by one cent,
+    // insert fresh keys for %89
+    val kept = base.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 31 === 0,
+          (floor(col("o_totalprice") * 100) + 1) / 100.0)
+          .otherwise(col("o_totalprice")).as("new_total"))
+    val inserted = base.filter(col("o_orderkey") % 89 === 0)
+      .select((col("o_orderkey") + 10000000L).as("key"),
+        col("o_totalprice").as("new_total"))
+    val news = kept.union(inserted)
+    old.join(news, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_total").isNull, "added")
+          .when(col("new_total").isNull, "removed")
+          .when(col("old_total") =!= col("new_total"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("key"), col("status"), col("old_total"), col("new_total"))
+      .orderBy(col("key"))
+  }
+
+  /** r15 — cube aggregate: all four (segment × nation) grouping
+    * combinations in one pass — the OLAP companion of r05's rollup;
+    * grouping-set expansion happens map-side before the one shuffle.
+    */
+  def cubeSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)
+
   /** Full dimension-chain aggregate (orders → customer → nation →
     * region): every dim broadcast, one shuffle on r_name — exercises
     * the whole star schema including the region table.
