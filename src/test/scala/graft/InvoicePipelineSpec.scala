@@ -84,6 +84,17 @@ class InvoicePipelineSpec extends SparkSpecBase {
         |12089199 - Milling, Resurfacing, and Shoulder Reconstruction
         |The Completion Date for this Contract is October 30, 2023
         |Bid Opening will be held on MAY 3, 2023""".stripMargin)
+    Files.writeString(Paths.get(d, "DA00569 Award Letter.txt"),
+      """STATE OF NORTH CAROLINA
+        |DEPARTMENT OF TRANSPORTATION
+        |NOTIFICATION OF AWARD
+        |Contract No. DA00569
+        |Federal Aid No.: STATE FUNDED
+        |County: Craven
+        |Description: Work Barge Skyco Drydock
+        |We are pleased to inform you that BLYTHE CONSTRUCTION, INC.
+        |has been awarded this contract based on the bid submitted on
+        |May 3, 2023 in the amount of $1,862,371.25""".stripMargin)
     d
   }
 
@@ -114,6 +125,17 @@ class InvoicePipelineSpec extends SparkSpecBase {
       "Milling, Resurfacing, and Shoulder Reconstruction")
     assert(i.getAs[java.sql.Date]("completion_date").toString == "2023-10-30")
     assert(i.getAs[java.sql.Date]("letting_date").toString == "2023-05-03")
+    val award = routed("nc_award_letter").collect()
+    assert(award.length == 1)
+    val a = award.head
+    assert(a.getAs[String]("contract_id") == "DA00569")
+    assert(a.getAs[String]("project_number") == "STATE FUNDED")
+    assert(a.getAs[String]("county") == "Craven")
+    assert(a.getAs[String]("description") == "Work Barge Skyco Drydock")
+    // vendor prose spans a line break — the (?s) scan must cross it
+    assert(a.getAs[String]("vendor") == "BLYTHE CONSTRUCTION, INC.")
+    assert(a.getAs[java.sql.Date]("letting_date").toString == "2023-05-03")
+    assert(a.getAs[Double]("award_value") == 1862371.25)
     assert(routed("other").count() == 0)
   }
 
