@@ -15,25 +15,6 @@ object NcDocs {
 
   private val vendorLinePat = "^(.*?)\\s*([\\d,]+\\.\\d{2})$"
 
-  /** Item C scalar fields (parse_utils.py:1479-1718 `parse_nc_item_c`):
-    * bounded STATE OF/owner header scan, first month-name letting
-    * date, DA##### contract line, FED AID project number + next-line
-    * county, TYPE OF WORK / LOCATION labels, ESTIMATE money scan,
-    * FINAL COMPLETION date.
-    */
-  def itemCFields(doc: Column): Seq[Column] = Seq(
-    Parse.ncStateHeader(doc).as("state_header"),
-    Parse.ncOwnerHeader(doc).as("owner_header"),
-    Parse.monthNameDate(doc).as("letting_date"),
-    regexp_extract(doc, "(?m)^(DA\\d{5})$", 1).as("contract_id"),
-    Parse.labelValue(doc, "FED AID NO").as("project_number"),
-    regexp_extract(doc, "(?m)^FED AID NO[^\\n]*\\n([^\\n]+)", 1).as("county"),
-    Parse.labelValue(doc, "TYPE OF WORK").as("proposal_description"),
-    Parse.labelValue(doc, "LOCATION").as("location"),
-    Parse.parseFloat(regexp_extract(doc,
-      "ESTIMATE\\s+([\\d,]+\\.\\d{2})", 1)).as("owner_cost_estimate"),
-    Parse.monthNameDateAfter(doc, "FINAL COMPLETION").as("final_completion"))
-
   /** The "$ TOTALS" → "ESTIMATE TOTAL"/"LETTING TOTAL" vendor block
     * (parse_utils.py:1645-1674).
     */
@@ -44,11 +25,39 @@ object NcDocs {
   /** Item C over whole documents: `df` must carry `keyCols` and the
     * document text in `docCol`; emits one row per vendor bid with all
     * scalar fields repeated (the reference's record-per-vendor shape).
+    *
+    * A real Item C report carries MULTIPLE "DA#####" contract blocks
+    * per page (reference splits on the contract-id lines,
+    * parse_utils.py:1534-1543); the document is split the same way
+    * (zero-width lookahead before each DA line) and each block parses
+    * independently. Page-level fields (headers, letting date) come
+    * from the whole document, exactly as the reference does.
     */
   def parseItemC(df: DataFrame, docCol: String, keyCols: Seq[String]): DataFrame = {
     val doc = col(docCol)
-    df.select(keyCols.map(col) ++ itemCFields(doc) :+
-        explode(split(vendorSection(doc), "\n")).as("vl"): _*)
+    val pageFields = Seq(
+      Parse.ncStateHeader(doc).as("state_header"),
+      Parse.ncOwnerHeader(doc).as("owner_header"),
+      Parse.monthNameDate(doc).as("letting_date"))
+    val blockFields = Seq(
+      regexp_extract(col("blk"), "(?m)^(DA\\d{5})$", 1).as("contract_id"),
+      Parse.labelValue(col("blk"), "FED AID NO").as("project_number"),
+      regexp_extract(col("blk"), "(?m)^FED AID NO[^\\n]*\\n([^\\n]+)", 1)
+        .as("county"),
+      Parse.labelValue(col("blk"), "TYPE OF WORK").as("proposal_description"),
+      Parse.labelValue(col("blk"), "LOCATION").as("location"),
+      Parse.parseFloat(regexp_extract(col("blk"),
+        "ESTIMATE\\s+([\\d,]+\\.\\d{2})", 1)).as("owner_cost_estimate"),
+      Parse.monthNameDateAfter(col("blk"), "FINAL COMPLETION")
+        .as("final_completion"))
+    df.select(keyCols.map(col) ++ pageFields :+
+        // split into per-contract blocks at each DA##### line
+        explode(split(doc, "(?m)(?=^DA\\d{5}$)")).as("blk"): _*)
+      .filter(col("blk").rlike("(?m)^DA\\d{5}$"))
+      .select(keyCols.map(col) ++
+        Seq(col("state_header"), col("owner_header"), col("letting_date")) ++
+        blockFields :+
+        explode(split(vendorSection(col("blk")), "\n")).as("vl"): _*)
       .filter(regexp_extract(col("vl"), "[\\d,]+\\.\\d{2}", 0) =!= "")
       .withColumn("vendor_name", trim(regexp_extract(col("vl"), vendorLinePat, 1)))
       .withColumn("bid_value",

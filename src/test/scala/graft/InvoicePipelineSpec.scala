@@ -60,6 +60,7 @@ class InvoicePipelineSpec extends SparkSpecBase {
 
   private lazy val ncRoot: String = {
     val d = Files.createTempDirectory("graft-nc").toString
+    // TWO contract blocks on one page — the reference's real layout
     Files.writeString(Paths.get(d, "L230201A_Item C Report.txt"),
       """STATE OF NORTH CAROLINA
         |DEPARTMENT OF TRANSPORTATION
@@ -74,7 +75,17 @@ class InvoicePipelineSpec extends SparkSpecBase {
         |$ TOTALS
         |BLYTHE CONSTRUCTION, INC. 1,999,999.99
         |S T WOOTEN CORPORATION 2,111,000.50
-        |ESTIMATE TOTAL 1,234,567.89""".stripMargin)
+        |ESTIMATE TOTAL 1,234,567.89
+        |DA00565
+        |FED AID NO: STATE FUNDED
+        |Pasquotank
+        |TYPE OF WORK Bridge Rehabilitation
+        |LOCATION US 17 over Perquimans River
+        |ESTIMATE 500,000.00
+        |FINAL COMPLETION JUNE 1, 2025
+        |$ TOTALS
+        |BARNHILL CONTRACTING CO 450,100.10
+        |ESTIMATE TOTAL 500,000.00""".stripMargin)
     Files.writeString(Paths.get(d, "DA00542 Invitation to Bid.txt"),
       """STATE OF NORTH CAROLINA
         |DEPARTMENT OF TRANSPORTATION
@@ -101,7 +112,15 @@ class InvoicePipelineSpec extends SparkSpecBase {
   test("doc-type router parses reference-shaped Item C and Invitation docs") {
     val routed = InvoicePipeline.routeNcDocs(spark, ncRoot)
     val itemC = routed("nc_item_c").collect()
-    assert(itemC.length == 2) // one row per vendor bid
+    assert(itemC.length == 3) // 2 bids in block 1 + 1 bid in block 2
+    // the second DA block parses independently of the first
+    val b2 = itemC.find(_.getAs[String]("contract_id") == "DA00565").get
+    assert(b2.getAs[String]("project_number") == "STATE FUNDED")
+    assert(b2.getAs[String]("county") == "Pasquotank")
+    assert(b2.getAs[String]("vendor_name") == "BARNHILL CONTRACTING CO")
+    assert(b2.getAs[Double]("owner_cost_estimate") == 500000.00)
+    assert(b2.getAs[java.sql.Date]("final_completion").toString == "2025-06-01")
+    assert(b2.getAs[Double]("bid_value") == 450100.10)
     val b = itemC.find(_.getAs[String]("vendor_name")
       .startsWith("BLYTHE")).get
     assert(b.getAs[String]("contract_id") == "DA00564")
