@@ -88,6 +88,7 @@ object SparkEntry {
     "m02_blob_features" -> (Multimodal.extractFeatures _),
     "m03_frame_sample" -> (Multimodal.frameSample _),
     "m04_label_centroids" -> (VectorAgg.labelCentroids _),
+    "m05_modality_stats" -> (Multimodal.modalityStats _),
     "w03_session_window" -> (Relational.sessionWindow _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
@@ -760,6 +761,17 @@ SELECT user_id, min(ts) AS session_start,
   max(ts) + INTERVAL 30 MINUTE AS session_end,
   count(*) AS n_events, round(sum(value), 2) AS session_value
 FROM z GROUP BY user_id, session_id ORDER BY user_id, session_start""",
+    "m05_modality_stats" ->
+      """WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(length(text) AS BIGINT) AS byte_len
+  FROM documents)
+SELECT kind, count(*) AS n_blobs,
+  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+  min(byte_len) AS min_bytes, max(byte_len) AS max_bytes,
+  CAST(sum(CAST(ceil(byte_len / 16.0) AS BIGINT)) AS BIGINT) AS total_stripes
+FROM d GROUP BY kind ORDER BY kind""",
     "m01_binary_meta" ->
       """SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image'

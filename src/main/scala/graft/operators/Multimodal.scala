@@ -71,6 +71,21 @@ object Multimodal {
           .as("frame_hash"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** m05 — per-modality corpus statistics: the shard-planning query a
+    * multimodal pipeline runs before decode (how much of each
+    * modality, how big, how many stripes will the decoder see). One
+    * aggregate over blob metadata — byte math only, scan-speed.
+    */
+  def modalityStats(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(col("byte_len")).as("min_bytes"),
+        max(col("byte_len")).as("max_bytes"),
+        sum(ceil(col("byte_len") / 16.0).cast("long")).as("total_stripes"))
+      .orderBy(col("kind"))
+
   /** STUB decode/feature-extract: partition-wise batch op over the
     * typed Dataset — the shape a real decoder (pillow/ffmpeg via
     * Pandas UDF, or a JVM codec) plugs into. Features here are

@@ -89,4 +89,24 @@ object EventStream {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
+
+  /** Stream → idempotent keyed merge: every micro-batch lands through
+    * TableSink.appendIfAbsent, so re-delivered keys (source replays,
+    * checkpoint restarts, overlapping batches) never duplicate rows —
+    * the streaming version of the reference's pre-insert
+    * invoice_exists check. foreachBatch is exactly where a merge sink
+    * belongs in Structured Streaming: the batch DataFrame is bounded,
+    * so the anti-join against the table snapshot is well-defined.
+    */
+  def startMergeToParquet(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, keys: Seq[String]) =
+    readEventsStream(spark, inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.TableSink.appendIfAbsent(batch, outDir, keys)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }
