@@ -39,6 +39,7 @@ object SparkEntry {
     "p15_nc_item_c" -> (ParseOps.ncItemCQ _),
     "p16_nc_invitation_to_bid" -> (ParseOps.ncInvitationQ _),
     "p17_nc_award_letter" -> (ParseOps.ncAwardLetterQ _),
+    "p18_invoice_metadata" -> (ParseOps.invoiceMetadataQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -345,6 +346,17 @@ FROM orders ORDER BY o_orderkey""",
   'VENDOR ' || CAST(o_custkey AS VARCHAR) AS vendor,
   CAST(o_orderdate AS DATE) AS letting_date,
   floor(o_totalprice * 100) / 100.0 AS award_value
+FROM orders ORDER BY o_orderkey""",
+    "p18_invoice_metadata" ->
+      """SELECT o_orderkey,
+  'SUPPLIER ' || o_custkey || ' CORP 12 MAIN ST UNIT ' || o_custkey AS supplier_name,
+  CAST(o_custkey + 1000000000 AS VARCHAR) AS supplier_tin,
+  CAST(o_orderkey + 100000 AS VARCHAR) AS invoice_number,
+  CAST(o_orderdate AS DATE) AS invoice_date,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  CAST(o_orderkey % 3 * 2 + 4 AS DOUBLE) AS tax_label,
+  floor(o_totalprice * 100) / 100.0 AS subtotal_amount,
+  floor(o_totalprice * 1.06 * 100) / 100.0 AS total_amount
 FROM orders ORDER BY o_orderkey""",
     "r14_table_diff" ->
       """WITH old AS (SELECT o_orderkey AS key, o_totalprice AS old_total FROM orders),

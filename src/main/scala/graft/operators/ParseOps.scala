@@ -367,6 +367,47 @@ object ParseOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** p18 — the pipeline's per-file metadata extractor
+    * (InvoicePipeline.fileMetadata ← reference
+    * extract_invoice_metadata, parse_utils.py:172-296) under the
+    * oracle gate: one synthetic invoice document per order (supplier
+    * + address lines, TIN, TAX INVOICE #, dates, GST, Sub Total,
+    * TOTAL), exploded to (path, line_no, line) rows and run through
+    * the REAL fileMetadata aggregation — so the driver verifies the
+    * same code path the end-to-end pipeline uses.
+    */
+  def invoiceMetadataQ(s: SparkSession, dir: String): DataFrame = {
+    def centsStr(x: Column) = {
+      val c = floor(x * 100).cast("long")
+      concat((c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    }
+    val ck = col("o_custkey").cast("string")
+    val gst = (col("o_orderkey") % 3 * 2 + 4).cast("int").cast("string")
+    val docLines = array(
+      concat(lit("SUPPLIER "), ck, lit(" CORP")),
+      concat(lit("12 MAIN ST UNIT "), ck),
+      concat(lit("TIN: "), (col("o_custkey") + 1000000000L).cast("string")),
+      concat(lit("TAX INVOICE #"), (col("o_orderkey") + 100000).cast("string")),
+      concat(lit("Invoice Date: "), date_format(col("o_orderdate"), "MMM d, yyyy")),
+      concat(lit("Due Date: "), date_format(date_add(col("o_orderdate"), 30),
+        "yyyy-MM-dd")),
+      concat(lit("GST "), gst, lit("%")),
+      concat(lit("Sub Total "), centsStr(col("o_totalprice"))),
+      concat(lit("TOTAL "), centsStr(col("o_totalprice") * 1.06)))
+    val lines = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("string").as("path"),
+        col("o_orderkey").cast("string").as("file_name"),
+        lit("invoice").as("doc_type"),
+        posexplode(docLines).as(Seq("line_no", "line")))
+    graft.pipeline.InvoicePipeline.fileMetadata(lines)
+      .select(col("path").cast("long").as("o_orderkey"),
+        col("supplier_name"), col("supplier_tin"), col("invoice_number"),
+        col("invoice_date"), col("due_date"), col("tax_label"),
+        col("subtotal_amount"), col("total_amount"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
     * other NC parsers): multi-line label blocks round-tripped.
     */
