@@ -40,6 +40,7 @@ object SparkEntry {
     "p16_nc_invitation_to_bid" -> (ParseOps.ncInvitationQ _),
     "p17_nc_award_letter" -> (ParseOps.ncAwardLetterQ _),
     "p18_invoice_metadata" -> (ParseOps.invoiceMetadataQ _),
+    "p19_invoice_lines" -> (ParseOps.invoiceLinesQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -358,6 +359,12 @@ FROM orders ORDER BY o_orderkey""",
   floor(o_totalprice * 100) / 100.0 AS subtotal_amount,
   floor(o_totalprice * 1.06 * 100) / 100.0 AS total_amount
 FROM orders ORDER BY o_orderkey""",
+    "p19_invoice_lines" ->
+      """SELECT l_orderkey AS o_orderkey, l_linenumber, p_name AS description,
+  l_quantity AS qty, floor(l_extendedprice * 100) / 100.0 AS price,
+  floor(l_quantity * l_extendedprice * 100) / 100.0 AS total
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ORDER BY o_orderkey, l_linenumber""",
     "r14_table_diff" ->
       """WITH old AS (SELECT o_orderkey AS key, o_totalprice AS old_total FROM orders),
 kept AS (SELECT o_orderkey AS key,

@@ -408,6 +408,49 @@ object ParseOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** p19 — the pipeline's table-section extractor
+    * (InvoicePipeline.lineItems ← reference extract_table_section,
+    * parse_utils.py:299-308) under the oracle gate: per order, a
+    * synthetic document with preamble noise, the table header, one
+    * "N. desc - qty price total." line per lineitem, and the
+    * "Sub Total" terminator — run through the REAL lineItems
+    * window-state machine (rows outside header→SubTotal must be
+    * ignored, rows inside parse via Parse.invoiceLine).
+    */
+  def invoiceLinesQ(s: SparkSession, dir: String): DataFrame = {
+    def centsStr(x: Column) = {
+      val c = floor(x * 100).cast("long")
+      concat((c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    }
+    val orders = Tables.orders(s, dir)
+    val pre = orders.select(col("o_orderkey").cast("string").as("path"),
+      explode(array(
+        struct(lit(0).as("line_no"),
+          concat(lit("INVOICE FOR CUSTOMER "), col("o_custkey")).as("line")),
+        struct(lit(1).as("line_no"), lit("ID DESCRIPTION QTY PRICE TOTAL").as("line")),
+        struct(lit(1000).as("line_no"),
+          concat(lit("Sub Total "), centsStr(col("o_totalprice"))).as("line")),
+        struct(lit(1001).as("line_no"),
+          // after the terminator: must NOT parse as an item
+          lit("99. POISON ROW - 1 1.00 1.00.").as("line")))).as("x"))
+      .select(col("path"), col("x.line_no").as("line_no"), col("x.line").as("line"))
+    val items = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").cast("string").as("path"),
+        (col("l_linenumber") + 1).as("line_no"),
+        concat(col("l_linenumber").cast("string"), lit(". "), col("p_name"),
+          lit(" - "), col("l_quantity").cast("string"), lit(" "),
+          centsStr(col("l_extendedprice")), lit(" "),
+          centsStr(col("l_quantity") * col("l_extendedprice")), lit("."))
+          .as("line"))
+    graft.pipeline.InvoicePipeline.lineItems(pre.union(items))
+      .select(col("path").cast("long").as("o_orderkey"),
+        (col("line_no") - 1).cast("int").as("l_linenumber"),
+        col("description"), col("qty"), col("price"), col("total"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
   /** p10 — NC label:value extraction (parse_utils.py:853-877 and the
     * other NC parsers): multi-line label blocks round-tripped.
     */
