@@ -79,6 +79,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming top-k state converges to the batch top-k across batches") {
+    val in = Files.createTempDirectory("graft-topk-in").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode(SaveMode.Append).parquet(in)
+    // batch 1: user 1 has values 1..5; user 2 has 10
+    write((1 to 5).map(i => (i.toLong, ts(i), 1L, "click", i * 1.0, "{}")) :+
+      (10L, ts(10), 2L, "click", 10.0, "{}"))
+    val stream = graft.streaming.EventStream.readEventsStream(spark, in)
+    val q = graft.streaming.TopKStream.startToMemory(stream, "topk_stream", 3)
+    try {
+      q.processAllAvailable()
+      // batch 2: a new high value for user 1 must displace the old min
+      write(Seq((6L, ts(20), 1L, "click", 99.0, "{}")))
+      q.processAllAvailable()
+      // memory sink in update mode: take the LAST update per user
+      val latest = spark.table("topk_stream")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(latest(1L) == Seq(6L, 5L, 4L), s"got ${latest(1L)}")
+      assert(latest(2L) == Seq(10L))
+    } finally q.stop()
+  }
+
   test("foreachBatch merge sink never duplicates replayed keys") {
     val in = Files.createTempDirectory("graft-merge-in").toString
     val out = Files.createTempDirectory("graft-merge-out").toString + "/events"
