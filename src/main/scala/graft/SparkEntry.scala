@@ -784,7 +784,7 @@ FROM z GROUP BY user_id, session_id ORDER BY user_id, session_start""",
       """WITH d AS (SELECT doc_id,
     CASE WHEN doc_id % 3 = 0 THEN 'image'
          WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-    CAST(length(text) AS BIGINT) AS byte_len
+    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
   FROM documents)
 SELECT kind, count(*) AS n_blobs,
   CAST(sum(byte_len) AS BIGINT) AS total_bytes,

@@ -217,10 +217,21 @@ object Parse {
   def monthNameDateAfter(text: Column, marker: String): Column =
     monthNameDate(regexp_extract(text, "(?is)" + marker + "(.*)", 1))
 
+  /** Floor-cents money rendering ("1234.56") for synthesized
+    * documents: floor instead of round so both engines derive the
+    * identical string (SURVEY §6); one definition so the cents rule
+    * can't drift between the queries that share it.
+    */
+  def centsStr(x: Column): Column = {
+    val c = floor(x * 100).cast("long")
+    concat((c / 100).cast("long").cast("string"), lit("."),
+      lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+  }
+
   /** Lowercase + trim every column name — a schema (not data)
     * transform, so it is plan-only and free at any scale.
     * Reference: parse_utils.py:119-126 (`standardize_columns`).
     */
   def standardizeColumns(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.toDF(df.columns.map(_.trim.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.trim.toLowerCase): _*)
 }

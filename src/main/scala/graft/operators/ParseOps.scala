@@ -195,15 +195,10 @@ object ParseOps {
     * one-line→N-bidder-rows fan-out, fully in-engine.
     */
   def ncBidTabsQ(s: SparkSession, dir: String): DataFrame = {
-    def centsStr(x: Column) = {
-      val c = floor(x * 100).cast("long")
-      concat((c / 100).cast("long").cast("string"), lit("."),
-        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
-    }
-    val u1 = centsStr(col("l_extendedprice") / col("l_quantity"))
-    val a1 = centsStr(col("l_extendedprice"))
-    val u2 = centsStr(col("l_extendedprice") * 1.1 / col("l_quantity"))
-    val a2 = centsStr(col("l_extendedprice") * 1.1)
+    val u1 = Parse.centsStr(col("l_extendedprice") / col("l_quantity"))
+    val a1 = Parse.centsStr(col("l_extendedprice"))
+    val u2 = Parse.centsStr(col("l_extendedprice") * 1.1 / col("l_quantity"))
+    val a2 = Parse.centsStr(col("l_extendedprice") * 1.1)
     val line = concat(lpad(col("l_linenumber").cast("string"), 4, "0"),
       lit(" "), col("p_name"), lit(" "),
       col("l_quantity").cast("int").cast("string"), lit(" EA $"),
@@ -240,15 +235,10 @@ object ParseOps {
     * parsed back with the multi-pattern receipt parser.
     */
   def receiptLinesQ(s: SparkSession, dir: String): DataFrame = {
-    def centsStr(x: Column) = {
-      val c = floor(x * 100).cast("long")
-      concat((c / 100).cast("long").cast("string"), lit("."),
-        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
-    }
     val sku = (col("l_partkey") + 10000).cast("string")
     val qty = col("l_quantity").cast("int").cast("string")
-    val price = centsStr(col("l_extendedprice") / col("l_quantity"))
-    val total = centsStr(col("l_extendedprice"))
+    val price = Parse.centsStr(col("l_extendedprice") / col("l_quantity"))
+    val total = Parse.centsStr(col("l_extendedprice"))
     val k = col("l_orderkey") % 5
     val line = when(k === 0, concat_ws(" ", sku, qty, lit("X"), price, total))
       .when(k === 1, concat_ws(" ", sku, lit("X"), price, total))
@@ -275,11 +265,6 @@ object ParseOps {
     * vendor fan-out is one explode.
     */
   def ncItemCQ(s: SparkSession, dir: String): DataFrame = {
-    def centsStr(x: Column) = {
-      val c = floor(x * 100).cast("long")
-      concat((c / 100).cast("long").cast("string"), lit("."),
-        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
-    }
     val key5 = lpad(col("o_orderkey").cast("string"), 5, "0")
     val ck = col("o_custkey").cast("string")
     val lettingStr = upper(date_format(col("o_orderdate"), "MMMM d, yyyy"))
@@ -293,12 +278,12 @@ object ParseOps {
       lit("Craven"),
       concat(lit("TYPE OF WORK "), col("o_orderpriority")),
       concat(lit("LOCATION NC-"), ck),
-      concat(lit("ESTIMATE "), centsStr(col("o_totalprice"))),
+      concat(lit("ESTIMATE "), Parse.centsStr(col("o_totalprice"))),
       concat(lit("FINAL COMPLETION "), compStr),
       lit("$ TOTALS"),
-      concat(lit("VENDOR "), ck, lit("-A "), centsStr(col("o_totalprice") * 0.95)),
-      concat(lit("VENDOR "), ck, lit("-B "), centsStr(col("o_totalprice") * 1.05)),
-      concat(lit("ESTIMATE TOTAL "), centsStr(col("o_totalprice"))))
+      concat(lit("VENDOR "), ck, lit("-A "), Parse.centsStr(col("o_totalprice") * 0.95)),
+      concat(lit("VENDOR "), ck, lit("-B "), Parse.centsStr(col("o_totalprice") * 1.05)),
+      concat(lit("ESTIMATE TOTAL "), Parse.centsStr(col("o_totalprice"))))
     NcDocs.parseItemC(
         Tables.orders(s, dir).select(col("o_orderkey"), doc.as("doc")),
         "doc", Seq("o_orderkey"))
@@ -341,11 +326,6 @@ object ParseOps {
     * parser.
     */
   def ncAwardLetterQ(s: SparkSession, dir: String): DataFrame = {
-    def centsStr(x: Column) = {
-      val c = floor(x * 100).cast("long")
-      concat((c / 100).cast("long").cast("string"), lit("."),
-        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
-    }
     val key5 = lpad(col("o_orderkey").cast("string"), 5, "0")
     val lettingStr = date_format(col("o_orderdate"), "MMMM d, yyyy")
     val doc = concat_ws("\n",
@@ -360,7 +340,7 @@ object ParseOps {
         col("o_custkey").cast("string"),
         lit(" has been awarded this contract")),
       concat(lit("based on the bid submitted on "), lettingStr,
-        lit(" in the amount of $"), centsStr(col("o_totalprice"))))
+        lit(" in the amount of $"), Parse.centsStr(col("o_totalprice"))))
     NcDocs.parseAwardLetter(
         Tables.orders(s, dir).select(col("o_orderkey"), doc.as("doc")),
         "doc", Seq("o_orderkey"))
@@ -377,11 +357,6 @@ object ParseOps {
     * same code path the end-to-end pipeline uses.
     */
   def invoiceMetadataQ(s: SparkSession, dir: String): DataFrame = {
-    def centsStr(x: Column) = {
-      val c = floor(x * 100).cast("long")
-      concat((c / 100).cast("long").cast("string"), lit("."),
-        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
-    }
     val ck = col("o_custkey").cast("string")
     val gst = (col("o_orderkey") % 3 * 2 + 4).cast("int").cast("string")
     val docLines = array(
@@ -393,8 +368,8 @@ object ParseOps {
       concat(lit("Due Date: "), date_format(date_add(col("o_orderdate"), 30),
         "yyyy-MM-dd")),
       concat(lit("GST "), gst, lit("%")),
-      concat(lit("Sub Total "), centsStr(col("o_totalprice"))),
-      concat(lit("TOTAL "), centsStr(col("o_totalprice") * 1.06)))
+      concat(lit("Sub Total "), Parse.centsStr(col("o_totalprice"))),
+      concat(lit("TOTAL "), Parse.centsStr(col("o_totalprice") * 1.06)))
     val lines = Tables.orders(s, dir)
       .select(col("o_orderkey").cast("string").as("path"),
         col("o_orderkey").cast("string").as("file_name"),
@@ -418,11 +393,6 @@ object ParseOps {
     * ignored, rows inside parse via Parse.invoiceLine).
     */
   def invoiceLinesQ(s: SparkSession, dir: String): DataFrame = {
-    def centsStr(x: Column) = {
-      val c = floor(x * 100).cast("long")
-      concat((c / 100).cast("long").cast("string"), lit("."),
-        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
-    }
     val orders = Tables.orders(s, dir)
     val pre = orders.select(col("o_orderkey").cast("string").as("path"),
       explode(array(
@@ -430,7 +400,7 @@ object ParseOps {
           concat(lit("INVOICE FOR CUSTOMER "), col("o_custkey")).as("line")),
         struct(lit(1).as("line_no"), lit("ID DESCRIPTION QTY PRICE TOTAL").as("line")),
         struct(lit(1000).as("line_no"),
-          concat(lit("Sub Total "), centsStr(col("o_totalprice"))).as("line")),
+          concat(lit("Sub Total "), Parse.centsStr(col("o_totalprice"))).as("line")),
         struct(lit(1001).as("line_no"),
           // after the terminator: must NOT parse as an item
           lit("99. POISON ROW - 1 1.00 1.00.").as("line")))).as("x"))
@@ -441,8 +411,8 @@ object ParseOps {
         (col("l_linenumber") + 1).as("line_no"),
         concat(col("l_linenumber").cast("string"), lit(". "), col("p_name"),
           lit(" - "), col("l_quantity").cast("string"), lit(" "),
-          centsStr(col("l_extendedprice")), lit(" "),
-          centsStr(col("l_quantity") * col("l_extendedprice")), lit("."))
+          Parse.centsStr(col("l_extendedprice")), lit(" "),
+          Parse.centsStr(col("l_quantity") * col("l_extendedprice")), lit("."))
           .as("line"))
     graft.pipeline.InvoicePipeline.lineItems(pre.union(items))
       .select(col("path").cast("long").as("o_orderkey"),

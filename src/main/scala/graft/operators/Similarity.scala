@@ -95,8 +95,11 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
-    val qe = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      col("nrm").as("qnrm"))
+    // broadcast only the query-id slice, not the whole corpus — the
+    // candidate join can only ever match vec_id % 10 == 0 rows
+    val qe = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val ce = e.select(col("vec_id").as("doc_id"), col("embedding").as("dv"),
       col("nrm").as("dnrm"))
     val scored = cand.join(broadcast(qe), "query_id").join(ce, "doc_id")

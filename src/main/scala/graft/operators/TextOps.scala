@@ -95,8 +95,9 @@ object TextOps {
       .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
+    // df derives from tf (exactly one row per (doc, token)) — no
+    // second corpus scan, no distinct shuffle
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
       // exact in double: numerator < 2^53, quotient ulp ≪ 1/(df+1)

@@ -44,10 +44,20 @@ object TableSink {
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // two checked renames, never a window with no data at `path`: the
+    // original moves aside first, so a crash leaves either the intact
+    // original (recoverable at __compact_old) or the new table live
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(old, true)
     nFiles
   }
 
@@ -71,7 +81,15 @@ object TableSink {
     val existingKeys =
       try Some(spark.read.parquet(path).select(keys.map(col): _*).distinct())
       catch { case _: AnalysisException => None } // first load: nothing there
-    val fresh = existingKeys.fold(df)(ex => df.join(ex, keys, "left_anti")).cache()
+    // null-SAFE key equality (<=>): parsers legitimately emit null
+    // keys (regex miss), and a null-unsafe anti-join would re-append
+    // such rows on every replay — exactly the dupes this sink exists
+    // to prevent
+    val fresh = existingKeys.fold(df) { ex =>
+      val exR = ex.toDF(keys.map("__ex_" + _): _*)
+      val cond = keys.map(k => df(k) <=> exR("__ex_" + k)).reduce(_ && _)
+      df.join(exR, cond, "left_anti")
+    }.cache()
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
     fresh.unpersist()

@@ -45,6 +45,14 @@ class TableSinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 5)
     assert(spark.read.parquet(out)
       .filter("invoice_number = 'INV-3'").count() == 2)
+    // null keys (parser misses) must also be idempotent — the
+    // anti-join is null-SAFE, so a replayed null-keyed row is a dupe
+    val nullBatch = Seq(
+      (1, null.asInstanceOf[String], "2023-05-04", "item f", 60.0))
+      .toDF("company_id", "invoice_number", "invoice_date", "description", "total")
+    assert(TableSink.appendIfAbsent(nullBatch, out) == 1)
+    assert(TableSink.appendIfAbsent(nullBatch, out) == 0)
+    assert(spark.read.parquet(out).count() == 6)
   }
 
   test("compact collapses many small files into few, preserving rows") {
