@@ -73,6 +73,7 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.annIvf _),
     "s04_hybrid_search" -> (Similarity.hybridSearch _),
     "s05_ann_pq" -> (Similarity.annPq _),
+    "s06_ann_ivfpq" -> (Similarity.annIvfPq _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -617,6 +618,58 @@ scan AS (SELECT c.vec_id, q.query_id,
   + (list_inner_product(q.qv2, q.qv2) + list_inner_product(c2.scv, c2.scv) - 2*list_inner_product(q.qv2, c2.scv))
   + (list_inner_product(q.qv3, q.qv3) + list_inner_product(c3.scv, c3.scv) - 2*list_inner_product(q.qv3, c3.scv)) AS adc
   FROM codes c CROSS JOIN q
+    JOIN cj c0 ON c0.j = 0 AND c0.cid = c.code0
+    JOIN cj c1 ON c1.j = 1 AND c1.cid = c.code1
+    JOIN cj c2 ON c2.j = 2 AND c2.cid = c.code2
+    JOIN cj c3 ON c3.j = 3 AND c3.cid = c.code3
+  WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, adc,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+  FROM scan)
+SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
+  CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
+FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    "s06_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cm AS (SELECT label AS cid, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+  GROUP BY label, idx),
+cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+asg AS (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c),
+cells AS (SELECT a.vec_id, a.cid AS cell, e.embedding
+  FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
+cj AS (SELECT cid, j, CAST(cv[j*16+1 : j*16+16] AS DOUBLE[]) AS scv
+  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+sv AS (SELECT vec_id, cell, j,
+    CAST(embedding[j*16+1 : j*16+16] AS DOUBLE[]) AS sv
+  FROM cells, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+enc AS (SELECT vec_id, cell, j, cid, row_number() OVER (PARTITION BY vec_id, j
+    ORDER BY list_inner_product(scv, scv) - 2*list_inner_product(sv, scv), cid) AS rr
+  FROM sv JOIN cj USING (j)),
+codes AS (SELECT vec_id, cell,
+    max(CASE WHEN j = 0 THEN cid END) AS code0,
+    max(CASE WHEN j = 1 THEN cid END) AS code1,
+    max(CASE WHEN j = 2 THEN cid END) AS code2,
+    max(CASE WHEN j = 3 THEN cid END) AS code3
+  FROM enc WHERE rr = 1 GROUP BY vec_id, cell),
+q AS (SELECT a.vec_id AS query_id, a.cid AS cell,
+    CAST(e.embedding[1:16] AS DOUBLE[]) AS qv0,
+    CAST(e.embedding[17:32] AS DOUBLE[]) AS qv1,
+    CAST(e.embedding[33:48] AS DOUBLE[]) AS qv2,
+    CAST(e.embedding[49:64] AS DOUBLE[]) AS qv3
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 100 = 0 AND a.rr <= 2),
+scan AS (SELECT c.vec_id, q.query_id,
+    (list_inner_product(q.qv0, q.qv0) + list_inner_product(c0.scv, c0.scv) - 2*list_inner_product(q.qv0, c0.scv))
+  + (list_inner_product(q.qv1, q.qv1) + list_inner_product(c1.scv, c1.scv) - 2*list_inner_product(q.qv1, c1.scv))
+  + (list_inner_product(q.qv2, q.qv2) + list_inner_product(c2.scv, c2.scv) - 2*list_inner_product(q.qv2, c2.scv))
+  + (list_inner_product(q.qv3, q.qv3) + list_inner_product(c3.scv, c3.scv) - 2*list_inner_product(q.qv3, c3.scv)) AS adc
+  FROM codes c JOIN q ON c.cell = q.cell
     JOIN cj c0 ON c0.j = 0 AND c0.cid = c.code0
     JOIN cj c1 ON c1.j = 1 AND c1.cid = c.code1
     JOIN cj c2 ON c2.j = 2 AND c2.cid = c.code2

@@ -180,6 +180,81 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s06 — IVF-PQ: the production ANN composition. The IVF stage
+    * (s03's cell assignment, nprobe=2) restricts candidates to ~2/K
+    * of the corpus; the PQ stage (s05's 4-code compression) scores
+    * those candidates from codes alone. At 100 TB this is the layout
+    * every vector store ships: cell id = partition key, codes = the
+    * only per-vector bytes the scan touches, full vectors never leave
+    * their partition. Top-3 per query by ADC via TopKPerKey.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val nSub = 4
+    val subLen = 16
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"))
+    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
+      .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
+    // IVF assignment (same formulation as s03)
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val asg = e.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        Vector.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rr", row_number().over(wAsg))
+    val cells = asg.filter(col("rr") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // PQ codes per vector (same construction as s05), tagged with the
+    // vector's IVF cell so the scan prunes on it
+    val centJ = cent.select(col("cid"), explode(array((0 until nSub).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("cv"), j * subLen + 1, subLen).as("scv"))): _*)).as("b"))
+      .select(col("b.j").as("j"), col("cid"), col("b.scv").as("scv"))
+    val subVec = cells.select(col("vec_id"), col("cid").as("cell"),
+        explode(array((0 until nSub).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*)).as("b"))
+      .select(col("vec_id"), col("cell"), col("b.j").as("j"), col("b.sv").as("sv"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("cid"))
+    val codes = subVec.join(broadcast(centJ), "j")
+      .withColumn("d2", Vector.dot(col("scv"), col("scv"))
+        - lit(2.0) * Vector.dot(col("sv"), col("scv")))
+      .withColumn("rr", row_number().over(wEnc)).filter(col("rr") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("j") === 0, col("cid"))).as("code0"),
+        (1 until nSub).map(j =>
+          max(when(col("j") === j, col("cid"))).as(s"code$j")): _*)
+    // queries probe their top-2 cells (same as s03)
+    val q = asg.filter(col("vec_id") % 100 === 0 && col("rr") <= 2)
+      .select(Seq(col("vec_id").as("query_id"), col("cid").as("cell")) ++
+        (0 until nSub).map(j =>
+          slice(col("embedding"), j * subLen + 1, subLen).as(s"qv$j")): _*)
+    var scan = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    (0 until nSub).foreach { j =>
+      val cj = centJ.filter(col("j") === j)
+        .select(col("cid").as(s"code$j"), col("scv").as(s"cv$j"))
+      scan = scan.join(broadcast(cj), s"code$j")
+    }
+    val adc = (0 until nSub).map { j =>
+      Vector.dot(col(s"qv$j"), col(s"qv$j")) +
+        Vector.dot(col(s"cv$j"), col(s"cv$j")) -
+        lit(2.0) * Vector.dot(col(s"qv$j"), col(s"cv$j"))
+    }.reduceLeft(_ + _)
+    val scored = scan.withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("vec_id").asc), 3)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        floor(col("adc") * 1000).cast("long").as("adc_milli"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** s03 — IVF-style ANN (coarse quantization) with REAL centroids:
     * the 10 per-label mean vectors (VectorAgg.centroidVectors — the
     * un-exploded m04 aggregate, components floored to milli-units so

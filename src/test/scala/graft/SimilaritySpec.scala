@@ -71,6 +71,14 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s06 IVF-PQ: cell pruning + codes keep retrieval in-cluster") {
+    val ivfpq = top3(operators.Similarity.annIvfPq(spark, dir))
+    assert(ivfpq.keySet == Set(0L, 100L))
+    ivfpq.foreach { case (q, ns) =>
+      assert(ns.size == 3 && ns.forall(cluster(_) == cluster(q)), s"$q -> $ns")
+    }
+  }
+
   test("s05 PQ codes resolve cluster membership") {
     val pq = top3(operators.Similarity.annPq(spark, dir))
     assert(pq.keySet == Set(0L, 100L))
