@@ -64,18 +64,56 @@ class DocTable(root: String) extends Table with SupportsRead {
 }
 
 class DocScanBuilder(root: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
   private var required: StructType = DocTextSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocScan(root, required)
+
+  /** doc_type / file_name predicates prune whole FILES at planning
+    * time (both are functions of the file name alone — no file is
+    * even opened). Filters are still returned as residual so Spark
+    * re-applies them: pruning is an optimization, never a correctness
+    * dependency.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("doc_type", _) | EqualTo("file_name", _) => true
+      case In("doc_type", _) | In("file_name", _) => true
+      case _ => false
+    }
+    filters // all residual — re-evaluated row-wise for safety
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DocScan(root, required, pushed)
 }
 
 case class DocFilePartition(file: String) extends InputPartition
 
-class DocScan(root: String, required: StructType) extends Scan with Batch {
+class DocScan(root: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
+  import org.apache.spark.sql.sources.{EqualTo, In}
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  private def fileSurvives(path: String): Boolean = {
+    val name = Paths.get(path).getFileName.toString
+    val dtype = DocTextSource.docType(name)
+    pushed.forall {
+      case EqualTo("doc_type", v) => dtype == v
+      case EqualTo("file_name", v) => name == v
+      case In("doc_type", vs) => vs.contains(dtype)
+      case In("file_name", vs) => vs.contains(name)
+      case _ => true
+    }
+  }
 
   /** File listing runs on the driver over java.nio — the source
     * therefore requires the root to be a path visible from driver AND
@@ -89,7 +127,7 @@ class DocScan(root: String, required: StructType) extends Scan with Batch {
       try walk.iterator().asScala
         .filter(Files.isRegularFile(_)).map(_.toString).toArray.sorted
       finally walk.close() // Files.walk holds open directory handles
-    files.map(DocFilePartition(_): InputPartition)
+    files.filter(fileSurvives).map(DocFilePartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -42,4 +42,19 @@ class DocTextSourceSpec extends SparkSpecBase {
     val df = spark.read.format("graft-docs").load(root)
     assert(df.rdd.getNumPartitions == 2)
   }
+
+  test("doc_type filter prunes whole files at planning time") {
+    val df = spark.read.format("graft-docs").load(root)
+      .filter("doc_type = 'invoice'")
+    // only the receipt file becomes an input partition — the award
+    // letter is never even opened
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.select("file_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("receipt_9.txt"))
+    // unpushable predicates keep full correctness: everything still
+    // filters row-wise
+    val none = spark.read.format("graft-docs").load(root)
+      .filter("line LIKE '%GST%'")
+    assert(none.count() == 1)
+  }
 }
