@@ -67,6 +67,7 @@ object SparkEntry {
     "d05_embedding_dup" -> (Dedup.embeddingDup _),
     "d06_fuzzy_match" -> (Dedup.fuzzyMatch _),
     "d07_dup_clusters" -> (Dedup.dupClusters _),
+    "d08_keep_best" -> (Dedup.keepBest _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -92,7 +93,8 @@ object SparkEntry {
     "m03_frame_sample" -> (Multimodal.frameSample _),
     "m04_label_centroids" -> (VectorAgg.labelCentroids _),
     "m05_modality_stats" -> (Multimodal.modalityStats _),
-    "w03_session_window" -> (Relational.sessionWindow _))
+    "w03_session_window" -> (Relational.sessionWindow _),
+    "c01_curation" -> ((s, d) => Curation.curate(s, d)))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -488,6 +490,38 @@ FROM events ORDER BY user_id, ts, event_id""",
   count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "c01_curation" ->
+      """WITH m AS (SELECT doc_id, lang,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS INT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct
+  FROM documents),
+g AS (SELECT doc_id, lang, content_hash, n_tokens,
+    CAST(round(round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+      + 0.4 * least((CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0)) * 4, 1.0)
+      + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0), 1.0)), 4) * 10000, 0) AS BIGINT) AS quality_bp
+  FROM m),
+f AS (SELECT * FROM g WHERE quality_bp >= 4000),
+k AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+    ORDER BY quality_bp DESC, doc_id) AS rn FROM f),
+d AS (SELECT doc_id, lang, n_tokens, quality_bp FROM k WHERE rn = 1),
+sm AS (SELECT *,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+    CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25
+         WHEN lang = 'es' THEN 25 ELSE 10 END AS keep_pct
+  FROM d),
+sa AS (SELECT doc_id, lang, n_tokens, quality_bp, doc_id % 8 AS shard_id
+  FROM sm WHERE bucket < keep_pct),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard_id
+    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+  FROM sa)
+SELECT doc_id, lang, CAST(shard_id AS BIGINT) AS shard_id, quality_bp,
+  n_tokens,
+  CAST(floor(prev_cum / 512.0) AS BIGINT) AS bin_id,
+  CAST(prev_cum % 512 AS BIGINT) AS bin_offset
+FROM c ORDER BY lang, shard_id, doc_id""",
     "d01_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
   min(doc_id) AS keeper_doc_id, count(*) AS n_copies
@@ -501,6 +535,24 @@ WHERE levenshtein(a.s_name, b.s_name) <= 3
 ORDER BY key_a, key_b""",
     "d02_minhash_lsh" -> minhashLshSql,
     "d07_dup_clusters" -> dupClustersSql,
+    "d08_keep_best" ->
+      """WITH m AS (SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to|is)\b')) AS INT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct
+  FROM documents),
+q AS (SELECT doc_id, content_hash,
+    CAST(round(round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+      + 0.4 * least((CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0)) * 4, 1.0)
+      + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0), 1.0)), 4) * 10000, 0) AS BIGINT) AS quality_bp
+  FROM m),
+r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+      ORDER BY quality_bp DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY content_hash) AS n_copies FROM q)
+SELECT content_hash, doc_id AS keeper_doc_id, quality_bp AS best_quality_bp,
+  n_copies
+FROM r WHERE rn = 1 ORDER BY keeper_doc_id""",
     "d03_simhash" -> simhashSql,
     "d04_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -250,6 +250,32 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** d08 — keep-BEST dedup: like d01 the corpus collapses on the
+    * normalized-content hash, but the survivor is the copy with the
+    * highest quality score (t02's heuristic, in integer basis points
+    * so the cross-engine argmax can't straddle a float ulp), not the
+    * smallest id — what a curation pipeline actually retains when
+    * near-identical crawls differ in OCR noise. One shuffle on the
+    * content hash; argmax via a bounded struct-max, no window sort.
+    */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    // qualityScore is already rounded to 4dp; ×10000 lands on an
+    // integer ± fp-epsilon, so round (not floor) is the exact lift
+    val qualityBp = round(Text.qualityScore(col("text")) * 10000)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(Text.normalize(col("text"))).as("content_hash"),
+        qualityBp.as("quality_bp"))
+      .groupBy(col("content_hash"))
+      // max over (quality, -doc_id): best quality, smaller id on ties
+      .agg(max(struct(col("quality_bp").as("q"),
+          (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), (-col("m.nid")).as("keeper_doc_id"),
+        col("m.q").as("best_quality_bp"), col("n_copies"))
+      .orderBy(col("keeper_doc_id"))
+  }
+
   /** d07 — duplicate CLUSTERING: near-dup pairs (d02 MinHash-LSH,
     * est_sim ≥ 0.5) define an undirected graph; every document gets
     * `cluster_id` = the smallest doc_id in its connected component
