@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpecBase {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("d08 keep-best retains the highest-quality copy per content group") {
+    val rows = operators.Dedup.keepBest(spark, dir).collect()
+    // same content groups as d01 (3 groups), but the keeper is chosen
+    // by quality — for the 0/1/2 group all copies have near-identical
+    // text so quality ties and the smallest id wins
+    assert(rows.length == 3)
+    val g0 = rows.find(_.getAs[Long]("n_copies") == 3).get
+    assert(g0.getAs[Long]("keeper_doc_id") == 0L)
+    assert(g0.getAs[Long]("best_quality_bp") > 0)
+    // cross-check: every keeper's quality equals the max over its group
+    val quality = operators.TextOps.qualityScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.round(r.getAs[Double]("quality") * 10000)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("best_quality_bp") ==
+        quality(r.getAs[Long]("keeper_doc_id")))
+    }
+  }
+
   test("d07 clusters connect exact+near dups transitively; singletons keep own id") {
     val rows = operators.Dedup.dupClusters(spark, dir)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))

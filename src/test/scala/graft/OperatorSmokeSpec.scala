@@ -96,6 +96,18 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(plan.contains("TopKPerKey"), plan.take(2000))
   }
 
+  test("c01 curation fuses into one plan with a bounded shuffle count") {
+    val plan = operators.Curation.curate(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // one dedup aggregation exchange + its join + the pack window +
+    // the deterministic output sort — anything beyond ~5 exchanges
+    // means a stage stopped fusing
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 5, s"curation plan shuffles $exchanges times:\n" +
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t10/t11 plans are single-scan (no join, no extra shuffle)") {
     val packPlan = operators.TextOps.sequencePack(spark, sf0001)
       .queryExecution.executedPlan.toString

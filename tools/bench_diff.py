@@ -7,7 +7,9 @@ driver BENCH_r{N}.json wrapper (falls back to parsing its "tail").
 Prints queries whose time changed more than threshold_pct (default 30)
 plus totals; new/removed queries are listed separately.
 """
-import json, re, sys
+import json, re, signal, sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # play nice with | head
 
 
 def load(path):
