@@ -56,23 +56,97 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
   }
 
-  test("d06 length-band blocking is exact: same pairs as the all-pairs formulation") {
-    val blocked = operators.Dedup.fuzzyMatch(spark, sf0001)
+  /** Writes (s_suppkey, s_name) rows as a supplier table; returns dir. */
+  private def mkSupplierDir(names: Seq[String]): String = {
+    val d = Files.createTempDirectory("graft-fuzzy").toString
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("s_suppkey", "s_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/supplier.parquet")
+    d
+  }
+
+  private def fuzzyPairs(dir: String): Set[(Long, Long, Int)] =
+    operators.Dedup.fuzzyMatch(spark, dir)
       .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
         r.getAs[Int]("edit_dist"))).toSet
-    // brute reference computed inline (the pre-blocking formulation)
+
+  private def brutePairs(dir: String): Set[(Long, Long, Int)] = {
     import org.apache.spark.sql.functions._
-    val sup = Tables.supplier(spark, sf0001).select(col("s_suppkey"), col("s_name"))
-    val brute = sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
       .join(broadcast(sup.select(col("s_suppkey").as("key_b"), col("s_name").as("name_b"))),
         col("key_a") < col("key_b"))
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("edit_dist") <= 3)
       .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
         r.getAs[Int]("edit_dist"))).toSet
+  }
+
+  private def assertSamePairs(dir: String): Set[(Long, Long, Int)] = {
+    val blocked = fuzzyPairs(dir)
+    val brute = brutePairs(dir)
     assert(blocked == brute, s"blocking changed the result set: " +
-      s"missing=${(brute -- blocked).take(3)} extra=${(blocked -- brute).take(3)}")
-    assert(blocked.nonEmpty)
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    blocked
+  }
+
+  test("d06 PassJoin blocking is exact: same pairs as the all-pairs formulation") {
+    assert(assertSamePairs(sf0001).nonEmpty)
+  }
+
+  test("d06 PassJoin is exact under insertions/deletions and mixed lengths") {
+    // Adversarial corpus: indels (not just substitutions) shift every
+    // later segment, lengths straddle the short/main block boundary,
+    // and a shared-prefix family exercises the LCP strip. Includes
+    // pairs whose edits are spread to touch 3 of the 4 segments.
+    val base = "warehouse logistics gmbh"
+    val names = Seq(
+      base,                                  // 0
+      "Xwarehouse logistics gmbh",           // 1: insert at front (shifts all)
+      "warehouse logistics gmb",             // 2: delete at end
+      "warehose logistics gmbhXY",           // 3: del mid + 2 inserts at end
+      "warehouse lgistics gmbQ",             // 4: del mid + sub near end
+      "acme corp",                           // 5: short-side resident
+      "acme corpX",                          // 6: lev 1 of 5
+      "acme co",                             // 7: lev 2 of 5
+      "zzz totally unrelated supplier name", // 8
+      "ab",                                  // 9: tiny
+      "abq",                                 // 10: lev 1 of 9
+      "abqrst"                               // 11: boundary partner of 10
+    )
+    val pairs = assertSamePairs(mkSupplierDir(names))
+    assert(pairs.contains((0L, 1L, 1)) && pairs.contains((0L, 3L, 3)) &&
+      pairs.contains((0L, 4L, 2)) && pairs.contains((5L, 7L, 2)) &&
+      pairs.contains((9L, 10L, 1)) && pairs.contains((10L, 11L, 3)))
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("d06 candidate count collapses on a high-entropy ID corpus (selectivity)") {
+    // 400 names with the testdata's shared `Supplier#` prefix but a
+    // 12-digit high-entropy tail (deterministic md5 digits): after the
+    // LCP strip the PassJoin segments are 3-digit keys, so candidates
+    // must be a tiny fraction of the 79,800 unordered pairs.
+    val names = (0 until 400).map { i =>
+      val digits = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sup$i".getBytes("UTF-8"))
+        .map(b => ((b & 0xff) % 10).toString).mkString.take(12)
+      s"Supplier#$digits"
+    }
+    val dir = mkSupplierDir(names)
+    val nPairs = names.size.toLong * (names.size - 1) / 2
+    val cand = operators.Dedup.fuzzyMatchCandidates(spark, dir).count()
+    assert(cand < nPairs / 20,
+      s"candidates $cand not << all-pairs $nPairs — blocking lost selectivity")
+    assertSamePairs(dir)
+  }
+
+  test("d06 on the answer-dense supplier corpus candidates track the output") {
+    // sf0.001's `Supplier#00000000N` names strip to 2-char tails and
+    // EVERY pair is a true lev≤3 match (45 of 45): no exact scheme can
+    // emit fewer candidates than answers, and ours emits exactly them.
+    val cand = operators.Dedup.fuzzyMatchCandidates(spark, sf0001).count()
+    val answers = fuzzyPairs(sf0001).size
+    assert(cand == answers, s"candidates $cand != answers $answers")
   }
 
   private lazy val vecDir: String = {
