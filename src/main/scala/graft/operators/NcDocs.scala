@@ -112,4 +112,191 @@ object NcDocs {
   def parseAwardLetter(df: DataFrame, docCol: String,
       keyCols: Seq[String]): DataFrame =
     df.select(keyCols.map(col) ++ awardLetterFields(col(docCol)): _*)
+
+  private val moneyPat = "([\\d,]+\\.\\d{2})"
+
+  /** 'CONTRACT BIDS AS READ' over whole documents
+    * (parse_utils.py:943-1094 `parse_nc_bids_as_read`): doc-level
+    * fields (headers, letting date/time, contract id, multiline
+    * description, engineer's estimate, total bids received) repeated
+    * onto one row per contractor money line; a document with no
+    * parseable contractor lines still yields one row with the
+    * doc-level fields (the reference's fallback record) via the left
+    * join. All extraction is regex/Column — whole-stage codegen, one
+    * explode, no shuffle beyond the caller's.
+    */
+  def parseBidsAsRead(df: DataFrame, docCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val doc = col(docCol)
+    val dateRe = "(\\d{1,2}/\\d{1,2}/\\d{4})"
+    // "bid opening" line, allowing the date on the following line
+    val bidOpenSpan = regexp_extract(doc, "(?im)^(bid opening[^\\n]*\\n?[^\\n]*)", 1)
+    def nonEmpty(c: Column): Column = when(c =!= "", c)
+    val docFields = Seq(
+      Parse.ncStateHeader(doc).as("state_header"),
+      Parse.ncOwnerHeader(doc).as("owner_header"),
+      coalesce(nonEmpty(regexp_extract(bidOpenSpan, dateRe, 1)),
+        nonEmpty(regexp_extract(doc, dateRe, 1))).as("letting_date"),
+      nonEmpty(regexp_extract(doc,
+        "(?im)^time[^\\n]*?(\\d{1,2}:\\d{2}\\s*[AP]M)", 1)).as("letting_time"),
+      // first "contract…" line carrying ≥5 digits on it, else the
+      // line after one — digit-less title lines ("CONTRACT BIDS AS
+      // READ") are scanned past, like the reference's line loop
+      coalesce(
+        nonEmpty(regexp_extract(doc, "(?im)^contract[^\\n]*?(\\d{5,})", 1)),
+        nonEmpty(regexp_extract(doc,
+          "(?im)^contract[^\\n]*\\n[^\\n]*?(\\d{5,})", 1))).as("contract_id"),
+      // description: after the label, accumulating lines until the
+      // CONTRACTOR table header (or end of document)
+      nonEmpty(trim(regexp_replace(regexp_extract(doc,
+        "(?ims)^description[:\\s]*(.*?)(?=^contractor\\b|\\z)", 1),
+        "\\s+", " "))).as("description"),
+      Parse.parseFloat(regexp_extract(doc,
+        "(?i)ENGINEERS ESTIMATE\\s*\\$?\\s*" + moneyPat, 1))
+        .as("engineers_estimate"),
+      nonEmpty(regexp_extract(doc,
+        "(?i)TOTAL BIDS RECEIVED[:\\s]*\\(?(\\d+)", 1)).cast("int")
+        .as("total_bids_received"))
+    val docs = df.select(keyCols.map(col) ++ docFields :+ doc.as("_doc"): _*)
+    val linePat = "^(.*?)\\s*\\$?\\s*" + moneyPat + ".*$"
+    val bidders = docs
+      .select(keyCols.map(col) :+
+        explode(split(col("_doc"), "\n")).as("l"): _*)
+      .withColumn("l", trim(col("l")))
+      .filter(regexp_extract(col("l"), moneyPat, 0) =!= "")
+      .withColumn("contractor_name",
+        trim(regexp_extract(col("l"), linePat, 1)))
+      .filter(col("contractor_name") =!= "" &&
+        !upper(col("contractor_name")).isin("CONTRACTOR", "AMOUNT BID"))
+      .select(keyCols.map(col) :+ col("contractor_name") :+
+        Parse.parseFloat(regexp_extract(col("l"), linePat, 2))
+          .as("amount_bid"): _*)
+    docs.drop("_doc").join(bidders, keyCols, "left")
+  }
+
+  private val endWords = "INC|LLC|CO|COMPANY|CORP|CORPORATION|LTD"
+
+  /** 'Bid Tabs' over whole documents (parse_utils.py:1099-1425
+    * `parse_nc_bid_tabs`): doc-level fields (headers, month-name
+    * letting date, DA contract id, call number, FED AID project
+    * number + the two following lines, counties) plus one row per
+    * (item line, bidder). Bidder names come from the company-suffix
+    * lines above the first `NNNN ` item line; each item line carries
+    * one trailing (unit_price, amount) money pair per bidder — when
+    * fewer pairs than bidders are present the reference's 1-bidder
+    * fallback applies. Token surgery is all regex/array Columns; the
+    * per-line bidder fan-out is a bounded transform+explode.
+    */
+  def parseBidTabs(df: DataFrame, docCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val doc = col(docCol)
+    def nonEmpty(c: Column): Column = when(c =!= "", c)
+    val fedAidSpan = regexp_extract(doc,
+      "(?im)^[^\\n]*FED AID NO[^\\n]*\\n([^\\n]*)\\n?([^\\n]*)", 0)
+    // vendor block: the text above the first item line; names are the
+    // company-suffix runs without digits (reference's end-word split)
+    val vendorBlock = regexp_extract(doc, "(?ms)\\A(.*?)(?=^\\d{3,4}\\s)", 1)
+    val vendorPat =
+      s"([A-Za-z][A-Za-z .,&'-]*?\\b(?:$endWords)\\b\\.?)"
+    val docFields = Seq(
+      Parse.ncStateHeader(doc).as("state_header"),
+      Parse.ncOwnerHeader(doc).as("owner_header"),
+      Parse.monthNameDate(doc).as("letting_date"),
+      nonEmpty(regexp_extract(doc, "\\b(DA\\d{5,})\\b", 1)).as("contract_id"),
+      nonEmpty(trim(regexp_extract(doc,
+        "(?im)FED AID NO[:\\s]*([^\\n]+)", 1))).as("project_number"),
+      nonEmpty(trim(regexp_extract(fedAidSpan,
+        "(?m)\\n([^\\n]*)", 1))).as("proposal_project_type"),
+      nonEmpty(trim(regexp_extract(fedAidSpan,
+        "(?m)\\n[^\\n]*\\n([^\\n]*)", 1))).as("location"),
+      nonEmpty(regexp_extract(doc,
+        "(?i)\\bCall\\s+Number\\s+(\\d+)\\b", 1)).as("call_number"),
+      nonEmpty(trim(regexp_extract(doc,
+        "(?im)^(?!.*(?:miles|\\$|\\d))([^\\n]*,[^\\n]*)$", 1))).as("counties"),
+      array_distinct(regexp_extract_all(vendorBlock, lit(vendorPat), lit(1)))
+        .as("_vendors"))
+    val docs = df.select(keyCols.map(col) ++ docFields :+ doc.as("_doc"): _*)
+    val isNum = (c: Column) =>
+      translate(c, ",", "").rlike("^\\d+(\\.\\d+)?$")
+    val lines = docs
+      .select(keyCols.map(col) ++
+        Seq(col("state_header"), col("owner_header"), col("letting_date"),
+          col("contract_id"), col("project_number"),
+          col("proposal_project_type"), col("location"), col("call_number"),
+          col("counties"), col("_vendors")) :+
+        explode(split(col("_doc"), "\n")).as("l"): _*)
+      .withColumn("l", regexp_replace(trim(col("l")), "\\s+", " "))
+      // item lines: NNN(N) first token, ≥6 tokens, ≥2 money tokens
+      .withColumn("_money",
+        regexp_extract_all(col("l"), lit("\\$?" + moneyPat + "\\b"), lit(1)))
+      .filter(col("l").rlike("^\\d{3,4}\\s") && size(col("_money")) >= 2 &&
+        size(split(col("l"), " ")) >= 6)
+      // core tokens: everything before the first money token
+      .withColumn("_core", split(trim(regexp_extract(col("l"),
+        "^(.*?)\\s*\\$?\\s*[\\d,]+\\.\\d{2}\\b", 1)), " "))
+      .filter(size(col("_core")) >= 2)
+    val last = element_at(col("_core"), -1)
+    val prev = element_at(col("_core"), -2)
+    val parsed = lines
+      // the reference's three qty/unit layouts
+      .withColumn("_head", when(isNum(prev) && !isNum(last),
+          slice(col("_core"), lit(1), size(col("_core")) - 2))
+        .when(!isNum(prev) && !isNum(last),
+          slice(col("_core"), lit(1), size(col("_core")) - 2))
+        .otherwise(slice(col("_core"), lit(1), size(col("_core")) - 1)))
+      .withColumn("qty", when(isNum(prev) && !isNum(last),
+          translate(prev, ",", "").cast("double"))
+        .when(isNum(last), translate(last, ",", "").cast("double")))
+      // the reference keeps textual quantities ("Lump Sum") verbatim
+      // in its qty field; a typed engine splits them: qty double,
+      // qty_raw the untyped original
+      .withColumn("qty_raw", when(isNum(prev) && !isNum(last), prev)
+        .when(!isNum(prev) && !isNum(last), concat_ws(" ", prev, last))
+        .otherwise(last))
+      .withColumn("unit", when(isNum(prev) && !isNum(last), last))
+      .withColumn("line_no", element_at(col("_head"), 1))
+      .withColumn("item_no", when(size(col("_head")) >= 2,
+        element_at(col("_head"), 2)))
+      .withColumn("description", when(size(col("_head")) >= 4,
+        array_join(slice(col("_head"), lit(4), size(col("_head")) - 3), " ")))
+      // bidder pairs: last 2·n money tokens when n bidders are known
+      // and present, else the 1-bidder fallback on the last pair
+      .withColumn("_nb", when(size(col("_vendors")) >= 1 &&
+          size(col("_money")) >= size(col("_vendors")) * 2,
+        size(col("_vendors"))).otherwise(1))
+      .withColumn("_pairs",
+        slice(col("_money"), -(col("_nb") * 2), col("_nb") * 2))
+    val items = parsed
+      .select(keyCols.map(col) ++
+        Seq(col("state_header"), col("owner_header"), col("letting_date"),
+          col("contract_id"), col("project_number"),
+          col("proposal_project_type"), col("location"), col("call_number"),
+          col("counties"), col("line_no"), col("item_no"), col("description"),
+          col("qty"), col("qty_raw"), col("unit")) :+
+        explode(transform(sequence(lit(1), col("_nb")), i =>
+          struct(i.cast("int").as("bidder_index"),
+            when(i <= size(col("_vendors")), element_at(col("_vendors"), i))
+              .as("bidder_name"),
+            Parse.parseFloat(element_at(col("_pairs"), (i * 2 - 1).cast("int")))
+              .as("unit_price"),
+            Parse.parseFloat(element_at(col("_pairs"), (i * 2).cast("int")))
+              .as("amount")))).as("b"): _*)
+      .select(keyCols.map(col) ++
+        Seq(col("state_header"), col("owner_header"), col("letting_date"),
+          col("contract_id"), col("project_number"),
+          col("proposal_project_type"), col("location"), col("call_number"),
+          col("counties"), col("line_no"), col("item_no"), col("description"),
+          col("qty"), col("qty_raw"), col("unit"),
+          col("b.bidder_index").as("bidder_index"),
+          col("b.bidder_name").as("bidder_name"),
+          col("b.unit_price").as("unit_price"),
+          col("b.amount").as("amount")): _*)
+    // fallback record parity: a document with no item lines keeps its
+    // doc-level fields on one all-null-detail row
+    docs.drop("_doc", "_vendors").join(
+      items.drop("state_header", "owner_header", "letting_date",
+        "contract_id", "project_number", "proposal_project_type",
+        "location", "call_number", "counties"),
+      keyCols, "left")
+  }
 }

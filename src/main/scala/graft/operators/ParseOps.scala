@@ -177,22 +177,23 @@ object ParseOps {
         Seq(array_join(transform(
           array_sort(collect_list(struct(col("o_orderkey"), col("line")))),
           t => t.getField("line")), "\n")): _*).as("doc"))
-    val moneyPat = "^(.*?)\\s*\\$\\s*([\\d,]+\\.\\d{2})$"
-    docs
-      .select(col("o_custkey"), explode(split(col("doc"), "\n")).as("l"))
-      .filter(regexp_extract(col("l"), moneyPat, 0) =!= "")
-      .select(col("o_custkey"),
-        regexp_extract(col("l"), moneyPat, 1).as("contractor_name"),
-        Parse.parseFloat(regexp_extract(col("l"), moneyPat, 2)).as("amount_bid"))
+    // the shared document-level parser (NcDocs.parseBidsAsRead) is the
+    // same code the router runs on real files — the query synthesizes
+    // reference-shaped documents and projects its bid columns
+    NcDocs.parseBidsAsRead(docs, "doc", Seq("o_custkey"))
+      .select(col("o_custkey"), col("contractor_name"), col("amount_bid"))
       .orderBy(col("o_custkey"), col("contractor_name"))
   }
 
-  /** p13 — NC 'Bid Tabs' item-line parsing
-    * (parse_utils.py:1099-1425 `parse_nc_bid_tabs`): lines of the form
-    * "0001 <description> <qty> EA $u1 $a1 $u2 $a2" carry one
-    * (unit_price, amount) pair per bidder; the parser extracts the
-    * money tokens positionally and emits one row per bidder — the
-    * one-line→N-bidder-rows fan-out, fully in-engine.
+  /** p13 — NC 'Bid Tabs' whole-document parsing
+    * (parse_utils.py:1099-1425 `parse_nc_bid_tabs`): one synthetic
+    * document per order — a vendor-name header block (two
+    * company-suffix lines, the reference's bidder list) above item
+    * lines "NNNN <item_no> <sect> <description> <qty> EA $u1 $a1 $u2
+    * $a2" — parsed by the SAME shared parser the doc-type router runs
+    * on real files (NcDocs.parseBidTabs): per-line token surgery, the
+    * qty/unit layout cases, and the one-line→N-bidder fan-out against
+    * the header's bidder list.
     */
   def ncBidTabsQ(s: SparkSession, dir: String): DataFrame = {
     val u1 = Parse.centsStr(col("l_extendedprice") / col("l_quantity"))
@@ -200,32 +201,23 @@ object ParseOps {
     val u2 = Parse.centsStr(col("l_extendedprice") * 1.1 / col("l_quantity"))
     val a2 = Parse.centsStr(col("l_extendedprice") * 1.1)
     val line = concat(lpad(col("l_linenumber").cast("string"), 4, "0"),
-      lit(" "), col("p_name"), lit(" "),
+      lit(" "), lpad(col("l_partkey").cast("string"), 10, "0"), lit("-N S1 "),
+      col("p_name"), lit(" "),
       col("l_quantity").cast("int").cast("string"), lit(" EA $"),
       u1, lit(" $"), a1, lit(" $"), u2, lit(" $"), a2)
-    val money = regexp_extract_all(col("line"), lit("\\$([\\d,]+\\.\\d{2})"), lit(1))
-    val parsed = Tables.lineitem(s, dir)
+    val docs = Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), line.as("line"))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        regexp_extract(col("line"), "^\\d{4} (.*?) (\\d+) EA", 1).as("description"),
-        regexp_extract(col("line"), "^\\d{4} .*? (\\d+) EA", 1)
-          .cast("double").as("qty"),
-        money.as("money"))
-    parsed
-      .select(col("l_orderkey"), col("l_linenumber"), col("description"),
-        col("qty"),
-        explode(array(
-          struct(lit(1).as("bidder_index"),
-            Parse.parseFloat(element_at(col("money"), 1)).as("unit_price"),
-            Parse.parseFloat(element_at(col("money"), 2)).as("amount")),
-          struct(lit(2).as("bidder_index"),
-            Parse.parseFloat(element_at(col("money"), 3)).as("unit_price"),
-            Parse.parseFloat(element_at(col("money"), 4)).as("amount"))))
-          .as("b"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("description"),
-        col("qty"), col("b.bidder_index").as("bidder_index"),
-        col("b.unit_price").as("unit_price"), col("b.amount").as("amount"))
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws("\n",
+        lit("ACME PAVING INC\nBLUE RIDGE CONSTRUCTION LLC") +:
+        Seq(array_join(transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("line")))),
+          t => t.getField("line")), "\n")): _*).as("doc"))
+    NcDocs.parseBidTabs(docs, "doc", Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("line_no").cast("int").as("l_linenumber"),
+        col("description"), col("qty"), col("bidder_index"),
+        col("unit_price"), col("amount"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("bidder_index"))
   }
 

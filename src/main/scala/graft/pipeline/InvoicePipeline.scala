@@ -127,18 +127,22 @@ object InvoicePipeline {
     val docs = DocSource.scanFiles(spark, root)
       .withColumn("text", decode(col("content"), "UTF-8"))
       .select(col("path"), col("file_name"), col("doc_type"), col("text"))
+    val keys = Seq("path", "file_name")
+    def typed(t: String) = docs.filter(col("doc_type") === t)
     Map(
       "nc_item_c" -> graft.operators.NcDocs.parseItemC(
-        docs.filter(col("doc_type") === "nc_item_c"),
-        "text", Seq("path", "file_name")),
+        typed("nc_item_c"), "text", keys),
       "nc_invitation_to_bid" -> graft.operators.NcDocs.parseInvitation(
-        docs.filter(col("doc_type") === "nc_invitation_to_bid"),
-        "text", Seq("path", "file_name")),
+        typed("nc_invitation_to_bid"), "text", keys),
       "nc_award_letter" -> graft.operators.NcDocs.parseAwardLetter(
-        docs.filter(col("doc_type") === "nc_award_letter"),
-        "text", Seq("path", "file_name")),
+        typed("nc_award_letter"), "text", keys),
+      "nc_bids_as_read" -> graft.operators.NcDocs.parseBidsAsRead(
+        typed("nc_bids_as_read"), "text", keys),
+      "nc_bid_tabs" -> graft.operators.NcDocs.parseBidTabs(
+        typed("nc_bid_tabs"), "text", keys),
       "other" -> docs.filter(!col("doc_type")
-        .isin("nc_item_c", "nc_invitation_to_bid", "nc_award_letter", "invoice"))
+        .isin("nc_item_c", "nc_invitation_to_bid", "nc_award_letter",
+          "nc_bids_as_read", "nc_bid_tabs", "invoice"))
         .select(col("path"), col("file_name"), col("doc_type"),
           col("text").as("raw_text")))
   }

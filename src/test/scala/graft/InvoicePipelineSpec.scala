@@ -106,6 +106,36 @@ class InvoicePipelineSpec extends SparkSpecBase {
         |We are pleased to inform you that BLYTHE CONSTRUCTION, INC.
         |has been awarded this contract based on the bid submitted on
         |May 3, 2023 in the amount of $1,862,371.25""".stripMargin)
+    Files.writeString(Paths.get(d, "L230203 Bids As Read.txt"),
+      """STATE OF NORTH CAROLINA
+        |DEPARTMENT OF TRANSPORTATION
+        |CONTRACT BIDS AS READ
+        |Bid Opening
+        |5/3/2023
+        |Time: 2:00 PM
+        |Contract: 00570123
+        |Description: Resurfacing of US 64
+        |and associated drainage work
+        |CONTRACTOR AMOUNT BID
+        |BLYTHE CONSTRUCTION, INC. $1,862,371.25
+        |S T WOOTEN CORPORATION $1,900,000.00
+        |ENGINEERS ESTIMATE $1,750,000.00
+        |TOTAL BIDS RECEIVED: (2)""".stripMargin)
+    Files.writeString(Paths.get(d, "DA00569 Bid Tabs.txt"),
+      """STATE OF NORTH CAROLINA
+        |DEPARTMENT OF TRANSPORTATION
+        |May 03, 2023 2:30 PM
+        |DA00569
+        |Call Number 002
+        |FED AID NO: STATE FUNDED
+        |Resurfacing
+        |US 70 Johnston County
+        |Craven, Pasquotank
+        |BLYTHE CONSTRUCTION, INC.
+        |S T WOOTEN CORPORATION
+        |ROADWAY ITEMS
+        |0001 0000100000-N S1 MOBILIZATION Lump Sum $100,000.00 $95,000.00 $110,000.00 $105,000.00
+        |0002 0000200000-N S1 ASPHALT CONCRETE 380,471 SY $12.50 $4,755,887.50 $13.00 $4,946,123.00""".stripMargin)
     d
   }
 
@@ -156,6 +186,77 @@ class InvoicePipelineSpec extends SparkSpecBase {
     assert(a.getAs[java.sql.Date]("letting_date").toString == "2023-05-03")
     assert(a.getAs[Double]("award_value") == 1862371.25)
     assert(routed("other").count() == 0)
+  }
+
+  test("doc-type router parses Bids As Read and Bid Tabs docs (all 5 NC types)") {
+    val routed = InvoicePipeline.routeNcDocs(spark, ncRoot)
+
+    val bar = routed("nc_bids_as_read").collect()
+    // 3 money lines: two contractors + the ENGINEERS ESTIMATE line
+    // (the reference's contractor loop keeps any money-bearing line
+    // not labelled CONTRACTOR/AMOUNT BID — parity preserved)
+    assert(bar.length == 3)
+    val blythe = bar.find(_.getAs[String]("contractor_name")
+      .startsWith("BLYTHE")).get
+    assert(blythe.getAs[String]("state_header") == "STATE OF NORTH CAROLINA")
+    assert(blythe.getAs[String]("owner_header") == "DEPARTMENT OF TRANSPORTATION")
+    // date on the line AFTER "Bid Opening"
+    assert(blythe.getAs[String]("letting_date") == "5/3/2023")
+    assert(blythe.getAs[String]("letting_time") == "2:00 PM")
+    // the digit-less "CONTRACT BIDS AS READ" title is scanned past
+    assert(blythe.getAs[String]("contract_id") == "00570123")
+    assert(blythe.getAs[String]("description") ==
+      "Resurfacing of US 64 and associated drainage work")
+    assert(blythe.getAs[Double]("engineers_estimate") == 1750000.00)
+    assert(blythe.getAs[Int]("total_bids_received") == 2)
+    assert(blythe.getAs[Double]("amount_bid") == 1862371.25)
+    assert(bar.exists(r => r.getAs[String]("contractor_name") ==
+      "S T WOOTEN CORPORATION" && r.getAs[Double]("amount_bid") == 1900000.00))
+
+    val bt = routed("nc_bid_tabs").collect()
+    // 2 item lines × 2 bidders
+    assert(bt.length == 4)
+    val b1 = bt.find(r => r.getAs[String]("line_no") == "0001" &&
+      r.getAs[Int]("bidder_index") == 1).get
+    assert(b1.getAs[java.sql.Date]("letting_date").toString == "2023-05-03")
+    assert(b1.getAs[String]("contract_id") == "DA00569")
+    assert(b1.getAs[String]("call_number") == "002")
+    assert(b1.getAs[String]("project_number") == "STATE FUNDED")
+    assert(b1.getAs[String]("proposal_project_type") == "Resurfacing")
+    assert(b1.getAs[String]("location") == "US 70 Johnston County")
+    assert(b1.getAs[String]("counties") == "Craven, Pasquotank")
+    assert(b1.getAs[String]("item_no") == "0000100000-N")
+    assert(b1.getAs[String]("description") == "MOBILIZATION")
+    // textual quantity: typed qty null, raw preserved
+    assert(b1.isNullAt(b1.fieldIndex("qty")))
+    assert(b1.getAs[String]("qty_raw") == "Lump Sum")
+    assert(b1.getAs[String]("bidder_name") == "BLYTHE CONSTRUCTION, INC.")
+    assert(b1.getAs[Double]("unit_price") == 100000.00)
+    assert(b1.getAs[Double]("amount") == 95000.00)
+    val b2b = bt.find(r => r.getAs[String]("line_no") == "0002" &&
+      r.getAs[Int]("bidder_index") == 2).get
+    assert(b2b.getAs[String]("description") == "ASPHALT CONCRETE")
+    assert(b2b.getAs[Double]("qty") == 380471.0)
+    assert(b2b.getAs[String]("unit") == "SY")
+    assert(b2b.getAs[String]("bidder_name") == "S T WOOTEN CORPORATION")
+    assert(b2b.getAs[Double]("unit_price") == 13.00)
+    assert(b2b.getAs[Double]("amount") == 4946123.00)
+  }
+
+  test("bid tabs fallback: a document with no item lines keeps doc fields") {
+    val d = Files.createTempDirectory("graft-nc-fb").toString
+    Files.writeString(Paths.get(d, "DA00001 Bid Tabs.txt"),
+      """STATE OF NORTH CAROLINA
+        |DEPARTMENT OF TRANSPORTATION
+        |May 03, 2023
+        |DA00001
+        |Call Number 007""".stripMargin)
+    val rows = InvoicePipeline.routeNcDocs(spark, d)("nc_bid_tabs").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("contract_id") == "DA00001")
+    assert(rows.head.getAs[String]("call_number") == "007")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("line_no")))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("amount")))
   }
 
   test("the five reference analytics run over the pipeline output") {
