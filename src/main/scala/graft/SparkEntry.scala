@@ -41,6 +41,7 @@ object SparkEntry {
     "p17_nc_award_letter" -> (ParseOps.ncAwardLetterQ _),
     "p18_invoice_metadata" -> (ParseOps.invoiceMetadataQ _),
     "p19_invoice_lines" -> (ParseOps.invoiceLinesQ _),
+    "p20_ocr_tsv" -> (ParseOps.ocrTsvQ _),
     // §2.3 relational core
     "r01_pricing_summary" -> (Relational.pricingSummary _),
     "r02_enrich_join" -> (Relational.enrichJoin _),
@@ -368,6 +369,18 @@ FROM orders ORDER BY o_orderkey""",
   floor(l_quantity * l_extendedprice * 100) / 100.0 AS total
 FROM lineitem JOIN part ON l_partkey = p_partkey
 ORDER BY o_orderkey, l_linenumber""",
+    "p20_ocr_tsv" ->
+      """SELECT 'page_' || CAST(user_id AS VARCHAR) AS filename,
+  CAST(user_id AS INT) AS page,
+  1 AS block_num, 1 AS par_num, 1 AS line_num,
+  CAST(event_id AS INT) AS word_num,
+  CAST(event_id AS INT) AS x0,
+  CAST(floor(value) AS INT) AS y0,
+  CAST(event_id + len(event_type) * 7 AS INT) AS x2,
+  CAST(floor(value) + 12 AS INT) AS y2,
+  CAST(90 + event_id % 10 AS DOUBLE) AS conf,
+  event_type AS text
+FROM events ORDER BY filename, x0""",
     "r14_table_diff" ->
       """WITH old AS (SELECT o_orderkey AS key, o_totalprice AS old_total FROM orders),
 kept AS (SELECT o_orderkey AS key,

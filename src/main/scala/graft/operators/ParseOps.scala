@@ -136,11 +136,20 @@ object ParseOps {
     * Chain rule: consecutive-y gap > 10 starts a new line. One shuffle
     * on user_id; the same lag+cumsum pattern sessionize uses.
     */
-  def ocrLineGroupingQ(s: SparkSession, dir: String): DataFrame = {
-    val byPage = Window.partitionBy(col("page")).orderBy(col("y0"), col("x0"))
-    Tables.events(s, dir)
+  def ocrLineGroupingQ(s: SparkSession, dir: String): DataFrame =
+    groupOcrWords(Tables.events(s, dir)
       .select(col("user_id").as("page"), floor(col("value")).cast("int").as("y0"),
-        col("event_id").as("x0"), col("event_type").as("word"))
+        col("event_id").as("x0"), col("event_type").as("word")))
+      .orderBy(col("page"), col("line_id"))
+
+  /** The reusable word→line grouping core (ocr_utils.py:89-126
+    * `group_ocr_words`): input must carry (page, y0, x0, word); any
+    * upstream word source — events projection (p09) or parsed
+    * tesseract TSV (p20) — feeds the same chain rule.
+    */
+  def groupOcrWords(words: DataFrame): DataFrame = {
+    val byPage = Window.partitionBy(col("page")).orderBy(col("y0"), col("x0"))
+    words
       .withColumn("prev_y", lag(col("y0"), 1).over(byPage))
       .withColumn("new_line",
         when(col("prev_y").isNull || col("y0") - col("prev_y") > 10, 1)
@@ -152,7 +161,73 @@ object ParseOps {
         array_join(
           transform(array_sort(collect_list(struct(col("y0"), col("x0"), col("word")))),
             t => t.getField("word")), " ").as("line_text"))
-      .orderBy(col("page"), col("line_id"))
+  }
+
+  /** Parses tesseract `image_to_data` TSV text into word rows — the
+    * reference's `read_bbox_and_words` ingestion (ocr_utils.py:17-34):
+    * header skipped, only level-5 (word) rows with non-negative conf
+    * and non-blank text survive, and the (x2, y2) corner is
+    * left+width / top+height exactly as the reference derives it.
+    * Pure string splitting inside whole-stage codegen; `df` carries
+    * `keyCols` and the TSV text in `tsvCol` (one document per row).
+    */
+  def ocrTsvRows(df: DataFrame, tsvCol: String, keyCols: Seq[String]): DataFrame = {
+    val f = col("f")
+    df.select(keyCols.map(col) :+ explode(split(col(tsvCol), "\n")).as("l"): _*)
+      .withColumn("f", split(col("l"), "\t"))
+      // tesseract TSV: level page block par line word left top w h conf text
+      .filter(size(f) >= 12 && element_at(f, 1) === "5" &&
+        element_at(f, 11).cast("double") >= 0 &&
+        trim(element_at(f, 12)) =!= "")
+      .select(keyCols.map(col) ++ Seq(
+        element_at(f, 2).cast("int").as("page"),
+        element_at(f, 3).cast("int").as("block_num"),
+        element_at(f, 4).cast("int").as("par_num"),
+        element_at(f, 5).cast("int").as("line_num"),
+        element_at(f, 6).cast("int").as("word_num"),
+        element_at(f, 7).cast("int").as("x0"),
+        element_at(f, 8).cast("int").as("y0"),
+        (element_at(f, 7).cast("int") + element_at(f, 9).cast("int")).as("x2"),
+        (element_at(f, 8).cast("int") + element_at(f, 10).cast("int")).as("y2"),
+        element_at(f, 11).cast("double").as("conf"),
+        element_at(f, 12).as("text")): _*)
+  }
+
+  /** p20 — OCR TSV ingestion under the oracle: one synthetic
+    * tesseract-TSV document per page (header row, a structural
+    * level-2/conf=-1 row, and one level-5 word row per event),
+    * re-parsed by the shared `ocrTsvRows`. The oracle computes the
+    * surviving word rows directly from the events table, so the
+    * equality proves the TSV round-trip (header/structural filtering,
+    * bbox arithmetic) — the same transform `group_ocr_words` (p09)
+    * consumes on real tesseract output.
+    */
+  def ocrTsvQ(s: SparkSession, dir: String): DataFrame = {
+    val header =
+      "level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\tleft\ttop\twidth\theight\tconf\ttext"
+    val wordLine = concat_ws("\t", lit("5"), col("user_id").cast("string"),
+      lit("1"), lit("1"), lit("1"), col("event_id").cast("string"),
+      col("event_id").cast("string"),
+      floor(col("value")).cast("int").cast("string"),
+      (length(col("event_type")) * 7).cast("string"), lit("12"),
+      (lit(90) + pmod(col("event_id"), lit(10))).cast("double").cast("string"),
+      col("event_type"))
+    val tsv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), wordLine.as("wl"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("\n",
+        lit(header),
+        // structural row: level 2, conf -1, empty text — must be dropped
+        concat_ws("\t", lit("2"), col("user_id").cast("string"), lit("1"),
+          lit("0"), lit("0"), lit("0"), lit("0"), lit("0"), lit("0"), lit("0"),
+          lit("-1"), lit("")),
+        array_join(transform(
+          array_sort(collect_list(struct(col("event_id"), col("wl")))),
+          t => t.getField("wl")), "\n")).as("tsv"))
+      .select(concat(lit("page_"), col("user_id").cast("string")).as("filename"),
+        col("tsv"))
+    ocrTsvRows(tsv, "tsv", Seq("filename"))
+      .orderBy(col("filename"), col("x0"))
   }
 
   /** p12 — whole-document detail-line parsing, the shape of the NC

@@ -12,6 +12,39 @@ class ParseSpec extends SparkSpecBase {
   private def one[T](df: org.apache.spark.sql.DataFrame): T =
     df.collect().head.getAs[T](0)
 
+  test("p20 ocrTsvRows parses tesseract TSV and feeds p09's line grouping") {
+    // real tesseract image_to_data shape: header, structural rows
+    // (level<5, conf -1, empty text), word rows — two visual lines
+    // (y 10/12 within the 10px chain tolerance, y 40 a new line)
+    val tsv = Seq(
+      "level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\tleft\ttop\twidth\theight\tconf\ttext",
+      "1\t1\t0\t0\t0\t0\t0\t0\t600\t800\t-1\t",
+      "2\t1\t1\t0\t0\t0\t10\t8\t200\t20\t-1\t",
+      "5\t1\t1\t1\t1\t1\t10\t10\t50\t12\t96.2\tTAX",
+      "5\t1\t1\t1\t1\t2\t70\t12\t80\t12\t91.0\tINVOICE",
+      "5\t1\t1\t1\t2\t1\t10\t40\t60\t12\t88.5\tTotal",
+      "5\t1\t1\t1\t1\t3\t160\t11\t30\t12\t42.0\t  " // blank text → dropped
+    ).mkString("\n")
+    val rows = operators.ParseOps.ocrTsvRows(
+      Seq(("inv_001", tsv)).toDF("filename", "tsv"), "tsv", Seq("filename"))
+    val got = rows.orderBy("y0", "x0").collect()
+    assert(got.length == 3) // header + 2 structural + blank-text dropped
+    val first = got.head
+    assert(first.getAs[String]("filename") == "inv_001")
+    assert(first.getAs[Int]("page") == 1 && first.getAs[Int]("x0") == 10 &&
+      first.getAs[Int]("y0") == 10 && first.getAs[Int]("x2") == 60 &&
+      first.getAs[Int]("y2") == 22 && first.getAs[Double]("conf") == 96.2 &&
+      first.getAs[String]("text") == "TAX")
+    // p09's grouping consumes the parsed words directly
+    val lines = operators.ParseOps.groupOcrWords(
+        rows.select(col("page"), col("y0"), col("x0"), col("text").as("word")))
+      .orderBy("page", "line_id").collect()
+    assert(lines.length == 2)
+    assert(lines.head.getAs[String]("line_text") == "TAX INVOICE")
+    assert(lines.head.getAs[Long]("n_words") == 2)
+    assert(lines(1).getAs[String]("line_text") == "Total")
+  }
+
   test("parseFloat strips $ and commas like parse_float") {
     val df = Seq("$1,234.56", " 42.45 ", "garbage", "7").toDF("s")
       .select(Parse.parseFloat(col("s")))
