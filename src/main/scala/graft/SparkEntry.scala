@@ -163,6 +163,46 @@ reach(src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id"""
 
+  /** DuckDB replay of VectorAgg.pqCodebook (K=16, 2 k-means rounds,
+    * vec_id%16 seed, milli-floored means): psv = subspace slices of
+    * the full corpus, c0 = seed centroids, a1/c1 and a2/cj = the two
+    * assign→mean rounds. Requires an `e(vec_id, embedding)` CTE in
+    * scope; yields `cj(j, cid, scv)`.
+    */
+  private def pqCodebookCtes: String =
+    """psv AS (SELECT vec_id, j, CAST(embedding[j*16+1 : j*16+16] AS DOUBLE[]) AS sv
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+c0m AS (SELECT j, ck, idx, CAST(floor(avg(v) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT j, CAST(vec_id % 16 AS INT) AS ck, unnest(sv) AS v,
+      unnest(range(1, len(sv)+1)) AS idx FROM psv) z
+  GROUP BY j, ck, idx),
+c0 AS (SELECT j, ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
+  FROM c0m GROUP BY j, ck),
+a1 AS (SELECT vec_id, j, ck FROM (SELECT psv.vec_id, psv.j, c.ck,
+    row_number() OVER (PARTITION BY psv.vec_id, psv.j
+      ORDER BY list_inner_product(c.scv, c.scv)
+        - 2 * list_inner_product(psv.sv, c.scv), c.ck) AS rr
+  FROM psv JOIN c0 c USING (j)) z WHERE rr = 1),
+c1m AS (SELECT j, ck, idx, CAST(floor(avg(v) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT psv.j AS j, a1.ck AS ck, unnest(psv.sv) AS v,
+      unnest(range(1, len(psv.sv)+1)) AS idx
+    FROM psv JOIN a1 ON a1.vec_id = psv.vec_id AND a1.j = psv.j) z
+  GROUP BY j, ck, idx),
+c1 AS (SELECT j, ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
+  FROM c1m GROUP BY j, ck),
+a2 AS (SELECT vec_id, j, ck FROM (SELECT psv.vec_id, psv.j, c.ck,
+    row_number() OVER (PARTITION BY psv.vec_id, psv.j
+      ORDER BY list_inner_product(c.scv, c.scv)
+        - 2 * list_inner_product(psv.sv, c.scv), c.ck) AS rr
+  FROM psv JOIN c1 c USING (j)) z WHERE rr = 1),
+c2m AS (SELECT j, ck, idx, CAST(floor(avg(v) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT psv.j AS j, a2.ck AS ck, unnest(psv.sv) AS v,
+      unnest(range(1, len(psv.sv)+1)) AS idx
+    FROM psv JOIN a2 ON a2.vec_id = psv.vec_id AND a2.j = psv.j) z
+  GROUP BY j, ck, idx),
+cj AS (SELECT j, ck AS cid, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
+  FROM c2m GROUP BY j, ck)"""
+
   private def simhashSql: String = {
     val bitSums = (0 until 32).map { j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
@@ -651,20 +691,11 @@ SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
     "s05_ann_pq" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
-cj AS (SELECT cid, j, CAST(cv[j*16+1 : j*16+16] AS DOUBLE[]) AS scv
-  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
-sv AS (SELECT vec_id, j, CAST(embedding[j*16+1 : j*16+16] AS DOUBLE[]) AS sv
-  FROM e, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+""" + pqCodebookCtes + """,
 enc AS (SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j
     ORDER BY list_inner_product(scv, scv) - 2*list_inner_product(sv, scv), cid) AS rr
-  FROM sv JOIN cj USING (j)),
+  FROM psv JOIN cj USING (j)),
 codes AS (SELECT vec_id,
     max(CASE WHEN j = 0 THEN cid END) AS code0,
     max(CASE WHEN j = 1 THEN cid END) AS code1,
@@ -693,9 +724,9 @@ r AS (SELECT query_id, vec_id, adc,
   FROM scan)
 SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
-FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+FROM r WHERE rn <= 3 ORDER BY query_id, rn"""),
     "s06_ann_ivfpq" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
 cm AS (SELECT label AS cid, idx,
     CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
   FROM (SELECT label, unnest(embedding) AS v,
@@ -708,8 +739,7 @@ asg AS (SELECT e.vec_id, c.cid,
   FROM e, cent c),
 cells AS (SELECT a.vec_id, a.cid AS cell, e.embedding
   FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
-cj AS (SELECT cid, j, CAST(cv[j*16+1 : j*16+16] AS DOUBLE[]) AS scv
-  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+""" + pqCodebookCtes + """,
 sv AS (SELECT vec_id, cell, j,
     CAST(embedding[j*16+1 : j*16+16] AS DOUBLE[]) AS sv
   FROM cells, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
@@ -745,7 +775,7 @@ r AS (SELECT query_id, vec_id, adc,
   FROM scan)
 SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
-FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+FROM r WHERE rn <= 3 ORDER BY query_id, rn"""),
     "s04_hybrid_search" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),

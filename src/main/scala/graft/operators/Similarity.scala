@@ -117,8 +117,9 @@ object Similarity {
 
   /** s05 — product-quantization ANN: vectors are compressed to 4
     * one-byte codes (nearest per-subspace centroid over 16-dim
-    * slices; codebooks = the label centroids restricted to each
-    * subspace — deterministic, oracle-replicable) and queries scan
+    * slices; codebooks = K=16 deterministic k-means per subspace,
+    * VectorAgg.pqCodebook — K a free parameter, oracle-replicable)
+    * and queries scan
     * the CODES, not the vectors, ranking by asymmetric distance
     * (|q_j|² + |c_j|² − 2·q_j·c_j summed over subspaces, fixed
     * left-to-right association so both engines add in the same
@@ -132,12 +133,7 @@ object Similarity {
     val nSub = 4
     val subLen = 16
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
-    val centJ = cent
-      .select(col("cid"), explode(array((0 until nSub).map(j =>
-        struct(lit(j).as("j"),
-          slice(col("cv"), j * subLen + 1, subLen).as("scv"))): _*)).as("b"))
-      .select(col("b.j").as("j"), col("cid"), col("b.scv").as("scv"))
+    val centJ = graft.operators.VectorAgg.pqCodebook(s, dir, nSub, subLen)
     val subVec = e
       .select(col("vec_id"), explode(array((0 until nSub).map(j =>
         struct(lit(j).as("j"),
@@ -206,12 +202,10 @@ object Similarity {
       .withColumn("rr", row_number().over(wAsg))
     val cells = asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    // PQ codes per vector (same construction as s05), tagged with the
-    // vector's IVF cell so the scan prunes on it
-    val centJ = cent.select(col("cid"), explode(array((0 until nSub).map(j =>
-        struct(lit(j).as("j"),
-          slice(col("cv"), j * subLen + 1, subLen).as("scv"))): _*)).as("b"))
-      .select(col("b.j").as("j"), col("cid"), col("b.scv").as("scv"))
+    // PQ codes per vector (same construction as s05 — the K=16
+    // k-means codebooks, independent of the IVF coarse level), tagged
+    // with the vector's IVF cell so the scan prunes on it
+    val centJ = graft.operators.VectorAgg.pqCodebook(s, dir, nSub, subLen)
     val subVec = cells.select(col("vec_id"), col("cid").as("cell"),
         explode(array((0 until nSub).map(j =>
           struct(lit(j).as("j"),

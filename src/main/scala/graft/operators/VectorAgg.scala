@@ -82,4 +82,53 @@ object VectorAgg {
         transform(col("centroid"), x =>
           (floor(x * 1000) / lit(1000.0)).cast("float")).as("cv"))
   }
+
+  /** Per-subspace PQ codebooks via DETERMINISTIC k-means: K is a free
+    * parameter (default 16), decoupled from label cardinality — the
+    * r2 verdict's objection to label-derived codebooks. No RNG
+    * anywhere: the seed assignment is `vec_id % K`, ties in the
+    * argmin break on the smaller centroid id, and every recomputed
+    * mean is floored to milli-units before the next assignment round,
+    * so the DuckDB oracle replays the identical `iters` rounds
+    * CTE-for-CTE (SparkEntry.pqCodebookCtes). Clusters that lose all
+    * members simply drop out — both engines derive that from the same
+    * group-by. Shape of one round at scale: subvectors join a
+    * broadcast ≤ nSub·K centroid table, the rn=1 argmin is rewritten
+    * to bounded TopKPerKey by RewriteWindowTopK, and the mean is one
+    * shuffle on (j, ck, component) — iterations are a small constant.
+    * Returns (j, cid, scv): subspace, code id, milli-floored centroid.
+    */
+  def pqCodebook(s: SparkSession, dir: String, nSub: Int = 4,
+      subLen: Int = 16, k: Int = 16, iters: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val subVec = e
+      .select(col("vec_id"), explode(array((0 until nSub).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.j").as("j"), col("b.sv").as("sv"))
+      .cache()
+    // element-wise milli-floored mean per (subspace, cluster)
+    def meanCentroids(asg: DataFrame): DataFrame =
+      asg.select(col("j"), col("ck"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("j"), col("ck"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("j"), col("ck"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("a"))
+        .select(col("j"), col("ck"), transform(col("a"),
+          t => (floor(t.getField("m") * 1000) / lit(1000.0)).cast("float"))
+          .as("scv"))
+    var cent = meanCentroids(
+      subVec.withColumn("ck", pmod(col("vec_id"), lit(k)).cast("int")))
+    for (_ <- 1 to iters) {
+      val wEnc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("j")).orderBy(col("d2"), col("ck"))
+      val asg = subVec.join(broadcast(cent), "j")
+        .withColumn("d2", graft.functions.Vector.dot(col("scv"), col("scv"))
+          - lit(2.0) * graft.functions.Vector.dot(col("sv"), col("scv")))
+        .withColumn("rr", row_number().over(wEnc)).filter(col("rr") === 1)
+        .select(col("vec_id"), col("j"), col("ck"), col("sv"))
+      cent = meanCentroids(asg)
+    }
+    cent.select(col("j"), col("ck").as("cid"), col("scv"))
+  }
 }

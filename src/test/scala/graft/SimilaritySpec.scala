@@ -79,6 +79,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("pq codebook: K is a free parameter, build is deterministic") {
+    val cb16 = operators.VectorAgg.pqCodebook(spark, dir).collect()
+    // 4 subspaces, at most K=16 codes each (empty clusters may drop)
+    val perSub = cb16.groupBy(_.getAs[Int]("j")).map { case (j, rs) => j -> rs.length }
+    assert(perSub.keySet == Set(0, 1, 2, 3))
+    assert(perSub.values.forall(n => n >= 3 && n <= 16), perSub)
+    // no RNG anywhere: a rebuild is bit-identical
+    val again = operators.VectorAgg.pqCodebook(spark, dir).collect()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => ((r.getAs[Int]("j"), r.getAs[Int]("cid")),
+        r.getAs[Seq[Float]]("scv"))).toMap
+    assert(keyed(cb16) == keyed(again))
+    // K=4 shrinks the codebook accordingly
+    val cb4 = operators.VectorAgg.pqCodebook(spark, dir, k = 4).collect()
+    assert(cb4.groupBy(_.getAs[Int]("j")).values.forall(_.length <= 4))
+  }
+
+  test("s05 cluster recall matches brute force (codes can't rank within ties)") {
+    // within a tight cluster all members share identical codes, so
+    // ADC ties and exact top-3 overlap with brute is not meaningful;
+    // the recall contract is at cluster granularity: PQ retrieves
+    // from exactly the clusters brute force retrieves from
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    val pq = top3(operators.Similarity.annPq(spark, dir))
+    bf.foreach { case (q, truth) =>
+      val got = pq.getOrElse(q, Set.empty)
+      assert(got.map(cluster) == truth.map(cluster),
+        s"cluster recall broken for $q: $got vs $truth")
+    }
+  }
+
   test("s05 PQ codes resolve cluster membership") {
     val pq = top3(operators.Similarity.annPq(spark, dir))
     assert(pq.keySet == Set(0L, 100L))
