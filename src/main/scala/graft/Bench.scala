@@ -33,8 +33,14 @@ object Bench {
     // min of two runs per query: the first pays one-off plan/codegen
     // compilation, the second measures steady-state data work. A
     // failing query is recorded as -1 (sentinel), never as a
-    // normal-looking elapsed-until-crash number.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // normal-looking elapsed-until-crash number. Queries run in
+    // SORTED key order — SparkEntry.queries is a HashMap, and letting
+    // map order decide who pays shared warm-up costs made unchanged
+    // queries look faster/slower round-over-round (r2's phantom
+    // q33/p09 regressions). Both raw runs are emitted alongside the
+    // min so compile-vs-steady-state artifacts are visible in the
+    // JSON itself.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -46,14 +52,18 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val nFailed = results.values.count(_ < 0)
-    val total = results.values.filter(_ >= 0).sum
+    val runs = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFailed,"sf":"$sfDir"}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>

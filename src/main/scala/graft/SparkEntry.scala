@@ -907,17 +907,20 @@ FROM x GROUP BY label, idx ORDER BY label, idx""",
       """WITH d AS (SELECT doc_id,
     CASE WHEN doc_id % 3 = 0 THEN 'image'
          WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-    CAST(length(text) AS BIGINT) AS byte_len, text
+    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+    hex(encode(text)) AS h
   FROM documents),
 st AS (SELECT doc_id, kind, byte_len,
-    unnest(range(0, CAST(ceil(byte_len / 16.0) AS BIGINT))) AS stripe_no, text
+    unnest(range(0, CAST(ceil(byte_len / 16.0) AS BIGINT))) AS stripe_no, h
   FROM d),
 f AS (SELECT doc_id, kind, byte_len, stripe_no,
-    substr(text, CAST(stripe_no * 16 AS INT) + 1, 16) AS stx
+    substr(h, CAST(stripe_no * 32 AS INT) + 1, 32) AS sx
   FROM st)
 SELECT doc_id, kind, byte_len, CAST(stripe_no AS INT) AS stripe_no,
-  CAST(length(stx) AS INT) AS n_bytes,
-  CAST(list_sum(list_transform(string_split(stx, ''), c -> unicode(c))) * 1000 // length(stx) AS BIGINT) AS mean_milli
+  CAST(length(sx) // 2 AS INT) AS n_bytes,
+  CAST(list_sum(list_transform(range(0, length(sx) // 2),
+    i -> CAST(concat('0x', substr(sx, CAST(i * 2 AS INT) + 1, 2)) AS BIGINT)))
+    * 1000 // (length(sx) // 2) AS BIGINT) AS mean_milli
 FROM f ORDER BY doc_id, stripe_no""",
     "w03_session_window" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),

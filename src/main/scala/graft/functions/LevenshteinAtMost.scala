@@ -18,13 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * own string expressions use — no interpreter fallback.
   */
 object Lev {
-  /** Exact distance if ≤ k, else -1. Works on UTF-8 code points via
-    * String conversion (names here are ASCII; correctness for BMP
-    * text is char-wise, the same unit Spark's levenshtein uses).
+  /** Exact distance if ≤ k, else -1. Operates on Unicode CODE POINTS
+    * (not UTF-16 chars), the same unit Spark's built-in `levenshtein`
+    * and DuckDB's measure in — supplementary (non-BMP) characters
+    * count as one edit, not two.
     */
   def atMost(a: UTF8String, b: UTF8String, k: Int): Int = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val n = s.length
     val m = t.length
     if (math.abs(n - m) > k) return -1
@@ -45,9 +46,9 @@ object Lev {
       if (lo == 1) cur(0) = if (i <= k) i else INF
       var best = if (lo == 1) cur(0) else INF
       j = lo
-      val ci = s.charAt(i - 1)
+      val ci = s(i - 1)
       while (j <= hi) {
-        val cost = if (ci == t.charAt(j - 1)) 0 else 1
+        val cost = if (ci == t(j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         val del = prev(j) + 1
         if (del < v) v = del

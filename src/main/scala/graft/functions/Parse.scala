@@ -224,8 +224,12 @@ object Parse {
     */
   def centsStr(x: Column): Column = {
     val c = floor(x * 100).cast("long")
-    concat((c / 100).cast("long").cast("string"), lit("."),
-      lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    // sign rendered separately so negative amounts stay decimal-
+    // correct: -124 cents → "-1.24" (the truncate/pmod mix rendered
+    // "-1.76" and dropped the sign entirely on -0.50)
+    val a = abs(c)
+    concat(when(c < 0, "-").otherwise(""), (a / 100).cast("long").cast("string"),
+      lit("."), lpad(pmod(a, lit(100)).cast("string"), 2, "0"))
   }
 
   /** Lowercase + trim every column name — a schema (not data)

@@ -34,15 +34,9 @@ object Curation {
         .as("m"))
       .select(col("content_hash"), (-col("m.nid")).as("doc_id"))
     val deduped = base.join(keeper, Seq("content_hash", "doc_id"))
-    // deterministic hash-bucket sample with per-language rates
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long"), lit(100L))
-    val rate = when(col("lang") === "en", 50)
-      .when(col("lang") === "de", 25)
-      .when(col("lang") === "es", 25)
-      .otherwise(10)
-    val sampled = deduped.withColumn("bucket", bucket)
-      .filter(col("bucket") < rate)
+    // deterministic hash-bucket sample with per-language rates — the
+    // SAME transform t11 and the streaming twin use (one definition)
+    val sampled = TextOps.sampleTransform(deduped).drop("keep_pct")
     // context-window packing over (lang, sub-shard)
     val w = Window.partitionBy(col("lang"), col("shard_id"))
       .orderBy(col("doc_id"))

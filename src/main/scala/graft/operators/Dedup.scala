@@ -250,16 +250,23 @@ object Dedup {
     val tails = sup.select(col("s_suppkey").as("key"),
       col("s_name").substr(lit(lcpLen + 1), length(col("s_name"))).as("t"))
 
-    // ---- short block: both tails ≤ ShortMax — length-keyed hash join
+    // ---- short block: pairs whose SHORTER tail is < MainMin (the
+    // partner is then ≤ ShortMax) — length-keyed hash join. The
+    // min-length restriction makes the two blocks DISJOINT, and each
+    // short pair meets on exactly one length key, so the short side
+    // needs no dedup shuffle at all.
     val st = tails.filter(length(col("t")) <= ShortMax)
-    val sa = st.select(col("key").as("key_a"), length(col("t")).as("jlen"))
-    val sb = st.select(col("key").as("key_b"),
+    val sa = st.select(col("key").as("key_a"), length(col("t")).as("la"),
+      length(col("t")).as("jlen"))
+    val sb = st.select(col("key").as("key_b"), length(col("t")).as("lb"),
       explode(array((-LevK to LevK).map(d => length(col("t")) + d): _*))
         .as("jlen"))
+    // key_a < key_b keeps exactly one orientation, and side a emits
+    // exactly one length key — each pair surfaces exactly once
     val shortPairs = sa.join(sb, Seq("jlen"))
-      .filter(col("key_a") =!= col("key_b"))
-      .select(least(col("key_a"), col("key_b")).as("key_a"),
-        greatest(col("key_a"), col("key_b")).as("key_b"))
+      .filter(col("key_a") < col("key_b") &&
+        least(col("la"), col("lb")) < MainMin)
+      .select(col("key_a"), col("key_b"))
 
     // ---- main block: both tails ≥ MainMin — PassJoin segments
     val main = tails.filter(length(col("t")) >= MainMin)
@@ -272,21 +279,29 @@ object Dedup {
         explode(array(idxStructs: _*)).as("e"))
       .select(col("key_a"), length(col("t")).as("L"), col("e.i").as("i"),
         col("t").substr(col("e.st") + 1, col("e.sl")).as("seg"))
-    // probe structs carry only int arithmetic; the substring is cut
-    // after the explode+filter so only valid windows pay for it
-    val probeStructs = for {
-      dl <- 0 to LevK; i <- 0 until NSeg; d <- -LevK to LevK
-    } yield {
-      val L = length(col("t")) - dl
-      val (st0, sl) = segBounds(L, i)
-      struct(L.as("L"), lit(i).as("i"), (st0 + d).as("p"), sl.as("sl"))
-    }
-    val probe = main
+    // probe: two-level explode — first the candidate indexed length L
+    // (with its segment-arithmetic bases lb/nF computed ONCE), then
+    // the (segment, shift) grid as tiny expressions over those bases.
+    // One flat 112-struct array re-derived floor/pmod per struct and
+    // made the expression tree heavy enough that ANALYSIS+codegen
+    // dominated the query on small corpora. The substring is cut
+    // after the explode+filter so only valid windows pay for it.
+    val probeL = main
       .select(col("key").as("key_b"), col("t"),
-        explode(array(probeStructs: _*)).as("e"))
-      .filter(col("e.L") >= MainMin && col("e.p") >= 0 &&
-        col("e.p") + col("e.sl") <= length(col("t")))
-      .select(col("key_b"), col("e.L").as("L"), col("e.i").as("i"),
+        explode(array((0 to LevK).map(dl => length(col("t")) - dl): _*))
+          .as("L"))
+      .filter(col("L") >= MainMin)
+      .withColumn("lb", floor(col("L") / NSeg).cast("int"))
+      .withColumn("nF", lit(NSeg) - pmod(col("L"), lit(NSeg)).cast("int"))
+    val gridStructs = for { i <- 0 until NSeg; d <- -LevK to LevK } yield
+      struct(lit(i).as("i"),
+        (lit(i) * col("lb") + greatest(lit(0), lit(i) - col("nF")) + d).as("p"),
+        (col("lb") + when(lit(i) >= col("nF"), 1).otherwise(0)).as("sl"))
+    val probe = probeL
+      .select(col("key_b"), col("t"), col("L"),
+        explode(array(gridStructs: _*)).as("e"))
+      .filter(col("e.p") >= 0 && col("e.p") + col("e.sl") <= length(col("t")))
+      .select(col("key_b"), col("L"), col("e.i").as("i"),
         col("t").substr(col("e.p") + 1, col("e.sl")).as("seg"))
       .distinct()
     val mainPairs = idx.join(probe, Seq("L", "i", "seg"))
@@ -294,7 +309,9 @@ object Dedup {
       .select(least(col("key_a"), col("key_b")).as("key_a"),
         greatest(col("key_a"), col("key_b")).as("key_b"))
 
-    shortPairs.union(mainPairs).distinct()
+    // blocks are disjoint (short: min tail < MainMin; main: both ≥
+    // MainMin), so only the multi-witness main side needs the dedup
+    shortPairs.union(mainPairs.distinct())
   }
 
   /** d06 — fuzzy entity matching: supplier-name pairs within edit
@@ -434,7 +451,7 @@ object Dedup {
       val msgs = edges.join(labels, col("doc_a") === col("doc_id"))
         .groupBy(col("doc_b")).agg(min(col("cluster_id")).as("cand"))
       val prop = labels.join(msgs, labels("doc_id") === msgs("doc_b"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), labels("cluster_id").as("old"),
           least(labels("cluster_id"),
             coalesce(col("cand"), labels("cluster_id"))).as("cluster_id"))
       // (2) path halving (pointer jumping): also adopt the label of
@@ -442,18 +459,27 @@ object Dedup {
       // rounds instead of O(diameter)
       val parents = prop
         .select(col("doc_id").as("pid"), col("cluster_id").as("pcl"))
+      // ONE action per round: the convergence signal rides the
+      // checkpoint materialization as an observed metric (labels only
+      // ever decrease, so strict < detects any change) instead of a
+      // second count job over a join against the previous labels
+      val obs = org.apache.spark.sql.Observation(s"graft-cc-$iter")
       val upd = prop.join(parents, col("cluster_id") === col("pid"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old"),
           least(col("cluster_id"), coalesce(col("pcl"), col("cluster_id")))
             .as("cluster_id"))
+        .observe(obs,
+          coalesce(sum(when(col("cluster_id") < col("old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .drop("old")
         .localCheckpoint()
-      // labels only ever decrease — strict < detects any change
-      converged = upd
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") < col("old")).limit(1).count() == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = upd
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] WARNING: dupClusters hit the $iter-round " +
+        "cap without converging — labels may not be the full transitive closure")
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(paired, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))

@@ -153,11 +153,16 @@ object TextOps {
     * per stratum — the data-mixing step of a training pipeline.
     */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
-    sampleTransform(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    sampleTransform(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("keep_pct"))
+      .orderBy(col("doc_id"))
 
   /** The stateless sampling transform itself — works unchanged on a
     * streaming DataFrame (no window, no state), which is how a
-    * training pipeline samples an arriving corpus.
+    * training pipeline samples an arriving corpus. Keeps every input
+    * column and appends (bucket, keep_pct), so callers embed it
+    * mid-pipeline (c01, the streaming curation twin) or project the
+    * t11 shape — ONE sampling definition, no drift.
     */
   def sampleTransform(docs: DataFrame): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
@@ -167,8 +172,8 @@ object TextOps {
       .when(col("lang") === "es", 25)
       .otherwise(10)
     docs
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
-        rate.as("keep_pct"))
+      .withColumn("bucket", bucket)
+      .withColumn("keep_pct", rate)
       .filter(col("bucket") < col("keep_pct"))
   }
 

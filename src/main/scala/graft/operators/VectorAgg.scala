@@ -129,6 +129,10 @@ object VectorAgg {
         .select(col("vec_id"), col("j"), col("ck"), col("sv"))
       cent = meanCentroids(asg)
     }
-    cent.select(col("j"), col("ck").as("cid"), col("scv"))
+    // the (tiny, ≤ nSub·k row) codebook is referenced several times by
+    // every consumer (encode join + one lookup join per subspace) —
+    // without the cache the whole k-means plan would re-execute per
+    // reference
+    cent.select(col("j"), col("ck").as("cid"), col("scv")).cache()
   }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Logical node: keep the top `k` rows per key group, ordered by
   * `order`. Planned as a two-phase physical operator (partial per
@@ -46,6 +47,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
   override def output: Seq[Attribute] = child.output
 
+  /** Observability at scale: the Spark UI / executedPlan shows how
+    * hard the pre-shuffle trim works — input vs output rows IS the
+    * trim ratio, and the flush count shows whether flushKeys is sized
+    * to the key cardinality per partition.
+    */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "input rows"),
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial buffer flushes (cap overflow)"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
@@ -63,19 +75,26 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     val cap = flushKeys
     val isPartial = partial
+    val mIn = longMetric("numInputRows")
+    val mOut = longMetric("numOutputRows")
+    val mFlush = longMetric("numFlushes")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
         .asInstanceOf[Ordering[InternalRow]]
-      if (isPartial) partialIterator(iter, keyProj, rowOrdering, limit, cap)
-      else finalIterator(iter, keyProj, rowOrdering, limit)
+      val counted = iter.map { r => mIn += 1; r }
+      val out =
+        if (isPartial) partialIterator(counted, keyProj, rowOrdering, limit,
+          cap, mFlush)
+        else finalIterator(counted, keyProj, rowOrdering, limit)
+      out.map { r => mOut += 1; r }
     }
   }
 
   /** Hash-buffer pre-trim with flush-on-cap. */
   private def partialIterator(iter: Iterator[InternalRow],
       keyProj: UnsafeProjection, rowOrdering: Ordering[InternalRow],
-      limit: Int, cap: Int): Iterator[InternalRow] =
+      limit: Int, cap: Int, flushMetric: SQLMetric): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private val buffers =
         mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
@@ -106,7 +125,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             buf.clear()
             buf ++= kept
           }
-          if (buffers.size >= cap) pending = drain()
+          if (buffers.size >= cap) { flushMetric += 1; pending = drain() }
         }
         if (!pending.hasNext && !iter.hasNext && buffers.nonEmpty)
           pending = drain()

@@ -1,9 +1,9 @@
 package graft.sources.v2
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -104,7 +104,7 @@ class DocScan(root: String, required: StructType,
   override def toBatch: Batch = this
 
   private def fileSurvives(path: String): Boolean = {
-    val name = Paths.get(path).getFileName.toString
+    val name = new HPath(path).getName
     val dtype = DocTextSource.docType(name)
     pushed.forall {
       case EqualTo("doc_type", v) => dtype == v
@@ -115,19 +115,28 @@ class DocScan(root: String, required: StructType,
     }
   }
 
-  /** File listing runs on the driver over java.nio — the source
-    * therefore requires the root to be a path visible from driver AND
-    * executors (shared/NFS mount in cluster mode); an HDFS/object-
-    * store deployment would swap these java.nio calls for the Hadoop
-    * FileSystem API, the rest of the source is storage-agnostic.
+  /** File listing through the Hadoop FileSystem API (resolved from
+    * the path's scheme + the session's Hadoop conf), so the source
+    * works against local paths, HDFS, and object stores alike —
+    * `listFiles(recursive = true)` is the one listing call the
+    * object-store connectors optimize into a flat LIST. Runs on the
+    * driver (like every Spark file source's planning pass); the
+    * per-file reads happen on executors through the same API.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val walk = Files.walk(Paths.get(root))
-    val files =
-      try walk.iterator().asScala
-        .filter(Files.isRegularFile(_)).map(_.toString).toArray.sorted
-      finally walk.close() // Files.walk holds open directory handles
-    files.filter(fileSurvives).map(DocFilePartition(_): InputPartition)
+    val conf =
+      try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      catch { case _: Throwable => new Configuration() }
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(conf)
+    val it = fs.listFiles(rootPath, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) buf += st.getPath.toString
+    }
+    buf.toArray.sorted.filter(fileSurvives)
+      .map(DocFilePartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -139,14 +148,22 @@ class DocReaderFactory(required: StructType) extends PartitionReaderFactory {
     new DocPartitionReader(p.asInstanceOf[DocFilePartition].file, required)
 }
 
-/** Reads one file; emits only the pruned columns. */
+/** Reads one file through the Hadoop FileSystem API (executor-side);
+  * emits only the pruned columns.
+  */
 class DocPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val fileName = Paths.get(file).getFileName.toString
+  private val fileName = new HPath(file).getName
   private val dtype = DocTextSource.docType(fileName)
-  private lazy val lines: Array[String] =
-    new String(Files.readAllBytes(Paths.get(file)), StandardCharsets.UTF_8)
-      .split("\r?\n", -1)
+  private lazy val lines: Array[String] = {
+    val p = new HPath(file)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val out = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+    finally in.close()
+    new String(out.toByteArray, StandardCharsets.UTF_8).split("\r?\n", -1)
+  }
   private var i = -1
 
   private val fieldGen: Array[Int => Any] = required.fields.map { f =>

@@ -43,6 +43,19 @@ class DocTextSourceSpec extends SparkSpecBase {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("listing and reads go through the Hadoop FileSystem API (file:// scheme)") {
+    // an explicit scheme-qualified URI must resolve through
+    // Path.getFileSystem — java.nio would choke on "file:/..."
+    val df = spark.read.format("graft-docs").load("file://" + root)
+    assert(df.count() == 5)
+    assert(df.select("path").distinct().collect()
+      .forall(_.getString(0).startsWith("file:")))
+    // pushdown still prunes whole files under the Hadoop listing
+    val pruned = spark.read.format("graft-docs").load("file://" + root)
+      .filter("doc_type = 'invoice'")
+    assert(pruned.rdd.getNumPartitions == 1)
+  }
+
   test("doc_type filter prunes whole files at planning time") {
     val df = spark.read.format("graft-docs").load(root)
       .filter("doc_type = 'invoice'")

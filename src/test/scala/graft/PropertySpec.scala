@@ -147,6 +147,20 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("levAtMost counts supplementary (non-BMP) characters as one edit") {
+    // 𝄞 (U+1D11E) is two UTF-16 chars but ONE code point — the unit
+    // Spark's levenshtein and DuckDB measure in
+    val pairs = Seq(
+      ("a𝄞b", "ab"),      // delete the clef: distance 1
+      ("a𝄞b", "aXb"),     // substitute it: distance 1
+      ("𝄞", "𝄞")) // equal: distance 0
+    val out = pairs.toDF("a", "b").select(
+      Text.levAtMost(col("a"), col("b"), 3).as("banded"),
+      levenshtein(col("a"), col("b")).as("full")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"banded=${r.getInt(0)} full=${r.getInt(1)}"))
+  }
+
   test("cosine is symmetric and bounded") {
     val vecs = (0 until 50).map { _ =>
       (Array.fill(16)(rnd.nextFloat() * 20 - 10),

@@ -166,4 +166,42 @@ class StreamingSpec extends SparkSpecBase {
       assert(ids.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming curation twin: replayed corpus lands with batch row parity") {
+    import graft.streaming.CurationStream
+    val inDir = Files.createTempDirectory("graft-cur-in").toString
+    val outDir = Files.createTempDirectory("graft-cur-out").toString + "/table"
+    val ckDir = Files.createTempDirectory("graft-cur-ck").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // a corpus of distinct docs: quality gate keeps the wordy ones,
+    // the hash sample then thins per language
+    val docs = (0L until 120L).map { i =>
+      val good = "the quick brown fox jumps over the lazy dog " +
+        s"document number $i with plenty of words, punctuation and the like."
+      val bad = s"x$i"
+      (i, if (i % 3 == 0) bad else good,
+        Seq("en", "de", "es", "fr")((i % 4).toInt), "s", 10L, ts(i.toInt))
+    }
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars", "ts")
+    // REPLAY: the same corpus delivered twice (two files, same rows) —
+    // the watermarked content dedup + idempotent merge sink must land
+    // each doc exactly once
+    df.write.mode(SaveMode.Append).parquet(inDir)
+    df.write.mode(SaveMode.Append).parquet(inDir)
+    val q = CurationStream.start(spark, inDir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("quality_bp"), r.getAs[Long]("n_tokens"))).toSet
+    // batch twin over ONE copy of the corpus (contents are distinct,
+    // so the batch dedup is a no-op and parity is exact rows)
+    val batch = CurationStream.curatedDocs(df)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("quality_bp"), r.getAs[Long]("n_tokens"))).toSet
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(streamed.nonEmpty)
+    // the gate actually gated and the sample actually sampled
+    assert(streamed.size < 120)
+  }
 }

@@ -71,4 +71,31 @@ class TopKSpec extends SparkSpecBase {
     }
     assert(rows.length <= 100)
   }
+
+  test("SQLMetrics expose the pre-shuffle trim ratio and flush count") {
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
+    val s = session
+    import s.implicits._
+    val df = Seq.tabulate(100)(i => (i % 10, i)).toDF("k", "v").coalesce(1)
+    val child = df.queryExecution.executedPlan
+    val out = child.output
+    // ample cap: no flushes, full pre-shuffle trim (100 → 10 keys × 2)
+    val trimmed = graft.plans.TopKPerKeyExec(
+      Seq(out(0)), Seq(SortOrder(out(1), Descending)), 2,
+      partial = true, child, flushKeys = 1 << 16)
+    assert(trimmed.execute().count() == 20)
+    assert(trimmed.metrics("numInputRows").value == 100)
+    assert(trimmed.metrics("numOutputRows").value == 20)
+    assert(trimmed.metrics("numFlushes").value == 0)
+    // tiny cap over interleaved keys: the flush counter must fire
+    // (flushed segments forward extra rows — the trim ratio metric is
+    // exactly how a plan audit would SEE the cap being undersized)
+    val flushy = graft.plans.TopKPerKeyExec(
+      Seq(out(0)), Seq(SortOrder(out(1), Descending)), 2,
+      partial = true, child, flushKeys = 3)
+    val n = flushy.execute().count()
+    assert(flushy.metrics("numOutputRows").value == n)
+    assert(flushy.metrics("numFlushes").value >= 1,
+      s"expected >=1 flush, got ${flushy.metrics("numFlushes").value}")
+  }
 }
