@@ -157,7 +157,9 @@ object NcDocs {
       nonEmpty(regexp_extract(doc,
         "(?i)TOTAL BIDS RECEIVED[:\\s]*\\(?(\\d+)", 1)).cast("int")
         .as("total_bids_received"))
+    // referenced twice (bidder-line fan-out + fallback join)
     val docs = df.select(keyCols.map(col) ++ docFields :+ doc.as("_doc"): _*)
+      .cache()
     val linePat = "^(.*?)\\s*\\$?\\s*" + moneyPat + ".*$"
     val bidders = docs
       .select(keyCols.map(col) :+
@@ -215,22 +217,26 @@ object NcDocs {
         "(?im)^(?!.*(?:miles|\\$|\\d))([^\\n]*,[^\\n]*)$", 1))).as("counties"),
       array_distinct(regexp_extract_all(vendorBlock, lit(vendorPat), lit(1)))
         .as("_vendors"))
+    // referenced twice (line fan-out + doc-field/fallback join) — the
+    // cache stops the upstream document assembly from executing twice
     val docs = df.select(keyCols.map(col) ++ docFields :+ doc.as("_doc"): _*)
+      .cache()
     val isNum = (c: Column) =>
       translate(c, ",", "").rlike("^\\d+(\\.\\d+)?$")
+    // only the bidder list rides the per-line explode; the other nine
+    // doc-level fields rejoin by key AFTER the line fan-out, so the
+    // wide columns never multiply by the line count
     val lines = docs
-      .select(keyCols.map(col) ++
-        Seq(col("state_header"), col("owner_header"), col("letting_date"),
-          col("contract_id"), col("project_number"),
-          col("proposal_project_type"), col("location"), col("call_number"),
-          col("counties"), col("_vendors")) :+
+      .select(keyCols.map(col) :+ col("_vendors") :+
         explode(split(col("_doc"), "\n")).as("l"): _*)
       .withColumn("l", regexp_replace(trim(col("l")), "\\s+", " "))
+      // cheap anchored prefilter FIRST — header/vendor lines die
+      // before any money-token scanning runs on them
+      .filter(col("l").rlike("^\\d{3,4}\\s"))
       // item lines: NNN(N) first token, ≥6 tokens, ≥2 money tokens
       .withColumn("_money",
         regexp_extract_all(col("l"), lit("\\$?" + moneyPat + "\\b"), lit(1)))
-      .filter(col("l").rlike("^\\d{3,4}\\s") && size(col("_money")) >= 2 &&
-        size(split(col("l"), " ")) >= 6)
+      .filter(size(col("_money")) >= 2 && size(split(col("l"), " ")) >= 6)
       // core tokens: everything before the first money token
       .withColumn("_core", split(trim(regexp_extract(col("l"),
         "^(.*?)\\s*\\$?\\s*[\\d,]+\\.\\d{2}\\b", 1)), " "))
@@ -266,37 +272,29 @@ object NcDocs {
         size(col("_vendors"))).otherwise(1))
       .withColumn("_pairs",
         slice(col("_money"), -(col("_nb") * 2), col("_nb") * 2))
+    // bidder fan-out via a plain explode(sequence(...)) generator —
+    // a transform(...) lambda here would drop the whole projection to
+    // interpreted CodegenFallback on every line row
+    val bi = col("_bi").cast("int")
     val items = parsed
       .select(keyCols.map(col) ++
-        Seq(col("state_header"), col("owner_header"), col("letting_date"),
-          col("contract_id"), col("project_number"),
-          col("proposal_project_type"), col("location"), col("call_number"),
-          col("counties"), col("line_no"), col("item_no"), col("description"),
-          col("qty"), col("qty_raw"), col("unit")) :+
-        explode(transform(sequence(lit(1), col("_nb")), i =>
-          struct(i.cast("int").as("bidder_index"),
-            when(i <= size(col("_vendors")), element_at(col("_vendors"), i))
-              .as("bidder_name"),
-            Parse.parseFloat(element_at(col("_pairs"), (i * 2 - 1).cast("int")))
-              .as("unit_price"),
-            Parse.parseFloat(element_at(col("_pairs"), (i * 2).cast("int")))
-              .as("amount")))).as("b"): _*)
+        Seq(col("line_no"), col("item_no"), col("description"),
+          col("qty"), col("qty_raw"), col("unit"), col("_vendors"),
+          col("_pairs")) :+
+        explode(sequence(lit(1), col("_nb"))).as("_bi"): _*)
       .select(keyCols.map(col) ++
-        Seq(col("state_header"), col("owner_header"), col("letting_date"),
-          col("contract_id"), col("project_number"),
-          col("proposal_project_type"), col("location"), col("call_number"),
-          col("counties"), col("line_no"), col("item_no"), col("description"),
+        Seq(col("line_no"), col("item_no"), col("description"),
           col("qty"), col("qty_raw"), col("unit"),
-          col("b.bidder_index").as("bidder_index"),
-          col("b.bidder_name").as("bidder_name"),
-          col("b.unit_price").as("unit_price"),
-          col("b.amount").as("amount")): _*)
-    // fallback record parity: a document with no item lines keeps its
-    // doc-level fields on one all-null-detail row
-    docs.drop("_doc", "_vendors").join(
-      items.drop("state_header", "owner_header", "letting_date",
-        "contract_id", "project_number", "proposal_project_type",
-        "location", "call_number", "counties"),
-      keyCols, "left")
+          bi.as("bidder_index"),
+          when(bi <= size(col("_vendors")), element_at(col("_vendors"), bi))
+            .as("bidder_name"),
+          Parse.parseFloat(element_at(col("_pairs"), bi * 2 - 1))
+            .as("unit_price"),
+          Parse.parseFloat(element_at(col("_pairs"), bi * 2))
+            .as("amount")): _*)
+    // doc-level fields attach here (and fallback-record parity: a
+    // document with no item lines keeps them on one all-null-detail
+    // row via the left join)
+    docs.drop("_doc", "_vendors").join(items, keyCols, "left")
   }
 }
