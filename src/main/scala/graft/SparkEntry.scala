@@ -69,6 +69,7 @@ object SparkEntry {
     "d06_fuzzy_match" -> (Dedup.fuzzyMatch _),
     "d07_dup_clusters" -> (Dedup.dupClusters _),
     "d08_keep_best" -> (Dedup.keepBest _),
+    "d09_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -88,6 +89,9 @@ object SparkEntry {
     "t09_tfidf" -> (TextOps.tfidf _),
     "t10_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
     "t11_stratified_sample" -> (TextOps.stratifiedSample _),
+    "t12_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    "t13_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "t14_domain_mix" -> (TextOps.domainMix _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> (Multimodal.extractFeatures _),
@@ -807,6 +811,58 @@ SELECT doc_id, lang, CAST(shard_id AS BIGINT) AS shard_id, n_tokens,
   CAST(floor(prev_cum / 512.0) AS BIGINT) AS bin_id,
   CAST(prev_cum % 512 AS BIGINT) AS bin_offset
 FROM c ORDER BY lang, shard_id, doc_id""",
+    "d09_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(t)-1)/8) AS BIGINT) + 1),
+    i -> md5(array_to_string(t[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')))) AS chunk_hash
+  FROM t),
+df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1),
+p AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM c JOIN df USING (chunk_hash) GROUP BY 1)
+SELECT doc_id, n_chunks, n_dup_chunks,
+  CAST(n_dup_chunks * 10000 // n_chunks AS BIGINT) AS dup_frac_bp,
+  (n_dup_chunks * 10000 // n_chunks) >= 6000 AS drop_flag
+FROM p ORDER BY doc_id""",
+    "t12_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 8),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT doc_id, count(DISTINCT shingle) AS n_shared
+  FROM sh JOIN bench USING (shingle) WHERE doc_id % 50 <> 0 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+  coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+    "t13_repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks WHERE len(t) >= 2),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, CAST(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS top_bigram_bp
+  FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(t) >= 3),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 10000 // sum(cnt) AS BIGINT) AS dup_trigram_bp
+  FROM c3 GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(s2.top_bigram_bp, 0) AS BIGINT) AS top_bigram_bp,
+  CAST(coalesce(s3.dup_trigram_bp, 0) AS BIGINT) AS dup_trigram_bp,
+  (coalesce(s2.top_bigram_bp, 0) >= 2000 OR coalesce(s3.dup_trigram_bp, 0) >= 1800) AS flagged
+FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id
+  LEFT JOIN s3 ON d.doc_id = s3.doc_id
+ORDER BY d.doc_id""",
+    "t14_domain_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM c)
+SELECT lang, n_docs,
+  CAST(CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END AS BIGINT) AS target_bp,
+  CAST((CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) * total_docs // n_docs AS BIGINT) AS weight_bp
+FROM c, t ORDER BY lang""",
     "t11_stratified_sample" ->
       """WITH d AS (SELECT doc_id, lang,
     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,

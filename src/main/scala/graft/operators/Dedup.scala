@@ -486,6 +486,40 @@ object Dedup {
     labels.union(singletons).orderBy(col("doc_id"))
   }
 
+  /** d09 — exact CHUNK-level dedup: the "exact substring dedup" pass
+    * of a web-scale curation pipeline (CCNet/RefinedWeb shape),
+    * expressed at fixed 8-token-window granularity so it stays a
+    * hash-join problem: docs split into non-overlapping 8-token
+    * chunks (last chunk may be short), a chunk occurring in ≥ 2
+    * distinct docs is cross-doc duplicated, and each doc reports its
+    * duplicated-chunk fraction plus the drop flag (> 60 % duplicated
+    * — the doc is mostly boilerplate someone else already has).
+    * Scale: chunking is row-local, the df pass is one shuffle on the
+    * chunk hash, the rejoin one more — no pairwise anything.
+    */
+  def chunkDedup(s: SparkSession, dir: String, n: Int = 8,
+      dropBp: Int = 6000): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / n).cast("int")),
+          i => md5(array_join(slice(col("t"), i * n + 1, lit(n)), " "))))
+          .as("chunk_hash"))
+    val df = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(df, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        floor(col("n_dup_chunks") * 10000 / col("n_chunks")).cast("long")
+          .as("dup_frac_bp"))
+      .withColumn("drop_flag", col("dup_frac_bp") >= dropBp)
+      .orderBy(col("doc_id"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

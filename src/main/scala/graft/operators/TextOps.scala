@@ -177,6 +177,95 @@ object TextOps {
       .filter(col("bucket") < col("keep_pct"))
   }
 
+  /** t12 — benchmark DECONTAMINATION: training docs sharing any
+    * 8-token shingle with the held-out benchmark slice (docs with
+    * doc_id % 50 == 0 stand in for an eval set) are flagged — the
+    * n-gram-overlap contamination check every serious training-data
+    * pipeline runs before a model sees the corpus. Scale: the
+    * benchmark shingle set is tiny (2 % of docs, distinct) →
+    * broadcast; the training side is one scan + one equi-join on the
+    * shingle — never a pairwise comparison.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val sh = Dedup.shingles(s, dir, n)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle")).distinct()
+    val hits = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+    Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t13 — repetition-based quality stats (the Gopher repetition
+    * rules): per doc, the fraction of 2-gram occurrences taken by the
+    * single most frequent 2-gram and the fraction of 3-gram
+    * occurrences whose gram repeats within the doc; docs above either
+    * threshold flag as repetitive boilerplate. Integer basis points
+    * via floor so the flag can't straddle a float ulp cross-engine.
+    * Scale: both stats are (doc_id, gram) aggregations — two
+    * map-side-combinable shuffles keyed by doc, no global state.
+    */
+  def repetitionStats(s: SparkSession, dir: String, top2Bp: Int = 2000,
+      dup3Bp: Int = 1800): DataFrame = {
+    def gramCounts(n: Int) = {
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => array_join(slice(col("t"), i, lit(n)), " "))).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    }
+    val g2 = gramCounts(2).groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total2"))
+      .select(col("doc_id"),
+        floor(col("top_cnt") * 10000 / col("total2")).cast("long")
+          .as("top_bigram_bp"))
+    val g3 = gramCounts(3).groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_occ"),
+        sum(col("cnt")).as("total3"))
+      .select(col("doc_id"),
+        floor(col("dup_occ") * 10000 / col("total3")).cast("long")
+          .as("dup_trigram_bp"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram_bp"), lit(0L)).as("top_bigram_bp"),
+        coalesce(col("dup_trigram_bp"), lit(0L)).as("dup_trigram_bp"))
+      .withColumn("flagged",
+        col("top_bigram_bp") >= top2Bp || col("dup_trigram_bp") >= dup3Bp)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t14 — domain/language mixture weights: per language, the
+    * resampling weight that moves the corpus from its ACTUAL language
+    * share to the TARGET training mix (en 40 %, others 15 % each) —
+    * the data-mixing knob of a pretraining pipeline. weight_bp =
+    * floor(target_bp · total / n_docs): > 10000 means upsample,
+    * < 10000 downsample. One aggregate + a broadcast of the 1-row
+    * corpus total — no per-doc work at all (per-doc application is
+    * t11's hash-bucket sampling with these rates).
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total_docs"))
+    val targetBp = when(col("lang") === "en", 4000L).otherwise(1500L)
+    counts.join(broadcast(total), lit(true))
+      .select(col("lang"), col("n_docs"), targetBp.as("target_bp"),
+        floor(targetBp * col("total_docs") / col("n_docs")).cast("long")
+          .as("weight_bp"))
+      .orderBy(col("lang"))
+  }
+
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
     * synthetic) — the redaction pass every training pipeline runs

@@ -178,6 +178,25 @@ class DedupSpec extends SparkSpecBase {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("d09 chunk dedup flags docs whose chunks another doc already has") {
+    val d = Files.createTempDirectory("graft-chunk").toString
+    val block = (1 to 16).map(i => s"tok$i").mkString(" ")  // 2 full chunks
+    val unique = (1 to 16).map(i => s"only$i").mkString(" ")
+    Seq(
+      (0L, block, "en", "s", 1L),                    // 2/2 chunks shared → drop
+      (1L, block + " " + unique, "en", "s", 1L),     // 2/4 shared → keep
+      (2L, (1 to 16).map(i => s"own$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.Dedup.chunkDedup(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Boolean]("drop_flag"))).toMap
+    assert(rows(0L) == ((2L, 2L, true)))
+    assert(rows(1L) == ((4L, 2L, false)))
+    assert(rows(2L) == ((2L, 0L, false)))
+  }
+
   test("d08 keep-best retains the highest-quality copy per content group") {
     val rows = operators.Dedup.keepBest(spark, dir).collect()
     // same content groups as d01 (3 groups), but the keeper is chosen

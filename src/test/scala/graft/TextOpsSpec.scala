@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+
+/** Semantic contracts for the round-3 training-data operators
+  * (decontamination, repetition stats, domain mixing) on crafted
+  * corpora — the sf* oracle checks the cross-engine arithmetic, these
+  * check the operators actually detect what they claim to.
+  */
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkDocs(rows: Seq[(Long, String, String)]): String = {
+    val d = Files.createTempDirectory("graft-textops").toString
+    rows.map { case (id, text, lang) => (id, text, lang, "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("t12 flags training docs sharing an 8-gram with the benchmark slice") {
+    val bench = (1 to 12).map(i => s"eval$i").mkString(" ")
+    val leaked = "prefix words here " + (1 to 9).map(i => s"eval$i").mkString(" ")
+    val clean = (1 to 12).map(i => s"train$i").mkString(" ")
+    // doc 0 and 50 are the benchmark (doc_id % 50 == 0)
+    val dir = mkDocs(Seq(
+      (0L, bench, "en"), (50L, "another benchmark doc entirely", "en"),
+      (1L, leaked, "en"), (2L, clean, "en")))
+    val rows = operators.TextOps.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
+    // benchmark docs are not in the output at all
+    assert(!rows.contains(0L) && !rows.contains(50L))
+    // leaked doc shares the eval1..eval8 and eval2..eval9 8-grams
+    assert(rows(1L) == ((2L, true)), rows(1L).toString)
+    assert(rows(2L) == ((0L, false)))
+  }
+
+  test("t13 repetition stats flag boilerplate, pass varied text") {
+    val loop = ("spam ham " * 20).trim            // one dominant bigram
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = mkDocs(Seq((1L, loop, "en"), (2L, varied, "en")))
+    val rows = operators.TextOps.repetitionStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top_bigram_bp"), r.getAs[Long]("dup_trigram_bp"),
+          r.getAs[Boolean]("flagged"))).toMap
+    // "spam ham" takes ~half the bigram occurrences; every trigram repeats
+    assert(rows(1L)._1 >= 5000 && rows(1L)._2 == 10000 && rows(1L)._3)
+    // varied text: every bigram unique (top = 1/39 ≈ 256 bp), no
+    // repeated trigram — stays unflagged
+    assert(rows(2L)._1 < 2000 && rows(2L)._2 == 0L && !rows(2L)._3)
+  }
+
+  test("t14 domain mix weights move actual shares toward the target mix") {
+    val dir = mkDocs(
+      (0L until 80L).map(i => (i, s"doc $i", "en")) ++      // 80% actual vs 40% target
+        (80L until 100L).map(i => (i, s"doc $i", "de")))    // 20% actual vs 15% target
+    val rows = operators.TextOps.domainMix(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("weight_bp"))).toMap
+    // en: floor(4000 * 100 / 80) = 5000 (downsample to half)
+    assert(rows("en") == ((80L, 5000L)))
+    // de: floor(1500 * 100 / 20) = 7500
+    assert(rows("de") == ((20L, 7500L)))
+  }
+}
