@@ -31,12 +31,16 @@ object Dedup {
     */
   def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val toks = Text.tokens(col("text"))
+    // explode(sequence) + slice/array_join stays codegen'd; the
+    // transform-lambda formulation is CodegenFallback on a hot path
+    // shared by d02/d04/s04/t12
     Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => array_join(slice(col("t"), i, lit(n)), " "))).as("shingle"))
+        array_join(slice(col("t"), col("i"), lit(n)), " ").as("shingle"))
       .distinct()
   }
 
@@ -502,10 +506,11 @@ object Dedup {
     val toks = Text.tokens(col("text"))
     val chunks = Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), floor((size(col("t")) - 1) / n).cast("int")))
+          .as("i"))
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), floor((size(col("t")) - 1) / n).cast("int")),
-          i => md5(array_join(slice(col("t"), i * n + 1, lit(n)), " "))))
+        md5(array_join(slice(col("t"), col("i") * n + 1, lit(n)), " "))
           .as("chunk_hash"))
     val df = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

@@ -50,12 +50,15 @@ object TextOps {
     */
   def ngramProfile(s: SparkSession, dir: String): DataFrame = {
     val norm = Text.normalize(col("text"))
+    // explode(sequence) + substr stays inside whole-stage codegen; a
+    // transform(...) lambda here is CodegenFallback — interpreted per
+    // character of every document
     val grams = Tables.documents(s, dir)
       .select(col("lang"), norm.as("t"))
       .filter(length(col("t")) >= 3)
-      .select(col("lang"), explode(transform(
-        sequence(lit(1), length(col("t")) - 2),
-        i => col("t").substr(i, lit(3)))).as("gram"))
+      .select(col("lang"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+      .select(col("lang"), col("t").substr(col("i"), lit(3)).as("gram"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram"))
     grams.groupBy(col("lang"), col("gram"))
@@ -218,9 +221,10 @@ object TextOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= n)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => array_join(slice(col("t"), i, lit(n)), " "))).as("gram"))
+          array_join(slice(col("t"), col("i"), lit(n)), " ").as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
     }
     val g2 = gramCounts(2).groupBy(col("doc_id"))
