@@ -58,6 +58,7 @@ object SparkEntry {
     "r13_exact_stats" -> (Relational.exactStats _),
     "r14_table_diff" -> (Relational.tableDiff _),
     "r15_cube" -> (Relational.cubeSummary _),
+    "r16_scd2" -> (Relational.scd2Merge _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -98,6 +99,7 @@ object SparkEntry {
     "m03_frame_sample" -> (Multimodal.frameSample _),
     "m04_label_centroids" -> (VectorAgg.labelCentroids _),
     "m05_modality_stats" -> (Multimodal.modalityStats _),
+    "m06_modality_interleave" -> ((s, d) => Multimodal.modalityInterleave(s, d)),
     "w03_session_window" -> (Relational.sessionWindow _),
     "c01_curation" -> ((s, d) => Curation.curate(s, d)))
 
@@ -811,6 +813,44 @@ SELECT doc_id, lang, CAST(shard_id AS BIGINT) AS shard_id, n_tokens,
   CAST(floor(prev_cum / 512.0) AS BIGINT) AS bin_id,
   CAST(prev_cum % 512 AS BIGINT) AS bin_offset
 FROM c ORDER BY lang, shard_id, doc_id""",
+    "r16_scd2" ->
+      """WITH base AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+    CAST(o_orderdate AS DATE) AS since FROM orders),
+old AS (SELECT o_orderkey AS key, cents AS old_cents, since FROM base),
+kept AS (SELECT o_orderkey AS key,
+    CASE WHEN o_orderkey % 31 = 0 THEN cents + 1 ELSE cents END AS new_cents
+  FROM base WHERE o_orderkey % 97 <> 0),
+ins AS (SELECT o_orderkey + 10000000 AS key, cents AS new_cents
+  FROM base WHERE o_orderkey % 89 = 0),
+nw AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+j AS (SELECT coalesce(o.key, n.key) AS key, o.old_cents, o.since, n.new_cents
+  FROM old o FULL OUTER JOIN nw n ON o.key = n.key)
+SELECT key, old_cents AS value_cents, since AS valid_from,
+  DATE '2026-08-12' AS valid_to, false AS is_current
+FROM j WHERE old_cents IS NOT NULL AND (new_cents IS NULL OR new_cents <> old_cents)
+UNION ALL
+SELECT key, new_cents, CASE WHEN old_cents IS NULL OR old_cents <> new_cents
+    THEN DATE '2026-08-12' ELSE since END,
+  CAST(NULL AS DATE), true
+FROM j WHERE new_cents IS NOT NULL
+ORDER BY key, valid_from""",
+    "m06_modality_interleave" ->
+      """WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+v AS (SELECT vec_id,
+    CAST(floor(list_inner_product(CAST(embedding AS DOUBLE[]),
+      CAST(embedding AS DOUBLE[])) * 1000) AS BIGINT) AS norm2_milli
+  FROM embeddings),
+r AS (SELECT d.doc_id, d.kind, d.n_tokens, v.norm2_milli,
+    row_number() OVER (PARTITION BY d.kind ORDER BY d.doc_id) AS mr
+  FROM d JOIN v ON d.doc_id = v.vec_id)
+SELECT doc_id, kind, n_tokens, norm2_milli,
+  CAST((mr - 1) // 8 AS BIGINT) AS batch_id,
+  CAST((mr - 1) % 8 AS INT) AS slot
+FROM r ORDER BY kind, batch_id, slot""",
     "d09_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(t)-1)/8) AS BIGINT) + 1),

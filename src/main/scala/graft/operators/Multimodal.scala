@@ -86,6 +86,40 @@ object Multimodal {
         sum(ceil(col("byte_len") / 16.0).cast("long")).as("total_stripes"))
       .orderBy(col("kind"))
 
+  /** m06 — multimodal training-sample assembly: each document pairs
+    * with its embedding vector (doc_id = vec_id key-equality join)
+    * and samples interleave ROUND-ROBIN BY MODALITY into fixed-size
+    * batches, so every batch mixes image/audio/video instead of
+    * clumping one modality — the batch-composition step of a
+    * multimodal trainer. Per-modality rank is a window over the three
+    * modality partitions (each scales with corpus/3); the vector side
+    * contributes its self-dot (norm², milli-floored — same
+    * fixed-association FloatVecDot arithmetic the oracle replays).
+    */
+  def modalityInterleave(s: SparkSession, dir: String,
+      batchSize: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        graft.functions.Text.tokenCountWs(col("text")).cast("long")
+          .as("n_tokens"))
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        floor(graft.functions.Vector.dot(col("embedding"), col("embedding"))
+          * 1000).cast("long").as("norm2_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col("doc_id"))
+    docs.join(vecs, col("doc_id") === col("vec_id"))
+      .withColumn("modality_rank", row_number().over(w))
+      .select(col("doc_id"), col("kind"), col("n_tokens"), col("norm2_milli"),
+        floor((col("modality_rank") - 1) / batchSize).cast("long")
+          .as("batch_id"),
+        ((col("modality_rank") - 1) % batchSize).cast("int").as("slot"))
+      .orderBy(col("kind"), col("batch_id"), col("slot"))
+  }
+
   /** STUB decode/feature-extract: partition-wise batch op over the
     * typed Dataset — the shape a real decoder (pillow/ffmpeg via
     * Pandas UDF, or a JVM codec) plugs into. Features here are

@@ -240,6 +240,46 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** r16 — SCD Type-2 dimension merge: fold an incoming snapshot
+    * (same deterministic change-set r14 diffs: %97 removed, %31
+    * bumped one cent, %89 inserted under new keys) into a
+    * validity-windowed dimension. Changed/removed rows close with
+    * valid_to = the load date; changed/added rows open a new current
+    * version — the warehouse history-keeping merge every dimension
+    * load runs. One full-outer join on the key; both output legs are
+    * projections of it (no second shuffle). Money in floor-cents so
+    * the change predicate can't straddle a float ulp cross-engine.
+    */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit("2026-08-12"))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("since"))
+    val old = base.select(col("o_orderkey").as("key"),
+      col("cents").as("old_cents"), col("since"))
+    val kept = base.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 31 === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("new_cents"))
+    val inserted = base.filter(col("o_orderkey") % 89 === 0)
+      .select((col("o_orderkey") + 10000000L).as("key"),
+        col("cents").as("new_cents"))
+    val j = old.join(kept.union(inserted), Seq("key"), "full_outer")
+    val closed = j
+      .filter(col("old_cents").isNotNull &&
+        (col("new_cents").isNull || col("new_cents") =!= col("old_cents")))
+      .select(col("key"), col("old_cents").as("value_cents"),
+        col("since").as("valid_from"), asOf.as("valid_to"),
+        lit(false).as("is_current"))
+    val current = j.filter(col("new_cents").isNotNull)
+      .select(col("key"), col("new_cents").as("value_cents"),
+        when(col("old_cents").isNull || col("old_cents") =!= col("new_cents"),
+          asOf).otherwise(col("since")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    closed.union(current).orderBy(col("key"), col("valid_from"))
+  }
+
   /** r15 — cube aggregate: all four (segment × nation) grouping
     * combinations in one pass — the OLAP companion of r05's rollup;
     * grouping-set expansion happens map-side before the one shuffle.

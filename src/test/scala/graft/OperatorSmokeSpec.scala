@@ -37,6 +37,46 @@ class OperatorSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("r16 SCD2: changed keys close + reopen, removed close, added open") {
+    val rows = operators.Relational.scd2Merge(spark, sf0001).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("key"))
+    // %31 changed keys: a closed historical row AND a current row
+    val changed = byKey.filter { case (k, rs) => k % 31 == 0 && k % 97 != 0 &&
+      k < 10000000L }
+    assert(changed.nonEmpty)
+    changed.foreach { case (k, rs) =>
+      assert(rs.length == 2, s"key $k: ${rs.length} rows")
+      val closed = rs.find(!_.getAs[Boolean]("is_current")).get
+      val cur = rs.find(_.getAs[Boolean]("is_current")).get
+      assert(closed.getAs[java.sql.Date]("valid_to").toString == "2026-08-12")
+      assert(cur.getAs[java.sql.Date]("valid_from").toString == "2026-08-12")
+      assert(cur.isNullAt(cur.fieldIndex("valid_to")))
+      assert(cur.getAs[Long]("value_cents") ==
+        closed.getAs[Long]("value_cents") + 1)
+    }
+    // removed keys (%97): closed row only; inserted keys: current only
+    byKey.filter(_._1 % 97 == 0).foreach { case (k, rs) =>
+      assert(rs.length == 1 && !rs.head.getAs[Boolean]("is_current"), s"$k")
+    }
+    byKey.filter(_._1 >= 10000000L).foreach { case (k, rs) =>
+      assert(rs.length == 1 && rs.head.getAs[Boolean]("is_current"), s"$k")
+    }
+    // unchanged keys stay a single current row with original window
+    assert(byKey.exists { case (k, rs) => k % 31 != 0 && k % 97 != 0 &&
+      k < 10000000L && rs.length == 1 && rs.head.getAs[Boolean]("is_current") })
+  }
+
+  test("m06 interleave: slots are contiguous per modality batch") {
+    val rows = operators.Multimodal.modalityInterleave(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("kind"), r.getAs[Long]("batch_id")))
+      .foreach { case ((kind, b), rs) =>
+        val slots = rs.map(_.getAs[Int]("slot")).sorted
+        assert(slots.toSeq == (0 until rs.length).toSeq, s"$kind/$b")
+        assert(rs.length <= 8)
+      }
+  }
+
   test("every query has oracle SQL or is a documented rows-only op") {
     val rowsOnly = Set("r12_approx_stats")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
