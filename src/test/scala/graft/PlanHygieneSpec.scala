@@ -1,0 +1,34 @@
+package graft
+
+/** Global plan sweep: NO contract query may plan a CartesianProduct
+  * or BroadcastNestedLoopJoin unless it is on the documented
+  * allowlist of deliberate tiny-broadcast scans. This is the
+  * 100 TB-survival gate in spec form — a refactor that silently turns
+  * a key-equality join into an all-pairs join fails here, not in
+  * production.
+  */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  /** Queries that INTENTIONALLY scan against a broadcast tiny side. */
+  private val allowed: Map[String, String] = Map(
+    "s01_ann_bruteforce" -> "declared exactness baseline: corpus × broadcast query slice",
+    "s03_ann_ivf" -> "IVF assignment: every vector × broadcast 10-centroid table",
+    "s05_ann_pq" -> "flat-PQ code scan: codes × broadcast query slice (s06 is the bounded composition)",
+    "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
+    "t09_tfidf" -> "1-row corpus-count broadcast",
+    "t14_domain_mix" -> "1-row corpus-total broadcast")
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name plans no cartesian/nested-loop join" +
+        (if (allowed.contains(name)) " (allowlisted broadcast scan)" else "")) {
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      if (!allowed.contains(name)) {
+        assert(!plan.contains("CartesianProduct"), plan.take(1500))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      } else {
+        // allowlisted: still never an un-broadcast cartesian
+        assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      }
+    }
+  }
+}
