@@ -71,6 +71,7 @@ object SparkEntry {
     "d07_dup_clusters" -> (Dedup.dupClusters _),
     "d08_keep_best" -> (Dedup.keepBest _),
     "d09_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "d10_incremental_dedup" -> (Dedup.incrementalDedup _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -864,6 +865,20 @@ SELECT doc_id, n_chunks, n_dup_chunks,
   CAST(n_dup_chunks * 10000 // n_chunks AS BIGINT) AS dup_frac_bp,
   (n_dup_chunks * 10000 // n_chunks) >= 6000 AS drop_flag
 FROM p ORDER BY doc_id""",
+    "d10_incremental_dedup" ->
+      """WITH h AS (SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+  FROM documents),
+idx AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 0),
+delta AS (SELECT * FROM h WHERE doc_id % 10 = 0),
+f AS (SELECT content_hash, min(doc_id) AS first_doc_id FROM delta GROUP BY 1)
+SELECT d.doc_id, d.content_hash,
+  CASE WHEN i.content_hash IS NOT NULL THEN 'dup_of_index'
+       WHEN d.doc_id <> f.first_doc_id THEN 'dup_in_batch'
+       ELSE 'kept' END AS status
+FROM delta d JOIN f USING (content_hash)
+  LEFT JOIN idx i ON d.content_hash = i.content_hash
+ORDER BY d.doc_id""",
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS shingle

@@ -525,6 +525,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d10 — INCREMENTAL dedup: a delta batch (docs with doc_id%10==0
+    * stand in for today's crawl) deduped against the existing lake
+    * (the rest) — the daily-ingest shape, where re-hashing the whole
+    * corpus per batch is exactly what a pipeline must NOT do. Every
+    * delta doc is classified: `dup_of_index` (content already in the
+    * lake — checked first, an index hit always wins), `dup_in_batch`
+    * (a smaller delta doc_id has the same content), else `kept`.
+    * Scale: one shuffle on the content hash for the batch argmin, one
+    * left-semi-shaped join against the index's distinct hashes (the
+    * index side never materializes more than its hash column); with
+    * TableSink's bucketed layout the index join is co-located.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(Text.normalize(col("text"))).as("content_hash"))
+    val index = hashed.filter(col("doc_id") % 10 =!= 0)
+      .select(col("content_hash")).distinct()
+      .withColumn("in_index", lit(true))
+    val delta = hashed.filter(col("doc_id") % 10 === 0)
+    val firstInBatch = delta.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("first_doc_id"))
+    delta
+      .join(firstInBatch, "content_hash")
+      .join(index, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        when(col("in_index"), "dup_of_index")
+          .when(col("doc_id") =!= col("first_doc_id"), "dup_in_batch")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

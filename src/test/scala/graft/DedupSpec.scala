@@ -197,6 +197,24 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(2L) == ((2L, 0L, false)))
   }
 
+  test("d10 incremental dedup classifies delta docs against batch and index") {
+    val d = Files.createTempDirectory("graft-incr").toString
+    // index docs: 1, 3 (doc_id % 10 != 0); delta: 0, 10, 20, 30
+    Seq(
+      (1L, "already in the lake", "en", "s", 1L),
+      (3L, "some other indexed doc", "en", "s", 1L),
+      (0L, "already in the lake", "en", "s", 1L),   // dup_of_index
+      (10L, "fresh delta content", "en", "s", 1L),  // kept
+      (20L, "fresh delta content", "en", "s", 1L),  // dup_in_batch of 10
+      (30L, "unique new arrival", "en", "s", 1L))   // kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.Dedup.incrementalDedup(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(rows == Map(0L -> "dup_of_index", 10L -> "kept",
+      20L -> "dup_in_batch", 30L -> "kept"))
+  }
+
   test("d08 keep-best retains the highest-quality copy per content group") {
     val rows = operators.Dedup.keepBest(spark, dir).collect()
     // same content groups as d01 (3 groups), but the keeper is chosen
