@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+
+/** Production hardening: every corpus operator must return an EMPTY
+  * result — not throw — on empty input tables (at 100 TB, empty
+  * partitions, fresh lakes and zero-match filters are routine, and a
+  * driver-side .head()/loop that assumes rows would crash the job).
+  */
+class EmptyInputSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/supplier.parquet")
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+    "d01" -> (operators.Dedup.exact _),
+    "d02" -> (operators.Dedup.minhashLsh _),
+    "d03" -> (operators.Dedup.simhash _),
+    "d04" -> (operators.Dedup.ngramJaccard _),
+    "d05" -> (operators.Dedup.embeddingDup _),
+    "d06" -> (operators.Dedup.fuzzyMatch _),
+    "d07" -> (operators.Dedup.dupClusters _),
+    "d08" -> (operators.Dedup.keepBest _),
+    "d09" -> ((s, d) => operators.Dedup.chunkDedup(s, d)),
+    "d10" -> (operators.Dedup.incrementalDedup _),
+    "s01" -> (operators.Similarity.annBruteForce _),
+    "s03" -> (operators.Similarity.annIvf _),
+    "s05" -> (operators.Similarity.annPq _),
+    "t01" -> (operators.TextOps.tokenCount _),
+    "t09" -> (operators.TextOps.tfidf _),
+    "t11" -> (operators.TextOps.stratifiedSample _),
+    "t12" -> ((s, d) => operators.TextOps.decontaminate(s, d)),
+    "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),
+    "t14" -> (operators.TextOps.domainMix _),
+    "c01" -> ((s, d) => operators.Curation.curate(s, d)))
+
+  for ((name, fn) <- ops)
+    test(s"$name returns an empty result on empty input") {
+      assert(fn(spark, dir).count() == 0L)
+    }
+}
