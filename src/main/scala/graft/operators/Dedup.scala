@@ -242,14 +242,22 @@ object Dedup {
     // corpus LCP via the lexicographic extremes — a 2-string scalar
     // aggregate (O(1) result, not a data collect)
     val mm = sup.agg(min(col("s_name")), max(col("s_name"))).head()
+    // LCP length in CODE POINTS — Spark's substr counts code points,
+    // so a UTF-16 charAt count would mis-strip (or split a surrogate
+    // pair of) names with supplementary characters
     val lcpLen =
       if (mm.isNullAt(0)) 0
       else {
         val (lo, hi) = (mm.getString(0), mm.getString(1))
-        val n = math.min(lo.length, hi.length)
         var i = 0
-        while (i < n && lo.charAt(i) == hi.charAt(i)) i += 1
-        i
+        var cp = 0
+        var same = true
+        while (same && i < lo.length && i < hi.length) {
+          val c = lo.codePointAt(i)
+          if (hi.codePointAt(i) == c) { cp += 1; i += Character.charCount(c) }
+          else same = false
+        }
+        cp
       }
     val tails = sup.select(col("s_suppkey").as("key"),
       col("s_name").substr(lit(lcpLen + 1), length(col("s_name"))).as("t"))
@@ -512,6 +520,9 @@ object Dedup {
       .select(col("doc_id"),
         md5(array_join(slice(col("t"), col("i") * n + 1, lit(n)), " "))
           .as("chunk_hash"))
+      // referenced twice (df pass + rejoin) — without the cache the
+      // scan+tokenize+hash subtree executes twice
+      .cache()
     val df = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(df, "chunk_hash")
@@ -540,6 +551,9 @@ object Dedup {
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val hashed = Tables.documents(s, dir)
       .select(col("doc_id"), md5(Text.normalize(col("text"))).as("content_hash"))
+      // referenced by index, delta and the batch argmin — cache the
+      // narrow (id, hash) projection instead of re-scanning documents
+      .cache()
     val index = hashed.filter(col("doc_id") % 10 =!= 0)
       .select(col("content_hash")).distinct()
       .withColumn("in_index", lit(true))

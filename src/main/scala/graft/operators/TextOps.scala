@@ -190,7 +190,9 @@ object TextOps {
     * shingle — never a pairwise comparison.
     */
   def decontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val sh = Dedup.shingles(s, dir, n)
+    // referenced twice (benchmark side + training side) — cache so
+    // the corpus-wide shingle generation runs once
+    val sh = Dedup.shingles(s, dir, n).cache()
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("shingle")).distinct()
     val hits = sh.filter(col("doc_id") % 50 =!= 0)

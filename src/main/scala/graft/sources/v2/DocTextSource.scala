@@ -123,10 +123,12 @@ class DocScan(root: String, required: StructType,
     * driver (like every Spark file source's planning pass); the
     * per-file reads happen on executors through the same API.
     */
+  private def driverConf: Configuration =
+    try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    catch { case _: Throwable => new Configuration() }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf =
-      try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-      catch { case _: Throwable => new Configuration() }
+    val conf = driverConf
     val rootPath = new HPath(root)
     val fs = rootPath.getFileSystem(conf)
     val it = fs.listFiles(rootPath, true)
@@ -139,25 +141,43 @@ class DocScan(root: String, required: StructType,
       .map(DocFilePartition(_): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DocReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the session's Hadoop conf (object-store credentials, HA
+    // nameservices, …) must reach the executors: Configuration is not
+    // serializable, so ship its entries as a plain Map and rebuild on
+    // the reader side — a fresh empty Configuration there would fail
+    // on exactly the storage systems this source exists to support
+    val conf = driverConf
+    val entries = {
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new DocReaderFactory(required, entries)
+  }
 }
 
-class DocReaderFactory(required: StructType) extends PartitionReaderFactory {
+class DocReaderFactory(required: StructType,
+    confEntries: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DocPartitionReader(p.asInstanceOf[DocFilePartition].file, required)
+    new DocPartitionReader(p.asInstanceOf[DocFilePartition].file, required,
+      confEntries)
 }
 
 /** Reads one file through the Hadoop FileSystem API (executor-side);
   * emits only the pruned columns.
   */
-class DocPartitionReader(file: String, required: StructType)
+class DocPartitionReader(file: String, required: StructType,
+    confEntries: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val fileName = new HPath(file).getName
   private val dtype = DocTextSource.docType(fileName)
   private lazy val lines: Array[String] = {
     val p = new HPath(file)
-    val fs = p.getFileSystem(new Configuration())
+    val conf = new Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val out = new java.io.ByteArrayOutputStream()
     try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)

@@ -53,13 +53,22 @@ object CurationStream {
         Text.tokenCountWs(col("text")).cast("long").as("n_tokens"))
       .filter(col("quality_bp") >= minQualityBp)
     // dropDuplicatesWithinWatermark is streaming-only (state bounded
-    // by the watermark); the batch rendering of the same contract is
-    // a plain content-hash dedup
+    // by the watermark); the batch rendering of the same first-
+    // arrival contract is a DETERMINISTIC argmin per content group —
+    // (ts, doc_id) struct-min, never dropDuplicates, whose survivor
+    // depends on partition order
     val deduped =
       if (docs.isStreaming)
         gated.withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("content_hash")
-      else gated.dropDuplicates("content_hash")
+      else
+        gated.groupBy(col("content_hash"))
+          .agg(min(struct(col("ts"), col("doc_id"), col("lang"),
+            col("quality_bp"), col("n_tokens"))).as("m"))
+          .select(col("content_hash"), col("m.ts").as("ts"),
+            col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+            col("m.quality_bp").as("quality_bp"),
+            col("m.n_tokens").as("n_tokens"))
     TextOps.sampleTransform(deduped)
       .select(col("doc_id"), col("lang"), col("quality_bp"), col("n_tokens"))
   }

@@ -121,6 +121,16 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
+  test("d06 LCP stripping counts code points (supplementary-char prefix)") {
+    // all names share a prefix containing 𝄞 (U+1D11E, 2 UTF-16 chars,
+    // 1 code point) — a charAt-based LCP length would mis-strip one
+    // code point too many through Spark's code-point substr
+    val names = Seq(
+      "𝄞X vendor alpha one", "𝄞X vendor alpha two",
+      "𝄞X vendor beta", "𝄞X something else here")
+    assertSamePairs(mkSupplierDir(names))
+  }
+
   test("d06 candidate count collapses on a high-entropy ID corpus (selectivity)") {
     // 400 names with the testdata's shared `Supplier#` prefix but a
     // 12-digit high-entropy tail (deterministic md5 digits): after the
