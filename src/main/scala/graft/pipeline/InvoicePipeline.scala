@@ -147,6 +147,22 @@ object InvoicePipeline {
           col("text").as("raw_text")))
   }
 
+  /** The reference run loop's FINAL shape: every routed document's
+    * typed rows appended into ONE frame (pipeline_runner.py
+    * accumulates all parsers' records into a single DataFrame before
+    * the load). Schemas differ per type, so the union is by-name with
+    * missing columns nulled — exactly what the reference's
+    * heterogeneous record dicts produce — plus a doc_type
+    * discriminator per row.
+    */
+  def parseAllNcDocs(spark: SparkSession, root: String): DataFrame = {
+    val routed = routeNcDocs(spark, root)
+    Seq("nc_item_c", "nc_invitation_to_bid", "nc_award_letter",
+      "nc_bids_as_read", "nc_bid_tabs", "other")
+      .map(t => routed(t).withColumn("doc_type", lit(t)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The reference's five analytics queries (analytics.sql:56-100)
     * verbatim over a pipeline-produced invoices DataFrame.
     */

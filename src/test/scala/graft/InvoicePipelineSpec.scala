@@ -243,6 +243,21 @@ class InvoicePipelineSpec extends SparkSpecBase {
     assert(b2b.getAs[Double]("amount") == 4946123.00)
   }
 
+  test("parseAllNcDocs unions every routed type into the reference's one frame") {
+    val all = InvoicePipeline.parseAllNcDocs(spark, ncRoot)
+    val byType = all.groupBy("doc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("nc_item_c" -> 3L, "nc_invitation_to_bid" -> 1L,
+      "nc_award_letter" -> 1L, "nc_bids_as_read" -> 3L, "nc_bid_tabs" -> 4L))
+    // by-name union: type-specific columns survive, others are null
+    val bt = all.filter("doc_type = 'nc_bid_tabs' AND line_no = '0001'")
+      .collect().head
+    assert(bt.getAs[String]("call_number") == "002")
+    assert(bt.isNullAt(bt.fieldIndex("division"))) // invitation-only column
+    val inv = all.filter("doc_type = 'nc_invitation_to_bid'").collect().head
+    assert(inv.getAs[String]("division") == "Division One")
+  }
+
   test("bid tabs fallback: a document with no item lines keeps doc fields") {
     val d = Files.createTempDirectory("graft-nc-fb").toString
     Files.writeString(Paths.get(d, "DA00001 Bid Tabs.txt"),
