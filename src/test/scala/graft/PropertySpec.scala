@@ -147,6 +147,58 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("d06 PassJoin is exact on randomized corpora with random edits") {
+    // seeded random base names (lengths straddle the short/main block
+    // boundary after LCP stripping) plus variants built from 0-4
+    // random insert/delete/substitute edits — the blocked result must
+    // equal all-pairs levenshtein ≤ 3 exactly, every time
+    val alpha = "abcdefgh"
+    def word(len: Int) =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val pos = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.patch(pos, "", 1) // delete
+          case 1 => cur.patch(pos, word(1), 0)            // insert
+          case _ if cur.nonEmpty => cur.patch(pos, word(1), 1) // substitute
+          case _ => cur + word(1)
+        }
+      }
+      cur
+    }
+    val names = (0 until 60).flatMap { _ =>
+      val base = word(3 + rnd.nextInt(12))
+      base +: (0 until rnd.nextInt(3)).map(_ => mutate(base, 1 + rnd.nextInt(4)))
+    }
+    val dir = mkSupplierDirPub(names)
+    val blocked = operators.Dedup.fuzzyMatch(spark, dir)
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Int]("edit_dist"))).toSet
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    val brute = sup.select(col("s_suppkey").as("key_a"), col("s_name").as("name_a"))
+      .join(broadcast(sup.select(col("s_suppkey").as("key_b"),
+        col("s_name").as("name_b"))), col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 3)
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Int]("edit_dist"))).toSet
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    assert(brute.nonEmpty) // the corpus genuinely contains near pairs
+  }
+
+  private def mkSupplierDirPub(names: Seq[String]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-pj").toString
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("s_suppkey", "s_name")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$d/supplier.parquet")
+    d
+  }
+
   test("levAtMost counts supplementary (non-BMP) characters as one edit") {
     // 𝄞 (U+1D11E) is two UTF-16 chars but ONE code point — the unit
     // Spark's levenshtein and DuckDB measure in
