@@ -99,6 +99,9 @@ object InvoicePipeline {
       country: String = "US", processedDate: String = "2026-08-12"): DataFrame = {
     val lines = DocSource.textLines(DocSource.scanFiles(spark, root))
       .filter(trim(col("line")) =!= "")
+      // referenced by both the metadata aggregate and the line-item
+      // pass — cache so the files are read and line-split once
+      .cache()
     val meta = fileMetadata(lines)
     val items = lineItems(lines)
     items.join(meta, "path")
