@@ -645,7 +645,7 @@ WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 9000
 ORDER BY vec_a, vec_b""",
 
     "s01_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400)),
 s AS (SELECT q.query_id, e.vec_id,
     list_cosine_similarity(q.qv, e.embedding) AS cos
   FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
@@ -661,7 +661,7 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
     + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
     + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END) AS bucket
   FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id IN (0, 100, 200, 300, 400)),
 s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
   FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
 r AS (SELECT query_id, vec_id, cos,
@@ -687,7 +687,7 @@ cells AS (SELECT a.vec_id, a.cid, e.embedding
   FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
 q AS (SELECT a.vec_id AS query_id, e.embedding AS qv, a.cid
   FROM asg a JOIN e ON e.vec_id = a.vec_id
-  WHERE a.vec_id % 100 = 0 AND a.rr <= 2),
+  WHERE a.vec_id IN (0, 100, 200, 300, 400) AND a.rr <= 2),
 s AS (SELECT q.query_id, c.vec_id,
     list_cosine_similarity(q.qv, c.embedding) AS cos
   FROM cells c JOIN q ON c.cid = q.cid AND c.vec_id <> q.query_id),
@@ -714,7 +714,7 @@ q AS (SELECT vec_id AS query_id,
     CAST(embedding[17:32] AS DOUBLE[]) AS qv1,
     CAST(embedding[33:48] AS DOUBLE[]) AS qv2,
     CAST(embedding[49:64] AS DOUBLE[]) AS qv3
-  FROM e WHERE vec_id % 100 = 0),
+  FROM e WHERE vec_id IN (0, 100, 200, 300, 400)),
 scan AS (SELECT c.vec_id, q.query_id,
     (list_inner_product(q.qv0, q.qv0) + list_inner_product(c0.scv, c0.scv) - 2*list_inner_product(q.qv0, c0.scv))
   + (list_inner_product(q.qv1, q.qv1) + list_inner_product(c1.scv, c1.scv) - 2*list_inner_product(q.qv1, c1.scv))
@@ -765,7 +765,7 @@ q AS (SELECT a.vec_id AS query_id, a.cid AS cell,
     CAST(e.embedding[33:48] AS DOUBLE[]) AS qv2,
     CAST(e.embedding[49:64] AS DOUBLE[]) AS qv3
   FROM asg a JOIN e ON e.vec_id = a.vec_id
-  WHERE a.vec_id % 100 = 0 AND a.rr <= 2),
+  WHERE a.vec_id IN (0, 100, 200, 300, 400) AND a.rr <= 2),
 scan AS (SELECT c.vec_id, q.query_id,
     (list_inner_product(q.qv0, q.qv0) + list_inner_product(c0.scv, c0.scv) - 2*list_inner_product(q.qv0, c0.scv))
   + (list_inner_product(q.qv1, q.qv1) + list_inner_product(c1.scv, c1.scv) - 2*list_inner_product(q.qv1, c1.scv))

@@ -434,28 +434,46 @@ object Dedup {
     * labels are cached so lineage stays one iteration deep. The
     * oracle replays it with a recursive transitive-closure CTE.
     */
+  /** Lineage truncation for the iterative loop below. By default this
+    * is `localCheckpoint()` — blocks live in executor memory, which is
+    * fine on `local[n]` but LOST on executor death, so on a real
+    * cluster set `spark.graft.checkpointDir` to a reliable (HDFS/S3)
+    * path: the frames are then written through
+    * `SparkContext.setCheckpointDir` + an eager `checkpoint()`, and a
+    * lost executor recomputes from the checkpoint files instead of
+    * replaying the whole upstream pipeline. The first call wires the
+    * context's checkpoint dir; both flavors are eager, so an attached
+    * `observe()` metric materializes either way.
+    */
+  private def truncateLineage(s: SparkSession, df: DataFrame): DataFrame =
+    s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(d) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     // est_sim is an exact multiple of 1/16, so >= 0.5 is float-safe
     val sims = minhashLsh(s, dir).filter(col("est_sim") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    // localCheckpoint (not cache) on everything the loop re-references:
+    // checkpoint (not cache) everything the loop re-references:
     // an iterative self-referencing plan re-inlines the whole upstream
     // pipeline on every use (measured: 160 FileScans / 1.1 MB plan per
     // iteration with cache()); checkpointing physically truncates the
-    // lineage so each iteration plans only its own two tiny joins. On
-    // a cluster this would be a reliable checkpoint dir; local mode
-    // stores the (few-KB) RDD in executor memory.
-    val edges = sims
-      .union(sims.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    // lineage so each iteration plans only its own two tiny joins.
+    // Reliable vs executor-memory flavor per truncateLineage above.
+    val edges = truncateLineage(s, sims
+      .union(sims.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // propagate only over documents that have at least one edge — the
     // overwhelming singleton majority never changes label and joins
     // back after convergence, so each iteration touches only the
     // (small) paired subset
-    val paired = edges.select(col("doc_a").as("doc_id")).distinct()
-      .localCheckpoint()
-    var labels = paired.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
+    val paired = truncateLineage(s,
+      edges.select(col("doc_a").as("doc_id")).distinct())
+    var labels = truncateLineage(s,
+      paired.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -476,15 +494,15 @@ object Dedup {
       // ever decrease, so strict < detects any change) instead of a
       // second count job over a join against the previous labels
       val obs = org.apache.spark.sql.Observation(s"graft-cc-$iter")
-      val upd = prop.join(parents, col("cluster_id") === col("pid"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("cluster_id"), coalesce(col("pcl"), col("cluster_id")))
-            .as("cluster_id"))
-        .observe(obs,
-          coalesce(sum(when(col("cluster_id") < col("old"), 1L).otherwise(0L)),
-            lit(0L)).as("changed"))
-        .drop("old")
-        .localCheckpoint()
+      val upd = truncateLineage(s,
+        prop.join(parents, col("cluster_id") === col("pid"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("cluster_id"), coalesce(col("pcl"), col("cluster_id")))
+              .as("cluster_id"))
+          .observe(obs,
+            coalesce(sum(when(col("cluster_id") < col("old"), 1L).otherwise(0L)),
+              lit(0L)).as("changed"))
+          .drop("old"))
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = upd
       iter += 1

@@ -7,16 +7,29 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embeddings table
-  * (SURVEY.md §2.5). Query set = every 100th vector (deterministic).
+  * (SURVEY.md §2.5). Query set = the FIXED id list [[annQueryIds]]
+  * (deterministic AND corpus-independent: a benchmark whose query
+  * count grew with the corpus — the old `vec_id % 100 == 0` rule —
+  * turns every scan into O(n²/100) total work at scale; a constant
+  * query set keeps total work O(n)·|Q|).
   */
 object Similarity {
+
+  /** Fixed ANN query ids. Ids absent from a (small) corpus simply
+    * produce no query rows, so the same constant works at every SF;
+    * at sf0.01 (vec_id 0..499) it selects exactly the queries the
+    * old modulo rule did, at any larger corpus it stays 5 queries.
+    */
+  val annQueryIds: Seq[Long] = Seq(0L, 100L, 200L, 300L, 400L)
+
+  private def isQuery = col("vec_id").isin(annQueryIds: _*)
 
   private def queriesAndCorpus(s: SparkSession, dir: String) = {
     // norms precomputed per vector so the pair loop is dot-only
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
     (q, e)
@@ -150,7 +163,7 @@ object Similarity {
       .agg(max(when(col("j") === 0, col("cid"))).as("code0"),
         (1 until nSub).map(j =>
           max(when(col("j") === j, col("cid"))).as(s"code$j")): _*)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id") +: (0 until nSub).map(j =>
         slice(col("embedding"), j * subLen + 1, subLen).as(s"qv$j")): _*)
     var scan = codes.crossJoin(broadcast(q))
@@ -222,7 +235,7 @@ object Similarity {
         (1 until nSub).map(j =>
           max(when(col("j") === j, col("cid"))).as(s"code$j")): _*)
     // queries probe their top-2 cells (same as s03)
-    val q = asg.filter(col("vec_id") % 100 === 0 && col("rr") <= 2)
+    val q = asg.filter(isQuery && col("rr") <= 2)
       .select(Seq(col("vec_id").as("query_id"), col("cid").as("cell")) ++
         (0 until nSub).map(j =>
           slice(col("embedding"), j * subLen + 1, subLen).as(s"qv$j")): _*)
@@ -276,7 +289,7 @@ object Similarity {
     // queries probe their 2 nearest cells; a corpus vector lives in
     // exactly one cell and probe cids are distinct, so the cid
     // equi-join yields each (query, candidate) pair at most once
-    val q = asg.filter(col("vec_id") % 100 === 0 && col("rr") <= 2)
+    val q = asg.filter(isQuery && col("rr") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
     val scored = cells.join(broadcast(q),

@@ -256,6 +256,23 @@ class DedupSpec extends SparkSpecBase {
     assert(rows(4L) == 4L)
   }
 
+  test("d07 reliable checkpoint (spark.graft.checkpointDir): same clusters, files on disk") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    try {
+      val rows = operators.Dedup.dupClusters(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+        .toMap
+      // identical labels to the localCheckpoint path (oracle-checked)
+      assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
+      // and the lineage truncation really went through reliable storage
+      val walk = Files.walk(java.nio.file.Paths.get(ckpt))
+      val nFiles = try walk.filter(p => Files.isRegularFile(p)).count()
+                   finally walk.close()
+      assert(nFiles > 0, "no checkpoint files written under spark.graft.checkpointDir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("simhash hamming distance: dups at 0, near-dups small, unrelated apart") {
     val pairs = operators.Dedup.simhash(spark, dir)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

@@ -15,8 +15,8 @@ class SimilaritySpec extends SparkSpecBase {
 
   /** 3 well-separated centers × 40 members each; components bounded
     * away from 0 so tiny perturbations can't flip coordinate signs.
-    * Queries (vec_id % 100 == 0) are ids 0 (cluster 0) and 100
-    * (cluster 2).
+    * Queries (the fixed Similarity.annQueryIds present in this
+    * 120-vector corpus) are ids 0 (cluster 0) and 100 (cluster 2).
     */
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-sim").toString
