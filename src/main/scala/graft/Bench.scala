@@ -1,15 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.plans.TopKPerKeyExec
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
-  * Emits ONE JSON line to stdout AND writes it to
-  * SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json) — sbt
-  * decorates stdout with [info] prefixes, so the file is the
-  * machine-readable channel for round-over-round tracking.
+  *
+  * Output contract (the round-4…6 truncated-capture incidents are why
+  * this is explicit):
+  *  - the FULL document (per-query min + both raw runs + plan-health
+  *    metrics + environment) is written to SPARK_GRAFT_BENCH_OUT
+  *    (default /tmp/graft_bench.json) — the machine-readable channel;
+  *  - the FINAL stdout line is a COMPACT one-line JSON
+  *    `{"total_s":…,"failed":…,"wall_s":…,"load":[…],"q":{…}}` small
+  *    enough to survive a tail capture intact, so a driver that only
+  *    keeps the last few KB of stdout still gets parseable numbers.
+  *  - `load` = JVM system load average at [start, end] and `wall_s` =
+  *    whole-process wall time, so a run taken on a loaded machine is
+  *    self-evident from the artifact (r6's capture showed a phantom 8×
+  *    regression that was just a busy host).
   */
 object Bench {
+
+  /** TopKPerKeyExec nodes of an executed plan, descending through AQE
+    * wrappers (the adaptive root re-plans; metrics live on the final
+    * physical nodes).
+    */
+  private def collectTopK(p: SparkPlan): Seq[TopKPerKeyExec] = p match {
+    case a: AdaptiveSparkPlanExec => collectTopK(a.executedPlan)
+    case q: QueryStageExec => collectTopK(q.plan)
+    case t: TopKPerKeyExec => t +: t.children.flatMap(collectTopK)
+    case other => other.children.flatMap(collectTopK)
+  }
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
@@ -54,7 +82,52 @@ object Bench {
       }
       (name, if (times.exists(_ < 0)) -1.0 else times.min, times)
     }
+
+    // ---- plan-health observability (untimed) ----------------------
+    // TopKPerKey trim ratio: collect() executes the query's OWN
+    // QueryExecution, so the exec nodes (and their SQLMetrics) are
+    // reachable afterwards — in/out of the partial phase IS the
+    // pre-shuffle trim, the number that must stay small at 100 TB.
+    val topkQueries = Seq("r03_topn_per_group", "t09_tfidf", "s01_ann_bruteforce")
+    val topkStats = topkQueries.flatMap { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val execs = collectTopK(df.queryExecution.executedPlan)
+        // partial-phase metrics only: the final exec sits under the
+        // result orderBy, whose range-partitioner SAMPLING pass
+        // re-executes its RDD — its counters read 2× and would be
+        // noise. partial in→out is the pre-shuffle trim claim anyway.
+        val partials = execs.filter(_.partial)
+        if (partials.isEmpty) None
+        else Some(name -> (
+          partials.map(_.metrics("numInputRows").value).sum,
+          partials.map(_.metrics("numOutputRows").value).sum,
+          partials.map(_.metrics("numFlushes").value).sum))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] topk metrics for $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    // Near-dup candidate-pair counts: the d02–d06 pre-verification
+    // workload. Growth vs corpus size is the linearity signal the
+    // scale harness asserts; here it's tracked round-over-round.
+    val candCounts = Seq(
+      "d02_minhash_lsh" -> (() => operators.Dedup.minhashLshCandidates(spark, sfDir)),
+      "d03_simhash" -> (() => operators.Dedup.simhashCandidates(spark, sfDir)),
+      "d04_ngram_jaccard" -> (() => operators.Dedup.ngramJaccardCandidates(spark, sfDir)),
+      "d05_embedding_dup" -> (() => operators.Dedup.embeddingDupCandidates(spark, sfDir)),
+      "d06_fuzzy_match" -> (() => operators.Dedup.fuzzyMatchCandidates(spark, sfDir))
+    ).flatMap { case (name, mk) =>
+      try Some(name -> mk().count())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cand count for $name failed: ${e.getMessage}")
+        None
+      }
+    }
+
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def fmt3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) =>
@@ -62,13 +135,30 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val loadEnd = osBean.getSystemLoadAverage
+    val wallS = (System.nanoTime() - wall0) / 1e9
+    val topkJson = topkStats.map { case (k, (in, out, fl)) =>
+      s"\"" + k + s"\":{\"partial_in\":$in,\"partial_out\":$out," +
+        s"\"flushes\":$fl}"
+    }.mkString("{", ",", "}")
+    val candJson = candCounts.map { case (k, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val envJson =
+      s"""{"cpus":$cpus,"sys_cpus":${Runtime.getRuntime.availableProcessors},""" +
+        s""""load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"wall_s":${fmt(wallS)}}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFailed,"sf":"$sfDir","env":$envJson,"topk":$topkJson,"cand_pairs":$candJson}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // compact summary LAST so a bounded tail capture keeps it whole
+    val compactQ = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"total_s":${fmt3(total)},"failed":$nFailed,"wall_s":${fmt3(wallS)},"load":[${fmt3(loadStart)},${fmt3(loadEnd)}],"q":$compactQ}"""
+    println(compact)
   }
 }

@@ -66,7 +66,10 @@ object SparkEntry {
     "d02_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_simhash" -> (Dedup.simhash _),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
-    "d05_embedding_dup" -> (Dedup.embeddingDup _),
+    // gate variant: + planted near-dup pairs so the oracle compare is
+    // non-empty at sf0.01 (the plain corpus has no cos >= 0.9 pair
+    // there and the hash match was vacuously true)
+    "d05_embedding_dup" -> (Dedup.embeddingDupGate _),
     "d06_fuzzy_match" -> (Dedup.fuzzyMatch _),
     "d07_dup_clusters" -> (Dedup.dupClusters _),
     "d08_keep_best" -> (Dedup.keepBest _),
@@ -96,7 +99,7 @@ object SparkEntry {
     "t14_domain_mix" -> (TextOps.domainMix _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
-    "m02_blob_features" -> (Multimodal.extractFeatures _),
+    "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
     "m03_frame_sample" -> (Multimodal.frameSample _),
     "m04_label_centroids" -> (VectorAgg.labelCentroids _),
     "m05_modality_stats" -> (Multimodal.modalityStats _),
@@ -629,7 +632,13 @@ SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
     "d05_embedding_dup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+    list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.05 AS FLOAT)],
+      embedding[2:])
+  FROM embeddings WHERE vec_id < 5),
 b0 AS (SELECT vec_id, embedding, unnest([0, 1, 2, 3]) AS band FROM e),
 b AS (SELECT vec_id, band,
     (CASE WHEN embedding[band+1] >= 0 THEN 1 ELSE 0 END)

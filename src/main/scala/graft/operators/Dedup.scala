@@ -69,8 +69,13 @@ object Dedup {
     * matching minhashes. Deterministic (md5-based) so the DuckDB
     * oracle replays it exactly.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir).cache()
+  /** Distinct LSH candidate pairs from a minhash-signature frame —
+    * the pre-verification workload d02 shuffles. Public (via
+    * [[minhashLshCandidates]]) so the bench/scale harness can track
+    * candidate growth, the plan-health number that must stay ~linear
+    * in corpus size at 100 TB.
+    */
+  private def bandPairs(sig: DataFrame): DataFrame = {
     // one scan → all 4 band keys via explode (no 4-way union re-scan)
     val bandStructs = (0 until 4).map { j =>
       val cols = (0 until 4).map(r => col(s"m${4 * j + r}").cast("string"))
@@ -81,9 +86,21 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    val cand = a.join(b, Seq("band", "bkey"))
+    a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** d02's candidate pairs (observability/spec surface; the cached
+    * signature plan is identical to d02's own, so the cache manager
+    * shares the materialization when both run in one session).
+    */
+  def minhashLshCandidates(s: SparkSession, dir: String): DataFrame =
+    bandPairs(minhashSignatures(s, dir).cache())
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir).cache()
+    val cand = bandPairs(sig)
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +:
@@ -101,7 +118,10 @@ object Dedup {
     * pairs share a 16-bit half (the classic hamming-band trick), kept
     * when hamming distance ≤ 8.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (doc_id, simhash, half_lo, half_hi), cached — shared by
+    * d03 and its candidate-count accessor.
+    */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("h", Text.tokenHash(col("tok")))
@@ -109,7 +129,7 @@ object Dedup {
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$j")
     }
-    val sh = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 32).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -117,16 +137,33 @@ object Dedup {
       .withColumn("half_lo", col("simhash").bitwiseAND(65535L))
       .withColumn("half_hi", shiftright(col("simhash"), 16))
       .cache()
+  }
+
+  /** Half-sharing pairs before the hamming cut — d03's raw candidate
+    * workload (observability/spec surface).
+    */
+  def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = simhashHalves(simhashFrame(s, dir))
+    a.join(b, Seq("side", "half"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  private def simhashHalves(sh: DataFrame): (DataFrame, DataFrame) = {
     val halves = sh
       .select(col("doc_id"), col("simhash"), explode(array(
         struct(lit(0).as("side"), col("half_lo").as("half")),
         struct(lit(1).as("side"), col("half_hi").as("half")))).as("h"))
       .select(col("doc_id"), col("simhash"),
         col("h.side").as("side"), col("h.half").as("half"))
-    val a = halves.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("side"), col("half"))
-    val b = halves.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-      col("side"), col("half"))
+    (halves.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("side"), col("half")),
+      halves.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("side"), col("half")))
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = simhashHalves(simhashFrame(s, dir))
     a.join(b, Seq("side", "half"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -147,13 +184,30 @@ object Dedup {
     * shared shingle is that common are (by construction) not near
     * duplicates under the intersection count anyway.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val maxDf = 1000
+  /** d04's (doc_id, shingle) pairs surviving the stop-shingle df cap. */
+  private def rareShingles(s: SparkSession, dir: String,
+      maxDf: Int): DataFrame = {
     val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("shingle"))
-    val shRare = sh.join(rare, "shingle")
+    sh.join(rare, "shingle")
+  }
+
+  /** d04's candidate pairs — docs sharing ≥1 rare shingle
+    * (observability/spec surface).
+    */
+  def ngramJaccardCandidates(s: SparkSession, dir: String): DataFrame = {
+    val shRare = rareShingles(s, dir, maxDf = 1000)
+    shRare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shRare = rareShingles(s, dir, maxDf = 1000)
     val inter = shRare.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
@@ -364,25 +418,18 @@ object Dedup {
     * The brute-force formulation is kept as a spec-level cross-check
     * (see `embeddingDupBrute` / DedupSpec).
     */
-  def embeddingDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        Vector.norm(col("embedding")).as("nrm"))
-    // one scan → all 4 band keys via explode (no 4-way union re-scan)
-    val bandStructs = (0 until 4).map { j =>
-      struct(lit(j).as("band"),
-        Vector.signBucket(col("embedding"), Seq(j + 1, j + 9, j + 17))
-          .as("bucket"))
-    }
-    val bands = e
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"),
-        col("b.bucket").as("bucket"))
-    val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
-      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+  def embeddingDup(s: SparkSession, dir: String): DataFrame =
+    embeddingDupFrom(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** d05 over an explicit (vec_id, embedding) frame — lets the gate
+    * variant and the scale harness feed augmented corpora through the
+    * identical plan.
+    */
+  def embeddingDupFrom(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Vector.norm(col("embedding")).as("nrm"))
+    val cand = embeddingDupCandidatesFrom(emb)
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -394,6 +441,61 @@ object Dedup {
           * 10000).cast("long").as("cos_bp"))
       .filter(col("cos_bp") >= 9000)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** d05's sign-LSH candidate pairs (observability/spec surface). */
+  def embeddingDupCandidatesFrom(emb: DataFrame): DataFrame = {
+    // one scan → all 4 band keys via explode (no 4-way union re-scan)
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        Vector.signBucket(col("embedding"), Seq(j + 1, j + 9, j + 17))
+          .as("bucket"))
+    }
+    val bands = emb
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+    bands.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  def embeddingDupCandidates(s: SparkSession, dir: String): DataFrame =
+    embeddingDupCandidatesFrom(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** Offset separating planted gate vectors from real vec_ids. */
+  val GatePlantOffset = 10000000L
+
+  /** d05's DRIVER-GATE entry: the corpus plus five PLANTED near-dup
+    * vectors — copies of vec_id 0–4 (re-keyed +[[GatePlantOffset]])
+    * with the first coordinate shifted by +0.05. At sf0.01 the real
+    * corpus has no cos ≥ 0.9 pair, so the plain d05 oracle comparison
+    * was vacuously green (0 rows vs 0 rows); the planted pairs make
+    * the gate compare non-empty sets through the full LSH + cosine
+    * path. The perturbation (a) keeps the pair's cosine ≈ 0.999 —
+    * comfortably inside the threshold but OFF the floor(cos·10⁴)
+    * integer boundary that an EXACT copy would sit on (cos = 1 ±
+    * 1 ulp floors to 10000 or 9999 depending on engine rounding), and
+    * (b) leaves coordinates 2.. untouched, so LSH bands 1–3 match
+    * deterministically and the planted pair can never be dropped by
+    * bucketing. The oracle replays the identical augmentation in SQL.
+    */
+  def embeddingDupGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + GatePlantOffset).as("vec_id"),
+        concat(
+          // perturb in DOUBLE, round once to float: both engines do
+          // IEEE double add + round-to-nearest-float, so the planted
+          // vector is bit-identical Spark↔DuckDB
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.05d))
+            .cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    embeddingDupFrom(base.union(planted))
   }
 
   /** d08 — keep-BEST dedup: like d01 the corpus collapses on the
@@ -441,17 +543,68 @@ object Dedup {
     * path: the frames are then written through
     * `SparkContext.setCheckpointDir` + an eager `checkpoint()`, and a
     * lost executor recomputes from the checkpoint files instead of
-    * replaying the whole upstream pipeline. The first call wires the
-    * context's checkpoint dir; both flavors are eager, so an attached
-    * `observe()` metric materializes either way.
+    * replaying the whole upstream pipeline. Both flavors are eager, so
+    * an attached `observe()` metric materializes either way.
+    *
+    * Reliable-mode details:
+    *  - the plan is persisted (MEMORY_AND_DISK) across the checkpoint
+    *    call — `RDD.checkpoint` materializes in one job and WRITES the
+    *    files in a second, which on an unpersisted plan recomputes the
+    *    whole subtree (and would re-fire any observed metric); with
+    *    the persist the write job reads cached blocks, so each
+    *    iteration stays ONE computation of its plan;
+    *  - the context checkpoint dir is re-pointed (with a stderr
+    *    warning) if some other component already set it elsewhere —
+    *    `setCheckpointDir` is first-write-wins and would otherwise
+    *    silently ignore `spark.graft.checkpointDir`;
+    *  - callers can delete superseded checkpoint files via
+    *    [[checkpointFileOf]]/[[deleteCheckpointFile]] — the context
+    *    cleaner only removes them if
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
+    *    context creation, which a library cannot assume.
     */
   private def truncateLineage(s: SparkSession, df: DataFrame): DataFrame =
     s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(d) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(d)
-        df.checkpoint()
+        val sc = s.sparkContext
+        val wanted = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        }
+        val current = sc.getCheckpointDir
+        // setCheckpointDir stores <dir>/<uuid>; compare the parent
+        val currentBase = current.map(c =>
+          new org.apache.hadoop.fs.Path(c).getParent.toString)
+        if (current.isEmpty) sc.setCheckpointDir(d)
+        else if (!currentBase.contains(wanted)) {
+          System.err.println("[graft] WARNING: context checkpoint dir " +
+            s"${current.get} does not sit under spark.graft.checkpointDir=" +
+            s"$wanted — re-pointing to the configured dir")
+          sc.setCheckpointDir(d)
+        }
+        val persisted = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cp = df.checkpoint()
+        persisted.unpersist(blocking = false)
+        cp
       case None => df.localCheckpoint()
+    }
+
+  /** Reliable-checkpoint file of a truncateLineage result (None in
+    * localCheckpoint mode).
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    org.apache.spark.sql.graftbridge.DatasetBridge.checkpointFile(df)
+
+  private def deleteCheckpointFile(s: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] WARNING: could not delete superseded " +
+          s"checkpoint $path: ${e.getMessage}")
     }
 
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -504,6 +657,12 @@ object Dedup {
               lit(0L)).as("changed"))
           .drop("old"))
       converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // upd is materialized (eager checkpoint) and no longer reads the
+      // previous labels frame — delete its now-superseded reliable
+      // checkpoint files so a run leaves O(1) dirs (edges, paired,
+      // final labels — all still referenced by the returned plan),
+      // not O(iterations). No-op in localCheckpoint mode.
+      checkpointFileOf(labels).foreach(deleteCheckpointFile(s, _))
       labels = upd
       iter += 1
     }

@@ -120,23 +120,41 @@ object Multimodal {
       .orderBy(col("kind"), col("batch_id"), col("slot"))
   }
 
-  /** STUB decode/feature-extract: partition-wise batch op over the
-    * typed Dataset — the shape a real decoder (pillow/ffmpeg via
-    * Pandas UDF, or a JVM codec) plugs into. Features here are
-    * deterministic per-16-byte-stripe mean byte values, emitted one
-    * row per stripe (integer milli-units — floor division is exact on
-    * both engines, no float summation order to disagree about).
+  /** Pluggable decode/feature-extract kernel: one Blob in, zero or
+    * more StripeFeature rows out, executed partition-wise on
+    * executors — the seam where a real codec (pillow/ffmpeg via a
+    * Pandas UDF bridge, or a JVM decoder) drops in without touching
+    * the operator's Spark plumbing (schema, typed Dataset,
+    * mapPartitions batch shape). Implementations must be Serializable:
+    * the instance ships in the task closure.
     */
-  def extractFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    blobs(s, dir).as[Blob].mapPartitions { it =>
-      it.flatMap { b =>
-        b.payload.grouped(16).zipWithIndex.map { case (st, i) =>
-          val sum = st.foldLeft(0L)((acc, x) => acc + (x & 0xff))
-          StripeFeature(b.doc_id, b.kind, b.byte_len, i, st.length,
-            sum * 1000L / st.length)
-        }
+  trait BlobDecoder extends Serializable {
+    def decode(b: Blob): Iterator[StripeFeature]
+  }
+
+  /** Default STUB decoder (no image/audio libs in this container):
+    * deterministic per-16-byte-stripe mean byte values, one row per
+    * stripe (integer milli-units — floor division is exact on both
+    * engines, no float summation order to disagree about).
+    */
+  object StripeStubDecoder extends BlobDecoder {
+    override def decode(b: Blob): Iterator[StripeFeature] =
+      b.payload.grouped(16).zipWithIndex.map { case (st, i) =>
+        val sum = st.foldLeft(0L)((acc, x) => acc + (x & 0xff))
+        StripeFeature(b.doc_id, b.kind, b.byte_len, i, st.length,
+          sum * 1000L / st.length)
       }
-    }.toDF().orderBy(col("doc_id"), col("stripe_no"))
+  }
+
+  /** m02 — decode/feature-extract: partition-wise batch op over the
+    * typed Dataset, with the per-blob kernel supplied by `decoder`
+    * (default = the stripe stub; the driver-gate oracle replays the
+    * stub's arithmetic).
+    */
+  def extractFeatures(s: SparkSession, dir: String,
+      decoder: BlobDecoder = StripeStubDecoder): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).as[Blob].mapPartitions(_.flatMap(decoder.decode))
+      .toDF().orderBy(col("doc_id"), col("stripe_no"))
   }
 }

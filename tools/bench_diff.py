@@ -12,15 +12,27 @@ import json, re, signal, sys
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # play nice with | head
 
 
+def normalize(d):
+    """Accept both the full Bench doc ({"value":…,"queries":…}) and the
+    compact final-line form ({"total_s":…,"q":…})."""
+    if "q" in d and "queries" not in d:
+        d = dict(d, queries=d["q"], value=d["total_s"])
+    return d
+
+
 def load(path):
     d = json.load(open(path))
-    if "queries" in d:
-        return d
+    if "queries" in d or "q" in d:
+        return normalize(d)
     if d.get("parsed"):
-        return d["parsed"]
-    m = re.search(r'\{"metric":.*\}', d.get("tail", ""))
-    if m:
-        return json.loads(m.group(0))
+        return normalize(d["parsed"])
+    tail = d.get("tail", "")
+    # prefer the compact final line (designed to survive tail capture),
+    # fall back to a complete full-doc line
+    for pat in (r'\{"total_s":.*?"q":\{[^{}]*\}\}', r'\{"metric":.*\}'):
+        m = re.search(pat, tail)
+        if m:
+            return normalize(json.loads(m.group(0)))
     raise SystemExit(f"{path}: no bench JSON found")
 
 
