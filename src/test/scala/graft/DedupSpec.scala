@@ -270,6 +270,19 @@ class DedupSpec extends SparkSpecBase {
       val nFiles = try walk.filter(p => Files.isRegularFile(p)).count()
                    finally walk.close()
       assert(nFiles > 0, "no checkpoint files written under spark.graft.checkpointDir")
+      // superseded per-iteration label checkpoints are deleted as the
+      // loop advances: what survives is O(1) per run (edges, paired,
+      // final labels — all still referenced by the returned plan),
+      // not O(iterations). The context cleaner never removes these
+      // unless cleanCheckpoints was set at context creation.
+      val rddWalk = Files.walk(java.nio.file.Paths.get(ckpt))
+      val nRddDirs = try rddWalk
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      finally rddWalk.close()
+      assert(nRddDirs <= 4,
+        s"$nRddDirs rdd-* checkpoint dirs left behind — superseded " +
+          "per-iteration checkpoints are not being cleaned")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
