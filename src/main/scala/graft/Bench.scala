@@ -1,8 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import graft.plans.TopKPerKeyExec
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
@@ -22,17 +19,6 @@ import java.nio.file.{Files, Paths}
   *    regression that was just a busy host).
   */
 object Bench {
-
-  /** TopKPerKeyExec nodes of an executed plan, descending through AQE
-    * wrappers (the adaptive root re-plans; metrics live on the final
-    * physical nodes).
-    */
-  private def collectTopK(p: SparkPlan): Seq[TopKPerKeyExec] = p match {
-    case a: AdaptiveSparkPlanExec => collectTopK(a.executedPlan)
-    case q: QueryStageExec => collectTopK(q.plan)
-    case t: TopKPerKeyExec => t +: t.children.flatMap(collectTopK)
-    case other => other.children.flatMap(collectTopK)
-  }
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
@@ -93,17 +79,7 @@ object Bench {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect()
-        val execs = collectTopK(df.queryExecution.executedPlan)
-        // partial-phase metrics only: the final exec sits under the
-        // result orderBy, whose range-partitioner SAMPLING pass
-        // re-executes its RDD — its counters read 2× and would be
-        // noise. partial in→out is the pre-shuffle trim claim anyway.
-        val partials = execs.filter(_.partial)
-        if (partials.isEmpty) None
-        else Some(name -> (
-          partials.map(_.metrics("numInputRows").value).sum,
-          partials.map(_.metrics("numOutputRows").value).sum,
-          partials.map(_.metrics("numFlushes").value).sum))
+        graft.plans.PlanMetrics.topKPartialStats(df).map(name -> _)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] topk metrics for $name failed: ${e.getMessage}")
         None

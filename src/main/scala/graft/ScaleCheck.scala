@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic corpus inflation for the scale-linearity harness:
+  * key-remapped, CONTENT-REMAPPED copies of the driver testdata.
+  * Content remapping matters — naive copies would make every clone a
+  * near-duplicate of its source, manufacturing quadratic candidate
+  * growth that says nothing about how the operators behave when the
+  * corpus grows with independent data:
+  *  - documents: per-copy alphabet rotation via `translate` — token
+  *    structure, lengths and WITHIN-copy near-dup relations are
+  *    preserved exactly, while cross-copy shingles are disjoint
+  *    (rotated tokens don't collide with the base vocabulary);
+  *  - embeddings: per-copy coordinate rotation — norms and
+  *    within-copy cosines are preserved exactly (the same permutation
+  *    applies to both sides of any pair), cross-copy sign patterns
+  *    decorrelate;
+  *  - suppliers (d06): generated hash names — the TPC-H
+  *    `Supplier#NNNNNNNNN` names are the DOCUMENTED adversarial case
+  *    for every exact edit-distance blocking (a dense id space where
+  *    most pairs genuinely ARE within the threshold, so the answer
+  *    itself is quadratic); linearity of the BLOCKING is only a
+  *    meaningful claim on a corpus whose segments carry entropy.
+  */
+object Inflate {
+
+  /** Key offset between copies — far above any testdata id. */
+  val CopyOffset = 100000000L
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val digits = "0123456789"
+
+  private def rot(s: String, i: Int): String = s.drop(i % s.length) + s.take(i % s.length)
+
+  /** `copies` content-remapped copies of the documents table (copy 0
+    * is the untouched base). Letters AND digits rotate — an
+    * untranslated digit token would be shared verbatim across copies
+    * and leave cross-copy simhash bit-sums correlated (measured: d03
+    * candidate growth 18.9× instead of ~11× with letters-only).
+    */
+  def documents(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * CopyOffset)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), alpha + digits,
+           rot(alpha, i) + rot(digits, i))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.union(_))
+
+  /** `copies` coordinate-rotated copies of the embeddings table. */
+  def embeddings(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      val shift = i * 5 // distinct per copy; 9*5 < dim 64
+      base.select(
+        (col("vec_id") + lit(i * CopyOffset)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else concat(
+           slice(col("embedding"), lit(shift + 1), size(col("embedding")) - shift),
+           slice(col("embedding"), lit(1), lit(shift)))).as("embedding"),
+        col("label"))
+    }.reduce(_.union(_))
+
+  /** n suppliers with 24-hex-char hash names (uniform segment
+    * entropy — see class doc for why not the TPC-H names).
+    */
+  def hashSuppliers(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(col("id").as("s_suppkey"),
+      concat(lit("S-"), substring(md5(col("id").cast("string")), 1, 24))
+        .as("s_name"))
+}
+
+/** Scale-linearity stress harness (round-7 verdict item #2): inflate
+  * the corpus 10× with independent-content copies and measure how the
+  * near-dup candidate generators, the s02 LSH bucket occupancy and the
+  * TopKPerKey pre-shuffle trim respond. This is the empirical leg of
+  * the 100 TB claims: a candidate generator whose output grows
+  * quadratically here would melt a real cluster long before 100 TB.
+  *
+  * Expected shapes (asserted by ScaleSpec, reported by the main):
+  *  - d02 (minhash bands): band keys hash 4 full minhashes — random
+  *    collisions are negligible, growth tracks true near-dups ⇒ ~10×;
+  *  - d03 (simhash halves): 2^16 buckets per side ⇒ the random-
+  *    collision term n²/2^16 is still far below the true-pair term at
+  *    these sizes ⇒ ~10×;
+  *  - d04 (rare shared shingles): cross-copy shingles disjoint,
+  *    df-capped ⇒ ~10×;
+  *  - d05 (sign-LSH): collisions ~bands·n²/2^bits — ~linear ONLY when
+  *    bits grows ~log₂(n); the harness measures the default 3-bit
+  *    layout (expected SUPERlinear — documented) AND the log-scaled
+  *    layout (expected ~linear), demonstrating the knob;
+  *  - d06 (PassJoin): segment-entropy-bound; on hash names ~linear
+  *    (near-zero), on dense-id names the ANSWER is quadratic;
+  *  - s02 bucket occupancy: 8 buckets ⇒ max occupancy ~n/8 ⇒ ~10×;
+  *  - t09 TopK partial trim ratio (out/in): scale-invariant.
+  */
+object ScaleCheck {
+
+  /** One measured growth line: metric at base size vs inflated size. */
+  case class Growth(name: String, base: Long, inflated: Long) {
+    def ratio: Double = inflated.toDouble / math.max(base, 1L).toDouble
+    def json: String = f""""$name":{"base":$base,"x":$inflated,"ratio":$ratio%.2f}"""
+  }
+
+  /** Sign-LSH bits per band sized to corpus: 3 + log₂(n/baseN). */
+  def bitsFor(n: Long, baseN: Long): Int =
+    3 + math.max(0, math.ceil(math.log(n.toDouble / baseN) / math.log(2)).toInt)
+
+  def bandsFor(bits: Int): Seq[Seq[Int]] =
+    (0 until 4).map(j => (0 until bits).map(r => j * bits + r + 1))
+
+  /** Max LSH bucket occupancy over s02's single 3-bit bucket. */
+  private def maxBucket(emb: DataFrame): Long = {
+    import graft.functions.Vector
+    emb.select(Vector.signBucket(col("embedding"), Seq(1, 9, 17)).as("bucket"))
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).head().getLong(0)
+  }
+
+  /** Builds the base and 10× dirs under `workDir` and returns the
+    * measured growth lines plus the (base, inflated) t09 trim ratios
+    * in basis points.
+    */
+  def run(s: SparkSession, srcDir: String, workDir: String,
+      baseN: Long = 500L, factor: Int = 10): (Seq[Growth], (Long, Long)) = {
+    import graft.operators.Dedup
+
+    val baseDir = s"$workDir/base"
+    val bigDir = s"$workDir/x$factor"
+    val docs = Tables.documents(s, srcDir).filter(col("doc_id") < baseN)
+    val embs = Tables.embeddings(s, srcDir).filter(col("vec_id") < baseN)
+    docs.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    embs.write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    Inflate.hashSuppliers(s, baseN)
+      .write.mode("overwrite").parquet(s"$baseDir/supplier.parquet")
+    Inflate.documents(docs, factor)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    Inflate.embeddings(embs, factor)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    Inflate.hashSuppliers(s, baseN * factor)
+      .write.mode("overwrite").parquet(s"$bigDir/supplier.parquet")
+
+    def cand(dir: String, f: (SparkSession, String) => DataFrame): Long =
+      f(s, dir).count()
+    def d05auto(dir: String, n: Long): Long =
+      Dedup.embeddingDupCandidatesFrom(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        bandsFor(bitsFor(n, baseN))).count()
+    def trimBp(dir: String): Long = {
+      val df = operators.TextOps.tfidf(s, dir)
+      df.collect()
+      plans.PlanMetrics.topKPartialStats(df)
+        .map { case (in, out, _) => out * 10000L / math.max(in, 1L) }
+        .getOrElse(-1L)
+    }
+
+    val growths = Seq(
+      Growth("d02_cand", cand(baseDir, Dedup.minhashLshCandidates),
+        cand(bigDir, Dedup.minhashLshCandidates)),
+      Growth("d03_cand", cand(baseDir, Dedup.simhashCandidates),
+        cand(bigDir, Dedup.simhashCandidates)),
+      Growth("d04_cand", cand(baseDir, Dedup.ngramJaccardCandidates),
+        cand(bigDir, Dedup.ngramJaccardCandidates)),
+      Growth("d05_cand_3bit", cand(baseDir, Dedup.embeddingDupCandidates),
+        cand(bigDir, Dedup.embeddingDupCandidates)),
+      Growth("d05_cand_autobit", d05auto(baseDir, baseN),
+        d05auto(bigDir, baseN * factor)),
+      Growth("d06_cand", cand(baseDir, Dedup.fuzzyMatchCandidates),
+        cand(bigDir, Dedup.fuzzyMatchCandidates)),
+      Growth("s02_max_bucket",
+        maxBucket(Tables.embeddings(s, baseDir)),
+        maxBucket(Tables.embeddings(s, bigDir))))
+    (growths, (trimBp(baseDir), trimBp(bigDir)))
+  }
+
+  /** Standalone runner: prints one JSON line (numbers land in
+    * SURVEY.md §5). Usage: runMain graft.ScaleCheck [srcDir workDir].
+    */
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+    val (growths, (trim1, trim10)) = run(spark, srcDir, workDir)
+    println("{" + growths.map(_.json).mkString(",") +
+      s""","t09_trim_bp":{"base":$trim1,"x":$trim10}}""")
+    spark.stop()
+  }
+}

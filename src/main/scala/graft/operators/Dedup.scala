@@ -443,20 +443,33 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** d05's declared band layout: 4 bands × 3 sign bits (8 buckets per
+    * band). The BUCKET-BIT WIDTH is the scale knob: expected random
+    * collisions are ~bands·n²/2^bits, so at growing corpus size the
+    * bits per band must grow ~log₂(n) to hold the candidate count
+    * ~linear (the scale harness measures exactly this; the 3-bit
+    * default is part of d05's oracle-replayed semantics at test SF).
+    * Adding bits lowers per-band recall (each must agree on more
+    * hyperplanes), which more bands buy back — e.g. 8 bands × 6 bits
+    * keeps P(caught | cos ≥ .9) ≈ 0.98 of the 4×3 layout.
+    */
+  val DefaultBands: Seq[Seq[Int]] =
+    (0 until 4).map(j => Seq(j + 1, j + 9, j + 17))
+
   /** d05's sign-LSH candidate pairs (observability/spec surface). */
-  def embeddingDupCandidatesFrom(emb: DataFrame): DataFrame = {
-    // one scan → all 4 band keys via explode (no 4-way union re-scan)
-    val bandStructs = (0 until 4).map { j =>
+  def embeddingDupCandidatesFrom(emb: DataFrame,
+      bands: Seq[Seq[Int]] = DefaultBands): DataFrame = {
+    // one scan → all band keys via explode (no per-band union re-scan)
+    val bandStructs = bands.zipWithIndex.map { case (dims, j) =>
       struct(lit(j).as("band"),
-        Vector.signBucket(col("embedding"), Seq(j + 1, j + 9, j + 17))
-          .as("bucket"))
+        Vector.signBucket(col("embedding"), dims).as("bucket"))
     }
-    val bands = emb
+    val keyed = emb
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"),
         col("b.bucket").as("bucket"))
-    bands.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
-      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+    keyed.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()

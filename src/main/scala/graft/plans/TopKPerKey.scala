@@ -174,6 +174,40 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Post-execution plan introspection shared by Bench and the scale
+  * harness: find TopKPerKeyExec nodes (descending through AQE
+  * wrappers — the adaptive root re-plans, metrics live on the final
+  * physical nodes) and read their partial-phase trim metrics.
+  */
+object PlanMetrics {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  def collectTopK(p: SparkPlan): Seq[TopKPerKeyExec] = p match {
+    case a: AdaptiveSparkPlanExec => collectTopK(a.executedPlan)
+    case q: QueryStageExec => collectTopK(q.plan)
+    case t: TopKPerKeyExec => t +: t.children.flatMap(collectTopK)
+    case other => other.children.flatMap(collectTopK)
+  }
+
+  /** (partial_in, partial_out, flushes) summed over the partial-phase
+    * TopK execs of an ALREADY EXECUTED DataFrame (its own
+    * QueryExecution — execute via `df.collect()`, not `df.count()`,
+    * whose agg wrapper plans separate exec instances). The final-phase
+    * exec is deliberately excluded: under a result orderBy the range
+    * partitioner's sampling pass re-executes its RDD and its counters
+    * read 2×.
+    */
+  def topKPartialStats(df: DataFrame): Option[(Long, Long, Long)] = {
+    val partials = collectTopK(df.queryExecution.executedPlan).filter(_.partial)
+    if (partials.isEmpty) None
+    else Some((
+      partials.map(_.metrics("numInputRows").value).sum,
+      partials.map(_.metrics("numOutputRows").value).sum,
+      partials.map(_.metrics("numFlushes").value).sum))
+  }
+}
+
 /** Planner strategy: TopKPerKey → final(partial(child)). */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+/** Scale-linearity assertions (round-7 verdict item #2): inflate the
+  * corpus 10× with independent-content copies (ScaleCheck/Inflate) and
+  * assert the candidate generators' output grows ~linearly — the
+  * empirical leg of the 100 TB design claims. Thresholds carry ~2×
+  * slack over exactly-linear (10×): the data is deterministic, but
+  * per-copy hash re-randomization legitimately moves constants (e.g.
+  * d03's lo/hi half split differs per rotated copy).
+  */
+class ScaleSpec extends SparkSpecBase {
+
+  private lazy val measured = {
+    val work = Files.createTempDirectory("graft-scale").toString
+    ScaleCheck.run(spark, sf0001, work, baseN = 200L, factor = 10)
+  }
+  private lazy val growth =
+    measured._1.map(g => g.name -> g).toMap
+  private lazy val trim = measured._2
+
+  test("d02 minhash-LSH candidates grow ~linearly (band keys hash 4 minhashes)") {
+    val g = growth("d02_cand")
+    assert(g.inflated <= 20 * math.max(g.base, 5L),
+      s"d02 candidates ${g.base} -> ${g.inflated}: superlinear")
+  }
+
+  test("d03 simhash candidates grow ~linearly (2^16 buckets/side)") {
+    val g = growth("d03_cand")
+    // per-copy half-split re-randomization moves the constant (~2x);
+    // quadratic growth would be ~100x
+    assert(g.inflated <= 25 * math.max(g.base, 5L),
+      s"d03 candidates ${g.base} -> ${g.inflated}: superlinear")
+  }
+
+  test("d04 shared-shingle candidates grow ~linearly (df-capped, disjoint copies)") {
+    val g = growth("d04_cand")
+    assert(g.inflated <= 20 * math.max(g.base, 5L),
+      s"d04 candidates ${g.base} -> ${g.inflated}: superlinear")
+  }
+
+  test("d05 fixed 3-bit bands are the documented SUPERlinear case") {
+    val g = growth("d05_cand_3bit")
+    // ~bands*n^2/2^bits with bits fixed: 10x corpus => ~100x pairs.
+    // This assertion pins the MOTIVATION for the log-scaled knob; if
+    // it ever fails the scale story in SURVEY 5 needs rewriting.
+    assert(g.inflated >= 20 * math.max(g.base, 1L),
+      s"d05 3-bit candidates ${g.base} -> ${g.inflated}: expected quadratic-ish")
+  }
+
+  test("d05 log2(n)-scaled bands hold candidates ~linear") {
+    val g = growth("d05_cand_autobit")
+    assert(g.inflated <= 20 * math.max(g.base, 5L),
+      s"d05 auto-bit candidates ${g.base} -> ${g.inflated}: superlinear")
+  }
+
+  test("d06 PassJoin candidates stay ~linear on entropy-bearing names") {
+    val g = growth("d06_cand")
+    // expected counts are tiny (random 24-hex-char names) — use an
+    // absolute floor so a 0 -> 40 move doesn't read as a 40x ratio
+    assert(g.inflated <= 20 * math.max(g.base, 10L),
+      s"d06 candidates ${g.base} -> ${g.inflated}: superlinear")
+  }
+
+  test("s02 max bucket occupancy grows ~linearly (8 fixed buckets)") {
+    val g = growth("s02_max_bucket")
+    assert(g.inflated <= 15 * math.max(g.base, 5L),
+      s"s02 max bucket ${g.base} -> ${g.inflated}: superlinear")
+  }
+
+  test("t09 TopK partial trim ratio is scale-invariant") {
+    val (base, big) = trim
+    assert(base > 0 && big > 0, s"trim metrics missing: $base, $big")
+    assert(big <= base * 3 / 2,
+      s"trim ratio degraded at 10x: ${base}bp -> ${big}bp")
+  }
+}
