@@ -75,6 +75,7 @@ object SparkEntry {
     "d08_keep_best" -> (Dedup.keepBest _),
     "d09_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     "d10_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "d11_incremental_lsh" -> (Dedup.incrementalLsh _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -153,6 +154,33 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN 
 SELECT c.doc_a, c.doc_b, round(($matchesExpr) / 16.0, 4) AS est_sim
 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
 ORDER BY 1, 2"""
+
+  /** d11: delta (doc_id%10==0) band keys probe the lake's band index;
+    * candidates verify at ≥ 8/16 matching minhashes (est_sim in exact
+    * integer basis points, 625 = 10000/16); best lake match per delta
+    * doc (highest est_sim, smallest id). The `cand` CTE from the
+    * shared chain is unused here (it is d02's all-pairs form).
+    */
+  private def incrementalLshSql: String =
+    s"""WITH $minhashCtes,
+dband AS (SELECT doc_id AS delta_id, band, bkey FROM bands WHERE doc_id % 10 = 0),
+lband AS (SELECT doc_id AS lake_id, band, bkey FROM bands WHERE doc_id % 10 <> 0),
+cand2 AS (SELECT DISTINCT d.delta_id, l.lake_id
+  FROM dband d JOIN lband l ON d.band = l.band AND d.bkey = l.bkey),
+scored AS (SELECT c.delta_id, c.lake_id,
+    CAST(($matchesExpr) * 625 AS BIGINT) AS est_sim_bp
+  FROM cand2 c JOIN sig sa ON sa.doc_id = c.delta_id
+  JOIN sig sb ON sb.doc_id = c.lake_id
+  WHERE ($matchesExpr) >= 8),
+best AS (SELECT delta_id, lake_id, est_sim_bp, row_number() OVER (
+    PARTITION BY delta_id ORDER BY est_sim_bp DESC, lake_id) AS rn
+  FROM scored)
+SELECT d.doc_id,
+  CASE WHEN b.lake_id IS NOT NULL THEN 'near_dup_of_index' ELSE 'kept' END AS status,
+  b.lake_id AS dup_of, b.est_sim_bp
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.delta_id = d.doc_id
+ORDER BY doc_id"""
 
   /** d07: min-doc_id connected components over est_sim ≥ 0.5 pairs
     * (= ≥ 8 of 16 matching minhashes, integer-exact), via a recursive
@@ -888,6 +916,7 @@ SELECT d.doc_id, d.content_hash,
 FROM delta d JOIN f USING (content_hash)
   LEFT JOIN idx i ON d.content_hash = i.content_hash
 ORDER BY d.doc_id""",
+    "d11_incremental_lsh" -> incrementalLshSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS shingle

@@ -75,15 +75,20 @@ object Dedup {
     * candidate growth, the plan-health number that must stay ~linear
     * in corpus size at 100 TB.
     */
-  private def bandPairs(sig: DataFrame): DataFrame = {
-    // one scan → all 4 band keys via explode (no 4-way union re-scan)
+  /** (doc_id, band, bkey) LSH band keys from a signature frame — one
+    * scan → all 4 band keys via explode (no 4-way union re-scan).
+    */
+  private def bandKeys(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { j =>
       val cols = (0 until 4).map(r => col(s"m${4 * j + r}").cast("string"))
       struct(lit(j).as("band"), md5(concat_ws("_", cols: _*)).as("bkey"))
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  private def bandPairs(sig: DataFrame): DataFrame = {
+    val bands = bandKeys(sig)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -757,6 +762,63 @@ object Dedup {
         when(col("in_index"), "dup_of_index")
           .when(col("doc_id") =!= col("first_doc_id"), "dup_in_batch")
           .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d11 — INCREMENTAL near-dup: d10's daily-ingest shape lifted from
+    * exact hashes to MinHash-LSH. The delta batch (doc_id%10==0, the
+    * d10 convention) is checked against the lake's band index: delta
+    * band keys equality-join the lake's, candidates verify by
+    * signature agreement (est_sim ≥ 0.5 ⇔ ≥ 8/16 matching minhashes,
+    * integer-exact), and each delta doc reports its best lake match
+    * (`near_dup_of_index`, with the highest-est_sim / smallest-id
+    * lake doc) or `kept`.
+    *
+    * Scale shape: the lake side of the join is its (band, bkey) index
+    * — in production that index is PRECOMPUTED and stored bucketed by
+    * band key (TableSink), so a daily batch never re-minhashes the
+    * lake and the candidate join is co-located; here both sides
+    * derive from the one static `documents` table because that is the
+    * oracle gate's input, but the plan shape (delta-side hashing +
+    * key-equality probe into an index) is identical. Only delta×lake
+    * band collisions shuffle; the argmax is a bounded struct-max per
+    * delta doc, no window sort.
+    */
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir).cache()
+    val bands = bandKeys(sig)
+    val deltaBands = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))
+    val lakeBands = bands.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("lake_id"), col("band"), col("bkey"))
+    val cand = deltaBands.join(lakeBands, Seq("band", "bkey"))
+      .select(col("delta_id"), col("lake_id")).distinct()
+    val sa = sig.select(col("doc_id").as("delta_id") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("lake_id") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches: Column = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val best = cand.join(sa, "delta_id").join(sb, "lake_id")
+      // 625 = 10000/16: est_sim in integer basis points, exact on
+      // both engines (no float division)
+      .select(col("delta_id"), col("lake_id"),
+        (matches * lit(625)).cast("long").as("est_sim_bp"))
+      .filter(col("est_sim_bp") >= 5000)
+      .groupBy(col("delta_id"))
+      // best match: highest est_sim, smallest lake id on ties
+      .agg(max(struct(col("est_sim_bp").as("e"), (-col("lake_id")).as("nid")))
+        .as("m"))
+      .select(col("delta_id"), (-col("m.nid")).as("dup_of"),
+        col("m.e").as("est_sim_bp"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .join(best, col("doc_id") === col("delta_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "near_dup_of_index")
+          .otherwise("kept").as("status"),
+        col("dup_of"), col("est_sim_bp"))
       .orderBy(col("doc_id"))
   }
 

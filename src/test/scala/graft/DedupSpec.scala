@@ -56,6 +56,31 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
   }
 
+  test("d11 incremental LSH: delta doc matched to its best lake near-dup") {
+    val rows = operators.Dedup.incrementalLsh(spark, dir).collect()
+    assert(rows.length == 1) // delta = doc_id%10==0 = doc 0 only
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 0L)
+    assert(r.getAs[String]("status") == "near_dup_of_index")
+    // docs 1 and 2 both match at est_sim 1.0 — smallest id wins
+    assert(r.getAs[Long]("dup_of") == 1L)
+    assert(r.getAs[Long]("est_sim_bp") == 10000L)
+  }
+
+  test("d11 incremental LSH: unmatched delta doc is kept") {
+    val d = Files.createTempDirectory("graft-d11").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b = "one two three four five six seven eight nine ten eleven " * 4
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong),
+      (2L, b + " twelve", "en", "s", b.length + 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.Dedup.incrementalLsh(spark, d).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("status") == "kept")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("dup_of")))
+  }
+
   /** Writes (s_suppkey, s_name) rows as a supplier table; returns dir. */
   private def mkSupplierDir(names: Seq[String]): String = {
     val d = Files.createTempDirectory("graft-fuzzy").toString
