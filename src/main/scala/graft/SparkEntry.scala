@@ -76,6 +76,7 @@ object SparkEntry {
     "d09_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     "d10_incremental_dedup" -> (Dedup.incrementalDedup _),
     "d11_incremental_lsh" -> (Dedup.incrementalLsh _),
+    "d12_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -917,6 +918,29 @@ FROM delta d JOIN f USING (content_hash)
   LEFT JOIN idx i ON d.content_hash = i.content_hash
 ORDER BY d.doc_id""",
     "d11_incremental_lsh" -> incrementalLshSql,
+    "d12_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cm AS (SELECT label AS cid, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+  GROUP BY label, idx),
+cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+asg AS (SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c) z WHERE rr = 1),
+dropped AS (SELECT a.vec_id AS va, min(b.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id > b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 4000
+  GROUP BY 1)
+SELECT s.vec_id, s.cid AS cell,
+  CASE WHEN d.dup_of IS NOT NULL THEN 'dropped' ELSE 'keeper' END AS status,
+  d.dup_of
+FROM asg s LEFT JOIN dropped d ON d.va = s.vec_id
+ORDER BY vec_id""",
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS shingle

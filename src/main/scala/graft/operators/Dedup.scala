@@ -822,6 +822,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d12 — SEMANTIC dedup (SemDeDup shape, Abbas et al. 2023): the
+    * corpus is partitioned into centroid cells (the same label-seeded
+    * milli-floored IVF centroids s03 uses — Similarity
+    * .cellAssignments), and within each cell a vector is `dropped` if
+    * a smaller-id cellmate sits within cosine ≥ τ (its `dup_of` = the
+    * smallest such id — the greedy keep-first pass of SemDeDup,
+    * deterministic). Everything else is a `keeper`.
+    *
+    * Scale: the within-cell pairwise IS SemDeDup's accepted cost — it
+    * is ~n²/K per cell, so K (the cluster count) is the scale knob
+    * and grows ∝ corpus (the paper runs K in the tens of thousands on
+    * web scale; here K = the 10 testdata labels). The cell id is the
+    * shuffle key; centroids broadcast.
+    *
+    * τ default: production SemDeDup runs τ ≈ 0.95; this testdata's
+    * embeddings are near-orthogonal random vectors (max within-cell
+    * cosine at sf0.01 ≈ 0.49), so the DRIVER-GATE default is
+    * τ = 0.40 bp so the oracle compares a non-empty, selective result
+    * (13 of 500 dropped at sf0.01) — the d05-gate reasoning.
+    */
+  def semanticDedup(s: SparkSession, dir: String,
+      tauBp: Int = 4000): DataFrame = {
+    val cells = graft.operators.Similarity.cellAssignments(s, dir)
+      .filter(col("rr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      // referenced three times in one plan (both pair sides + the
+      // final rejoin) — without the cache the scan+assignment subtree
+      // executes three times
+      .cache()
+    val a = cells.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("cid"))
+    val b = cells.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("cid"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("va") > col("vb"))
+      .filter(floor(Vector.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+        * 10000).cast("long") >= tauBp)
+      .groupBy(col("va"))
+      .agg(min(col("vb")).as("dup_of"))
+    cells.select(col("vec_id"), col("cid").as("cell"))
+      .join(dropped, col("vec_id") === col("va"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNotNull, "dropped").otherwise("keeper")
+          .as("status"),
+        col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

@@ -272,7 +272,13 @@ object Similarity {
     * broadcast scan (centroids are tiny) and each query touches
     * ~2/K of the corpus. Top-3 within probed cells.
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Centroid-cell ranking per vector: every (vec_id, cid) pair with
+    * `ccos` (cosine to that centroid) and `rr` (rank of the cell for
+    * that vector; rr=1 is the IVF cell assignment). Centroids are the
+    * 10 per-label milli-floored means (VectorAgg.centroidVectors),
+    * broadcast — one scan of the corpus. Shared by s03/d12.
+    */
+  def cellAssignments(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
@@ -280,10 +286,14 @@ object Similarity {
       .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val asg = e.join(broadcast(cent), lit(true))
+    e.join(broadcast(cent), lit(true))
       .withColumn("ccos",
         Vector.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rr", row_number().over(wAsg))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val asg = cellAssignments(s, dir)
     val cells = asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
     // queries probe their 2 nearest cells; a corpus vector lives in

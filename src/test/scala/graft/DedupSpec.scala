@@ -81,6 +81,24 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.head.isNullAt(rows.head.fieldIndex("dup_of")))
   }
 
+  test("d12 semantic dedup: near-identical cellmates drop to the smallest id") {
+    val rows = operators.Dedup.semanticDedup(spark, vecDir, tauBp = 9000)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("status"), Option(r.getAs[Any]("dup_of"))))
+      .toMap
+    assert(rows.size == 6)
+    assert(rows(0L)._1 == "keeper" && rows(0L)._2.isEmpty)
+    // exact dup and tiny perturbation both collapse onto vec 0
+    assert(rows(1L) == (("dropped", Some(0L))))
+    assert(rows(2L) == (("dropped", Some(0L))))
+    // mk(7) and mk(29) are same-frequency sinusoids with a ~2pi-
+    // multiple phase gap (cos = 0.9994): v3 assigns to v5's centroid
+    // cell and the larger id drops onto the smaller
+    assert(rows(3L)._1 == "keeper")
+    assert(rows(5L) == (("dropped", Some(3L))))
+  }
+
   /** Writes (s_suppkey, s_name) rows as a supplier table; returns dir. */
   private def mkSupplierDir(names: Seq[String]): String = {
     val d = Files.createTempDirectory("graft-fuzzy").toString
