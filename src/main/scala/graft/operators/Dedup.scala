@@ -75,10 +75,30 @@ object Dedup {
     * candidate growth, the plan-health number that must stay ~linear
     * in corpus size at 100 TB.
     */
+  /** Row-local (STATELESS) minhash signature columns m0..m15 over a
+    * text Column: shingling, hashing and the per-permutation minima
+    * are array expressions within one row — no explode, no groupBy.
+    * This is the STREAMING-safe formulation of [[minhashSignatures]]
+    * (parity spec-asserted bit-for-bit); the batch operators keep the
+    * explode+groupBy form because HOF lambdas are CodegenFallback on
+    * the hot path. Docs with <3 tokens yield null m_i (they have no
+    * shingles — minhashSignatures omits them entirely).
+    */
+  def rowMinhashCols(text: Column): Seq[Column] = {
+    val t = Text.tokens(text)
+    val sh = transform(sequence(lit(1), size(t) - 2),
+      i => array_join(slice(t, i, lit(3)), " "))
+    perms.zipWithIndex.map { case ((a, b), i) =>
+      when(size(t) >= 3,
+        array_min(transform(sh, x => (Text.tokenHash(x) * a + b) % P)))
+        .as(s"m$i")
+    }
+  }
+
   /** (doc_id, band, bkey) LSH band keys from a signature frame — one
     * scan → all 4 band keys via explode (no 4-way union re-scan).
     */
-  private def bandKeys(sig: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { j =>
       val cols = (0 until 4).map(r => col(s"m${4 * j + r}").cast("string"))
       struct(lit(j).as("band"), md5(concat_ws("_", cols: _*)).as("bkey"))
@@ -784,23 +804,29 @@ object Dedup {
     * band collisions shuffle; the argmax is a bounded struct-max per
     * delta doc, no window sort.
     */
-  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir).cache()
-    val bands = bandKeys(sig)
-    val deltaBands = bands.filter(col("doc_id") % 10 === 0)
+  /** Shared d11 core: best lake match per delta doc. Both inputs are
+    * (doc_id, m0..m15) signature frames; returns (delta_id, dup_of,
+    * est_sim_bp) for delta docs with a match at ≥ 8/16 agreeing
+    * positions. Used by the batch operator below and per micro-batch
+    * by streaming.IncrementalLshStream (where deltaSig comes from the
+    * stateless [[rowMinhashCols]] and lakeSig is the static index).
+    */
+  private[graft] def bestLakeMatch(deltaSig: DataFrame,
+      lakeSig: DataFrame): DataFrame = {
+    val deltaBands = bandKeys(deltaSig)
       .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))
-    val lakeBands = bands.filter(col("doc_id") % 10 =!= 0)
+    val lakeBands = bandKeys(lakeSig)
       .select(col("doc_id").as("lake_id"), col("band"), col("bkey"))
     val cand = deltaBands.join(lakeBands, Seq("band", "bkey"))
       .select(col("delta_id"), col("lake_id")).distinct()
-    val sa = sig.select(col("doc_id").as("delta_id") +:
+    val sa = deltaSig.select(col("doc_id").as("delta_id") +:
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
-    val sb = sig.select(col("doc_id").as("lake_id") +:
+    val sb = lakeSig.select(col("doc_id").as("lake_id") +:
       (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
     val matches: Column = (0 until 16)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val best = cand.join(sa, "delta_id").join(sb, "lake_id")
+    cand.join(sa, "delta_id").join(sb, "lake_id")
       // 625 = 10000/16: est_sim in integer basis points, exact on
       // both engines (no float division)
       .select(col("delta_id"), col("lake_id"),
@@ -812,6 +838,12 @@ object Dedup {
         .as("m"))
       .select(col("delta_id"), (-col("m.nid")).as("dup_of"),
         col("m.e").as("est_sim_bp"))
+  }
+
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir).cache()
+    val best = bestLakeMatch(sig.filter(col("doc_id") % 10 === 0),
+      sig.filter(col("doc_id") % 10 =!= 0))
     Tables.documents(s, dir).select(col("doc_id"))
       .filter(col("doc_id") % 10 === 0)
       .join(best, col("doc_id") === col("delta_id"), "left")

@@ -81,6 +81,21 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.head.isNullAt(rows.head.fieldIndex("dup_of")))
   }
 
+  test("row-local minhash signature is bit-identical to the batch formulation") {
+    import org.apache.spark.sql.functions.col
+    def sig16(r: org.apache.spark.sql.Row) =
+      (0 until 16).map(i => r.getAs[Long](s"m$i"))
+    val batchSig = operators.Dedup.minhashSignatures(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> sig16(r)).toMap
+    val rowSig = Tables.documents(spark, dir)
+      .select(col("doc_id") +: operators.Dedup.rowMinhashCols(col("text")): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> sig16(r)).toMap
+    assert(batchSig.keySet == rowSig.keySet) // all fixture docs have >=3 tokens
+    batchSig.foreach { case (id, s) =>
+      assert(rowSig(id) == s, s"signature mismatch for doc $id")
+    }
+  }
+
   test("d12 semantic dedup: near-identical cellmates drop to the smallest id") {
     val rows = operators.Dedup.semanticDedup(spark, vecDir, tauBp = 9000)
       .collect()

@@ -204,4 +204,48 @@ class StreamingSpec extends SparkSpecBase {
     // the gate actually gated and the sample actually sampled
     assert(streamed.size < 120)
   }
+
+  test("streaming incremental LSH twin: arriving deltas classify exactly like batch d11") {
+    import graft.streaming.IncrementalLshStream
+    val dir = Files.createTempDirectory("graft-ilsh").toString
+    val inDir = Files.createTempDirectory("graft-ilsh-in").toString
+    val outDir = Files.createTempDirectory("graft-ilsh-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-ilsh-ck").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    val near = base.replace("lazy dog", "sleepy dog")
+    val other = "entirely different words about distributed query engines " * 4
+    // lake = ids not divisible by 10; deltas = 0,10,20,30
+    val rows = Seq(
+      (0L, base), (10L, near),
+      (20L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho " * 4),
+      (30L, "x y"), // deltas (20 shares nothing with the lake; 30 has <3 tokens)
+      (1L, base), (2L, other), (11L, near + " extra"))                     // lake
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // the deltas ARRIVE as two separate files (two micro-batch groups)
+    df.filter($"doc_id" % 10 === 0 && $"doc_id" < 20)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    df.filter($"doc_id" % 10 === 0 && $"doc_id" >= 20)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = IncrementalLshStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        Option(r.getAs[Any]("dup_of")), Option(r.getAs[Any]("est_sim_bp")))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    val batch = asSet(operators.Dedup.incrementalLsh(spark, dir))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // the interesting classifications actually happened
+    val byId = streamed.map(t => t._1 -> t._2).toMap
+    assert(byId(0L) == "near_dup_of_index")  // exact lake copy exists
+    assert(byId(10L) == "near_dup_of_index") // near-dup of lake doc 11
+    assert(byId(20L) == "kept")              // unique tail
+    assert(byId(30L) == "kept")              // <3 tokens: no signature
+    // replay with the same checkpoint: exactly-once, no duplicates
+    val q2 = IncrementalLshStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == 4)
+  }
 }
