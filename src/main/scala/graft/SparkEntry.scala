@@ -59,6 +59,8 @@ object SparkEntry {
     "r14_table_diff" -> (Relational.tableDiff _),
     "r15_cube" -> (Relational.cubeSummary _),
     "r16_scd2" -> (Relational.scd2Merge _),
+    "r17_range_join" -> (Relational.rangeJoinEvents _),
+    "r18_profile" -> (Relational.profileTable _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -84,6 +86,7 @@ object SparkEntry {
     "s04_hybrid_search" -> (Similarity.hybridSearch _),
     "s05_ann_pq" -> (Similarity.annPq _),
     "s06_ann_ivfpq" -> (Similarity.annIvfPq _),
+    "s07_ann_refine" -> (Similarity.annRefine _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -683,7 +686,7 @@ WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 9000
 ORDER BY vec_a, vec_b""",
 
     "s01_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400)),
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
 s AS (SELECT q.query_id, e.vec_id,
     list_cosine_similarity(q.qv, e.embedding) AS cos
   FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
@@ -699,7 +702,7 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
     + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
     + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END) AS bucket
   FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id IN (0, 100, 200, 300, 400)),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
 s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
   FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
 r AS (SELECT query_id, vec_id, cos,
@@ -725,7 +728,7 @@ cells AS (SELECT a.vec_id, a.cid, e.embedding
   FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
 q AS (SELECT a.vec_id AS query_id, e.embedding AS qv, a.cid
   FROM asg a JOIN e ON e.vec_id = a.vec_id
-  WHERE a.vec_id IN (0, 100, 200, 300, 400) AND a.rr <= 2),
+  WHERE a.vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999) AND a.rr <= 2),
 s AS (SELECT q.query_id, c.vec_id,
     list_cosine_similarity(q.qv, c.embedding) AS cos
   FROM cells c JOIN q ON c.cid = q.cid AND c.vec_id <> q.query_id),
@@ -752,7 +755,7 @@ q AS (SELECT vec_id AS query_id,
     CAST(embedding[17:32] AS DOUBLE[]) AS qv1,
     CAST(embedding[33:48] AS DOUBLE[]) AS qv2,
     CAST(embedding[49:64] AS DOUBLE[]) AS qv3
-  FROM e WHERE vec_id IN (0, 100, 200, 300, 400)),
+  FROM e WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
 scan AS (SELECT c.vec_id, q.query_id,
     (list_inner_product(q.qv0, q.qv0) + list_inner_product(c0.scv, c0.scv) - 2*list_inner_product(q.qv0, c0.scv))
   + (list_inner_product(q.qv1, q.qv1) + list_inner_product(c1.scv, c1.scv) - 2*list_inner_product(q.qv1, c1.scv))
@@ -803,7 +806,7 @@ q AS (SELECT a.vec_id AS query_id, a.cid AS cell,
     CAST(e.embedding[33:48] AS DOUBLE[]) AS qv2,
     CAST(e.embedding[49:64] AS DOUBLE[]) AS qv3
   FROM asg a JOIN e ON e.vec_id = a.vec_id
-  WHERE a.vec_id IN (0, 100, 200, 300, 400) AND a.rr <= 2),
+  WHERE a.vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999) AND a.rr <= 2),
 scan AS (SELECT c.vec_id, q.query_id,
     (list_inner_product(q.qv0, q.qv0) + list_inner_product(c0.scv, c0.scv) - 2*list_inner_product(q.qv0, c0.scv))
   + (list_inner_product(q.qv1, q.qv1) + list_inner_product(c1.scv, c1.scv) - 2*list_inner_product(q.qv1, c1.scv))
@@ -821,6 +824,65 @@ r AS (SELECT query_id, vec_id, adc,
 SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
 FROM r WHERE rn <= 3 ORDER BY query_id, rn"""),
+    "s07_ann_refine" ->
+      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cm AS (SELECT label AS cid, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+  GROUP BY label, idx),
+cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+asg AS (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c),
+cells AS (SELECT a.vec_id, a.cid AS cell, e.embedding
+  FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
+""" + pqCodebookCtes + """,
+sv AS (SELECT vec_id, cell, j,
+    CAST(embedding[j*16+1 : j*16+16] AS DOUBLE[]) AS sv
+  FROM cells, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+enc AS (SELECT vec_id, cell, j, cid, row_number() OVER (PARTITION BY vec_id, j
+    ORDER BY list_inner_product(scv, scv) - 2*list_inner_product(sv, scv), cid) AS rr
+  FROM sv JOIN cj USING (j)),
+codes AS (SELECT vec_id, cell,
+    max(CASE WHEN j = 0 THEN cid END) AS code0,
+    max(CASE WHEN j = 1 THEN cid END) AS code1,
+    max(CASE WHEN j = 2 THEN cid END) AS code2,
+    max(CASE WHEN j = 3 THEN cid END) AS code3
+  FROM enc WHERE rr = 1 GROUP BY vec_id, cell),
+q AS (SELECT a.vec_id AS query_id, a.cid AS cell,
+    CAST(e.embedding[1:16] AS DOUBLE[]) AS qv0,
+    CAST(e.embedding[17:32] AS DOUBLE[]) AS qv1,
+    CAST(e.embedding[33:48] AS DOUBLE[]) AS qv2,
+    CAST(e.embedding[49:64] AS DOUBLE[]) AS qv3
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999) AND a.rr <= 2),
+scan AS (SELECT c.vec_id, q.query_id,
+    (list_inner_product(q.qv0, q.qv0) + list_inner_product(c0.scv, c0.scv) - 2*list_inner_product(q.qv0, c0.scv))
+  + (list_inner_product(q.qv1, q.qv1) + list_inner_product(c1.scv, c1.scv) - 2*list_inner_product(q.qv1, c1.scv))
+  + (list_inner_product(q.qv2, q.qv2) + list_inner_product(c2.scv, c2.scv) - 2*list_inner_product(q.qv2, c2.scv))
+  + (list_inner_product(q.qv3, q.qv3) + list_inner_product(c3.scv, c3.scv) - 2*list_inner_product(q.qv3, c3.scv)) AS adc
+  FROM codes c JOIN q ON c.cell = q.cell
+    JOIN cj c0 ON c0.j = 0 AND c0.cid = c.code0
+    JOIN cj c1 ON c1.j = 1 AND c1.cid = c.code1
+    JOIN cj c2 ON c2.j = 2 AND c2.cid = c.code2
+    JOIN cj c3 ON c3.j = 3 AND c3.cid = c.code3
+  WHERE c.vec_id <> q.query_id),
+cand AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+    FROM scan) WHERE rn <= 10),
+x AS (SELECT c.query_id, c.vec_id,
+    list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+    JOIN e ec ON ec.vec_id = c.vec_id),
+f AS (SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM x)
+SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM f WHERE rn <= 3 ORDER BY query_id, rn"""),
     "s04_hybrid_search" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
@@ -873,6 +935,26 @@ SELECT key, new_cents, CASE WHEN old_cents IS NULL OR old_cents <> new_cents
   CAST(NULL AS DATE), true
 FROM j WHERE new_cents IS NOT NULL
 ORDER BY key, valid_from""",
+    "r17_range_join" ->
+      """WITH err AS (SELECT event_id AS interval_id, user_id, ts AS start_ts,
+    ts + INTERVAL 60 MINUTE AS end_ts FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type <> 'error')
+SELECT err.interval_id, err.user_id, count(*) AS n_follow,
+  CAST(sum(floor(p.value * 100)) AS BIGINT) AS follow_cents
+FROM err JOIN p ON p.user_id = err.user_id
+  AND p.ts >= err.start_ts AND p.ts < err.end_ts
+GROUP BY err.interval_id, err.user_id
+ORDER BY interval_id""",
+    "r18_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+  count(DISTINCT $c) AS n_distinct FROM orders""")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY column_name")
+    },
     "m06_modality_interleave" ->
       """WITH d AS (SELECT doc_id,
     CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -382,6 +382,72 @@ object Relational {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** r17 — interval/range join via bin-join: for every `error` event,
+    * the non-error events of the same user inside the 60-minute window
+    * that follows it. A naive range join is a per-user cross product
+    * (O(n·m) comparisons and, in Spark, a BroadcastNestedLoop or
+    * cartesian at scale); instead each interval is exploded onto the
+    * fixed 3600-second epoch bins it covers (≤2 bins — bin width =
+    * interval length) and probe events carry their single bin, so the
+    * candidate generator is a plain (user_id, bin) EQUI-join Spark
+    * shuffles hash-partitioned, followed by the exact range predicate.
+    * A probe event's bin is unique and an interval's bins are
+    * distinct, so each (event, interval) pair surfaces at most once —
+    * no post-join dedup. At 100 TB this is THE interval-join layout:
+    * work is proportional to true matches per bin, never to the
+    * cross product. Per-row floor-cents before the sum keeps the
+    * money aggregate integer-exact across engines.
+    */
+  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val binSec = 3600L
+    val ev = Tables.events(s, dir)
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("interval_id"), col("user_id").as("i_uid"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 60 MINUTES")).as("end_ts"))
+      .withColumn("bin", explode(sequence(
+        floor(unix_timestamp(col("start_ts")) / binSec).cast("long"),
+        floor(unix_timestamp(col("end_ts")) / binSec).cast("long"))))
+    val probes = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("value"),
+        floor(unix_timestamp(col("ts")) / binSec).cast("long").as("bin"))
+    probes.join(intervals,
+        probes("user_id") === intervals("i_uid") &&
+          probes("bin") === intervals("bin") &&
+          col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("interval_id"), col("i_uid"))
+      .agg(count(lit(1)).as("n_follow"),
+        sum(floor(col("value") * 100)).cast("long").as("follow_cents"))
+      .select(col("interval_id"), col("i_uid").as("user_id"),
+        col("n_follow"), col("follow_cents"))
+      .orderBy(col("interval_id"))
+  }
+
+  /** r18 — table profiling (the warehouse `ANALYZE`/data-quality
+    * shape): one pass over orders computing, per column, the row
+    * count, null count and exact distinct count, unpivoted to a
+    * (column_name, n_rows, n_nulls, n_distinct) row per column.
+    * Spark plans the six exact count-distincts as ONE Expand + one
+    * aggregate (a 6× map-side row expansion but a single shuffle —
+    * no per-column scans). At 100 TB the exact-distinct expansion is
+    * the cost knob: swap `countDistinct` for `approx_count_distinct`
+    * (HLL++, fixed-size mergeable state — the r12 pattern) and the
+    * same plan profiles any width at one scan with no expansion.
+    */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct")))
+    val one = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c => s"'$c', n_rows, ${c}_nulls, ${c}_distinct")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.select(expr(
+        s"$stackExpr as (column_name, n_rows, n_nulls, n_distinct)"))
+      .orderBy(col("column_name"))
+  }
+
   /** Event-time sliding windows (30-min window, 10-min slide): each
     * event lands in 3 epoch-aligned windows via Spark's window()
     * generator — the oracle reproduces the window set with an explicit

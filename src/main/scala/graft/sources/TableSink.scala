@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, shiftright, when}
 
 /** Write-side plumbing for the 100 TB layout decisions: partitioned
   * parquet for pruning, bucketed tables for shuffle-free co-located
@@ -59,6 +59,48 @@ object TableSink {
     }
     fs.delete(old, true)
     nFiles
+  }
+
+  /** Z-order layout write: multi-key data skipping. Each key column
+    * is rank-bucketized to `bits` bits via sketch-based quantile
+    * boundaries (one `approxQuantile` pass — no sort, no skew
+    * sensitivity), the bucket codes are bit-interleaved into one
+    * z-value, and the write is range-partitioned + sorted on it. Every
+    * output file then covers a small hyper-rectangle of the key space,
+    * so parquet min/max footer stats prune most files for predicates
+    * on ANY of the keys — where a single-column sort only skips on its
+    * leading column. This is the layout decision that turns a 100 TB
+    * multi-tenant fact scan into a handful of file reads; the z-value
+    * is a transient column, dropped before the bytes land.
+    */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      nFiles: Int = 8, bits: Int = 4,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(cols.nonEmpty && bits * cols.size <= 30,
+      "z-value must fit an int: bits * cols.size <= 30")
+    val nBuckets = 1 << bits
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // ascending quantile boundaries per column; the fold nests `when`s
+    // so the highest exceeded boundary wins — a codegen'd bucketizer
+    def bucketOf(c: String): Column = {
+      val bounds = df.stat.approxQuantile(c, qs, 0.001)
+      bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
+        when(col(c).cast("double") > b, i + 1).otherwise(acc)
+      }
+    }
+    val codes = cols.map(bucketOf)
+    val nc = cols.size
+    val zCol = (0 until bits).flatMap { p =>
+      codes.zipWithIndex.map { case (bc, ci) =>
+        (shiftright(bc.cast("int"), p).bitwiseAND(lit(1)) *
+          lit(1 << (p * nc + (nc - 1 - ci)))).cast("long")
+      }
+    }.reduce(_ + _)
+    df.withColumn("__z", zCol)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
   }
 
   /** Idempotent load: append only rows whose key tuple is absent from

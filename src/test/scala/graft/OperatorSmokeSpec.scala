@@ -148,6 +148,57 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("r17 bin-join range join equals the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Relational.rangeJoinEvents(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("interval_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_follow"), r.getAs[Long]("follow_cents"))).toSet
+    // reference: the textbook inequality join (fine at sf0.001; the
+    // operator exists precisely because this shape dies at scale)
+    val ev = Tables.events(spark, sf0001)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("interval_id"), col("user_id").as("i_uid"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 60 MINUTES")).as("end_ts"))
+    val probe = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("value"))
+    val naive = probe.join(err, probe("user_id") === err("i_uid") &&
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("interval_id"), col("i_uid"))
+      .agg(count(lit(1)).as("n_follow"),
+        sum(floor(col("value") * 100)).cast("long").as("follow_cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("interval_id"), r.getAs[Long]("i_uid"),
+        r.getAs[Long]("n_follow"), r.getAs[Long]("follow_cents"))).toSet
+    assert(got.nonEmpty && got == naive)
+  }
+
+  test("r17 plan is an equi-join on (user, bin) — no cartesian/BNLJ") {
+    val plan = operators.Relational.rangeJoinEvents(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("r18 profile: counts are exact and the plan is one scan") {
+    val rows = operators.Relational.profileTable(spark, sf0001).collect()
+    assert(rows.length == 6)
+    val n = Tables.orders(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == 0L) // orders has no nulls
+      assert(r.getAs[Long]("n_distinct") <= n)
+    }
+    val byCol = rows.map(r =>
+      r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    assert(byCol("o_orderkey") == n) // primary key
+    assert(byCol("o_orderstatus") <= 3)
+    val plan = operators.Relational.profileTable(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profile should read orders once:\n${plan.take(2000)}")
+  }
+
   test("t10/t11 plans are single-scan (no join, no extra shuffle)") {
     val packPlan = operators.TextOps.sequencePack(spark, sf0001)
       .queryExecution.executedPlan.toString

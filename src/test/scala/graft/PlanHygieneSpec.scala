@@ -16,6 +16,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "d12_semantic_dedup" -> "shares s03's IVF assignment: vector × broadcast centroid scan",
     "s05_ann_pq" -> "flat-PQ code scan: codes × broadcast query slice (s06 is the bounded composition)",
     "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
+    "s07_ann_refine" -> "candidate stage IS s06's scan; refine joins are key-equality",
     "t09_tfidf" -> "1-row corpus-count broadcast",
     "t14_domain_mix" -> "1-row corpus-total broadcast")
 

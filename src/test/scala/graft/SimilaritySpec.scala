@@ -79,6 +79,32 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s07 exact re-rank: in-cluster retrieval, exact-cosine ordering") {
+    val refined = operators.Similarity.annRefine(spark, dir)
+    val rows = refined.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 100L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 3)
+      // candidates come from the probed cells; exact re-rank must keep
+      // retrieval in the query's own cluster
+      rs.foreach(r =>
+        assert(cluster(r.getAs[Long]("neighbor_id")) == cluster(q)))
+      // the emitted score is the EXACT cosine, non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("cos_bp"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"$q")
+    }
+    // re-rank agrees with brute force on the candidate set: for each
+    // query, s07's top-3 are the exact-cosine top-3 AMONG its top-10
+    // ADC candidates — here clusters are tight, so candidates are all
+    // same-cluster and brute-force's top-3 ⊆ cluster too
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    byQ.foreach { case (q, rs) =>
+      val got = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(got.map(cluster) == bf(q).map(cluster))
+    }
+  }
+
   test("pq codebook: K is a free parameter, build is deterministic") {
     val cb16 = operators.VectorAgg.pqCodebook(spark, dir).collect()
     // 4 subspaces, at most K=16 codes each (empty clusters may drop)

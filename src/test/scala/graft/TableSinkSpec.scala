@@ -72,6 +72,36 @@ class TableSinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).collect().toSet == before)
   }
 
+  test("z-ordered write: files cover small rectangles on BOTH keys") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    TableSink.writeZOrdered(li, s"$base/z", Seq("l_partkey", "l_suppkey"))
+    li.repartition(8).write.parquet(s"$base/rr") // round-robin baseline
+    def avgSpread(dir: String, c: String): Double = {
+      val global = li.agg(min(col(c)), max(col(c))).head()
+      val width = (global.getLong(1) - global.getLong(0)).toDouble
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length >= 4, s"expected multiple files in $dir")
+      val spreads = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / width
+      }
+      spreads.sum / spreads.length
+    }
+    // the z-layout's min/max footprint must beat round-robin on BOTH
+    // interleaved keys — that is the data-skipping property
+    for (c <- Seq("l_partkey", "l_suppkey")) {
+      val z = avgSpread(s"$base/z", c)
+      val rr = avgSpread(s"$base/rr", c)
+      assert(z < rr * 0.8, s"$c: z-order spread $z not < 0.8 * $rr")
+    }
+    // layout change only: the rows are all still there
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
