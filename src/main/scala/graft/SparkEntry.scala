@@ -102,6 +102,8 @@ object SparkEntry {
     "t12_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "t13_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "t14_domain_mix" -> (TextOps.domainMix _),
+    "t15_mix_resample" -> (TextOps.mixResample _),
+    "t16_global_shuffle" -> ((s, d) => TextOps.globalShuffle(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -1070,6 +1072,26 @@ FROM c, t ORDER BY lang""",
   FROM documents)
 SELECT doc_id, lang, bucket, CAST(keep_pct AS INT) AS keep_pct
 FROM d WHERE bucket < keep_pct ORDER BY doc_id""",
+    "t15_mix_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+m AS (SELECT min(n_docs) AS n_min FROM c),
+r AS (SELECT lang,
+    CAST(floor(10000 * sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT) AS keep_bp
+  FROM c, m),
+d AS (SELECT doc_id, lang,
+    CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT d.doc_id, d.lang, r.keep_bp
+FROM d JOIN r USING (lang)
+WHERE d.bucket < r.keep_bp ORDER BY doc_id""",
+    "t16_global_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+    md5('shuf' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+s AS (SELECT doc_id, shuffle_key,
+    CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) % 8 AS shard_id FROM k)
+SELECT doc_id, shard_id, CAST(row_number() OVER (
+    PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS INT) AS pos
+FROM s ORDER BY shard_id, pos""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -272,6 +272,64 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** t15 — temperature-scaled language rebalancing (α = 0.5), the
+    * materializing counterpart of t14's weight computation: the
+    * corpus is downsampled so post-sample language counts are
+    * ∝ sqrt(pre-sample counts) — the standard temperature flattening
+    * of a pretraining mix. keep_bp(lang) = floor(10⁴·sqrt(n_min/n)),
+    * so the rarest language keeps 100 % and over-represented ones
+    * shrink toward it; the per-doc decision is a salted md5 bucket
+    * vs that integer threshold (t11's hash-Bernoulli primitive — no
+    * global shuffle, no RNG, replayable). keep_bp derives from two
+    * integers through one sqrt+floor, so both engines compute the
+    * identical threshold — no float-sum ordering anywhere. Scale:
+    * one tiny aggregate broadcast back over one scan.
+    */
+  def mixResample(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.join(broadcast(nMin), lit(true))
+      .select(col("lang"),
+        floor(lit(10000) * sqrt(col("n_min").cast("double") / col("n_docs")))
+          .cast("long").as("keep_bp"))
+    val bucket = pmod(conv(substring(
+      md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(10000L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), "lang")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("keep_bp"))
+      .select(col("doc_id"), col("lang"), col("keep_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t16 — deterministic global corpus shuffle: every training run
+    * needs the corpus in a reproducible pseudo-random order, and at
+    * 100 TB a true global sort is the wrong tool. Shuffle key =
+    * salted md5 of the doc id; shard = key's hash mod nShards (hash
+    * uniformity balances shards with no planning pass); position =
+    * rank within the shard. One hash-partition shuffle + a
+    * WITHIN-shard sort — no total-order exchange, and readers stream
+    * shards independently in (shard_id, pos) order. Same salt ⇒ same
+    * permutation on every engine and every re-run; a new epoch is a
+    * new salt, never a new scan pattern.
+    */
+  def globalShuffle(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("shard_id",
+        pmod(conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+      .orderBy(col("shard_id"), col("pos"))
+  }
+
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
     * synthetic) — the redaction pass every training pipeline runs

@@ -18,7 +18,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
     "s07_ann_refine" -> "candidate stage IS s06's scan; refine joins are key-equality",
     "t09_tfidf" -> "1-row corpus-count broadcast",
-    "t14_domain_mix" -> "1-row corpus-total broadcast")
+    "t14_domain_mix" -> "1-row corpus-total broadcast",
+    "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)")
 
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name plans no cartesian/nested-loop join" +

@@ -52,6 +52,49 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(2L)._1 < 2000 && rows(2L)._2 == 0L && !rows(2L)._3)
   }
 
+  test("t15 resample flattens the language mix toward sqrt shares") {
+    // 1600 en vs 100 de: α=0.5 flattening keeps de fully and
+    // downsamples en by sqrt(100/1600) = 1/4
+    val dir = mkDocs(
+      (0L until 1600L).map(i => (i, s"doc $i", "en")) ++
+        (1600L until 1700L).map(i => (i, s"doc $i", "de")))
+    val kept = operators.TextOps.mixResample(spark, dir).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).map {
+      case (l, rs) => l -> rs.length
+    }
+    assert(byLang("de") == 100) // rarest language: keep_bp = 10000
+    // en keep rate ≈ 2500 bp; hash buckets are uniform so the kept
+    // count lands near 400 — allow generous noise either side
+    assert(byLang("en") > 300 && byLang("en") < 500, byLang)
+    // thresholds surface in the output for auditability
+    assert(kept.filter(_.getAs[String]("lang") == "en")
+      .forall(_.getAs[Long]("keep_bp") == 2500L))
+    // replayable: a second run keeps the identical doc set
+    val again = operators.TextOps.mixResample(spark, dir).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet ==
+      again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("t16 global shuffle is a balanced deterministic permutation") {
+    val dir = mkDocs((0L until 800L).map(i => (i, s"doc $i", "en")))
+    val rows = operators.TextOps.globalShuffle(spark, dir).collect()
+    // bijection: every doc appears exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == (0L until 800L).toSet)
+    // positions are contiguous 1..n within each shard
+    rows.groupBy(_.getAs[Long]("shard_id")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq ==
+        (1 to rs.length).toSeq, s"shard $sh")
+      // hash uniformity balances shards (800/8 = 100 expected)
+      assert(rs.length > 60 && rs.length < 140, s"shard $sh: ${rs.length}")
+    }
+    // the order is NOT the input order (it actually shuffles): the
+    // first shard's first few docs are not simply 0,1,2,...
+    val firstShard = rows.filter(r => r.getAs[Long]("shard_id") == 0L)
+      .sortBy(_.getAs[Int]("pos")).take(5).map(_.getAs[Long]("doc_id"))
+    assert(firstShard.toSeq != firstShard.sorted.toSeq ||
+      firstShard.headOption.exists(_ != 0L))
+  }
+
   test("t14 domain mix weights move actual shares toward the target mix") {
     val dir = mkDocs(
       (0L until 80L).map(i => (i, s"doc $i", "en")) ++      // 80% actual vs 40% target
