@@ -70,6 +70,24 @@ object Inflate {
     s.range(n).select(col("id").as("s_suppkey"),
       concat(lit("S-"), substring(md5(col("id").cast("string")), 1, 24))
         .as("s_name"))
+
+  /** `copies` USER-disjoint copies of the events table, raw nanos-long
+    * ts preserved (read without Tables.events' micros conversion so a
+    * re-read round-trips). Users never collide across copies, so
+    * r17's true (interval, event) match set replicates exactly —
+    * the measured growth isolates the bin-join's behavior from any
+    * change in match density.
+    */
+  def events(s: SparkSession, srcDir: String, copies: Int): DataFrame = {
+    val base = s.read.parquet(s"$srcDir/events.parquet")
+    (0 until copies).map { i =>
+      base.select(
+        (col("event_id") + lit(i * CopyOffset)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * CopyOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.union(_))
+  }
 }
 
 /** Scale-linearity stress harness (round-7 verdict item #2): inflate
@@ -141,6 +159,10 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     Inflate.hashSuppliers(s, baseN * factor)
       .write.mode("overwrite").parquet(s"$bigDir/supplier.parquet")
+    Inflate.events(s, srcDir, 1)
+      .write.mode("overwrite").parquet(s"$baseDir/events.parquet")
+    Inflate.events(s, srcDir, factor)
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
     def cand(dir: String, f: (SparkSession, String) => DataFrame): Long =
       f(s, dir).count()
@@ -171,7 +193,10 @@ object ScaleCheck {
         cand(bigDir, Dedup.fuzzyMatchCandidates)),
       Growth("s02_max_bucket",
         maxBucket(Tables.embeddings(s, baseDir)),
-        maxBucket(Tables.embeddings(s, bigDir))))
+        maxBucket(Tables.embeddings(s, bigDir))),
+      Growth("r17_matches",
+        cand(baseDir, operators.Relational.rangeJoinEvents),
+        cand(bigDir, operators.Relational.rangeJoinEvents)))
     (growths, (trimBp(baseDir), trimBp(bigDir)))
   }
 

@@ -69,6 +69,15 @@ class ScaleSpec extends SparkSpecBase {
       s"s02 max bucket ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("r17 range-join matches replicate EXACTLY linearly on user-disjoint copies") {
+    val g = growth("r17_matches")
+    // copies are user-disjoint and content-identical, and the bin-join
+    // is deterministic: anything other than exactly 10x means the
+    // candidate generator leaked pairs across copies
+    assert(g.base > 0 && g.inflated == 10 * g.base,
+      s"r17 matches ${g.base} -> ${g.inflated}: expected exactly 10x")
+  }
+
   test("t09 TopK partial trim ratio is scale-invariant") {
     val (base, big) = trim
     assert(base > 0 && big > 0, s"trim metrics missing: $base, $big")
