@@ -156,17 +156,21 @@ object Similarity {
         struct(lit(j).as("j"),
           slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*)).as("b"))
       .select(col("vec_id"), col("b.j").as("j"), col("b.sv").as("sv"))
-    // encode: argmin ||sv − scv||² ≡ argmin (|scv|² − 2·sv·scv)
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2"), col("cid"))
+    // encode: argmin ||sv − scv||² ≡ argmin (|scv|² − 2·sv·scv),
+    // as a struct-argmin aggregation (min over (d2, cid) = the same
+    // (d2 asc, cid asc) tie-break a rank window would apply) fused
+    // with the j-pivot: ONE map-side-combinable shuffle of 1-row
+    // partials per vector, where the window formulation shuffled the
+    // full 16× centroid fan-out and then aggregated again
     val codes = subVec.join(broadcast(centJ), "j")
       .withColumn("d2", Vector.dot(col("scv"), col("scv"))
         - lit(2.0) * Vector.dot(col("sv"), col("scv")))
-      .withColumn("rr", row_number().over(wEnc)).filter(col("rr") === 1)
       .groupBy(col("vec_id"))
-      .agg(max(when(col("j") === 0, col("cid"))).as("code0"),
+      .agg(min(when(col("j") === 0, struct(col("d2"), col("cid"))))
+          .getField("cid").as("code0"),
         (1 until nSub).map(j =>
-          max(when(col("j") === j, col("cid"))).as(s"code$j")): _*)
+          min(when(col("j") === j, struct(col("d2"), col("cid"))))
+            .getField("cid").as(s"code$j")): _*)
     val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id") +: (0 until nSub).map(j =>
         slice(col("embedding"), j * subLen + 1, subLen).as(s"qv$j")): _*)
@@ -224,16 +228,16 @@ object Similarity {
           struct(lit(j).as("j"),
             slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*)).as("b"))
       .select(col("vec_id"), col("cell"), col("b.j").as("j"), col("b.sv").as("sv"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2"), col("cid"))
+    // struct-argmin encode fused with the j-pivot — see annPq
     val codes = subVec.join(broadcast(centJ), "j")
       .withColumn("d2", Vector.dot(col("scv"), col("scv"))
         - lit(2.0) * Vector.dot(col("sv"), col("scv")))
-      .withColumn("rr", row_number().over(wEnc)).filter(col("rr") === 1)
       .groupBy(col("vec_id"), col("cell"))
-      .agg(max(when(col("j") === 0, col("cid"))).as("code0"),
+      .agg(min(when(col("j") === 0, struct(col("d2"), col("cid"))))
+          .getField("cid").as("code0"),
         (1 until nSub).map(j =>
-          max(when(col("j") === j, col("cid"))).as(s"code$j")): _*)
+          min(when(col("j") === j, struct(col("d2"), col("cid"))))
+            .getField("cid").as(s"code$j")): _*)
     // queries probe their top-2 cells (same as s03)
     val q = asg.filter(isQuery && col("rr") <= 2)
       .select(Seq(col("vec_id").as("query_id"), col("cid").as("cell")) ++

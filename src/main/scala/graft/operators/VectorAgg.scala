@@ -120,13 +120,19 @@ object VectorAgg {
     var cent = meanCentroids(
       subVec.withColumn("ck", pmod(col("vec_id"), lit(k)).cast("int")))
     for (_ <- 1 to iters) {
-      val wEnc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"), col("j")).orderBy(col("d2"), col("ck"))
+      // assignment argmin as a struct-min aggregation: min over
+      // (d2, ck, sv) is the same (d2 asc, ck asc) tie-break the rank
+      // window applied (sv rides along, never compared — d2+ck are a
+      // total order), but partials combine map-side and the shuffle
+      // carries one row per (vector, subspace) instead of the k-way
+      // centroid fan-out
       val asg = subVec.join(broadcast(cent), "j")
         .withColumn("d2", graft.functions.Vector.dot(col("scv"), col("scv"))
           - lit(2.0) * graft.functions.Vector.dot(col("sv"), col("scv")))
-        .withColumn("rr", row_number().over(wEnc)).filter(col("rr") === 1)
-        .select(col("vec_id"), col("j"), col("ck"), col("sv"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(col("d2"), col("ck"), col("sv"))).as("w"))
+        .select(col("vec_id"), col("j"),
+          col("w.ck").as("ck"), col("w.sv").as("sv"))
       cent = meanCentroids(asg)
     }
     // the (tiny, ≤ nSub·k row) codebook is referenced several times by
