@@ -205,18 +205,8 @@ object Similarity {
   private def ivfPqScored(s: SparkSession, dir: String): DataFrame = {
     val nSub = 4
     val subLen = 16
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        Vector.norm(col("embedding")).as("nrm"))
-    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
-      .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
-    // IVF assignment (same formulation as s03)
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val asg = e.join(broadcast(cent), lit(true))
-      .withColumn("ccos",
-        Vector.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rr", row_number().over(wAsg))
+    // IVF assignment — the shared top-2-cells ranking (s03's)
+    val asg = cellAssignments(s, dir)
     val cells = asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
     // PQ codes per vector (same construction as s05 — the K=16
@@ -318,13 +308,19 @@ object Similarity {
     * broadcast scan (centroids are tiny) and each query touches
     * ~2/K of the corpus. Top-3 within probed cells.
     */
-  /** Centroid-cell ranking per vector: every (vec_id, cid) pair with
-    * `ccos` (cosine to that centroid) and `rr` (rank of the cell for
-    * that vector; rr=1 is the IVF cell assignment). Centroids are the
+  /** Centroid-cell ranking per vector: the TOP-2 (vec_id, cid) pairs
+    * with `ccos` (cosine to that centroid) and `rr` (rank of the cell
+    * for that vector; rr=1 is the IVF cell assignment, rr=2 the
+    * second probe cell — no consumer looks deeper). Centroids are the
     * 10 per-label milli-floored means (VectorAgg.centroidVectors),
-    * broadcast — one scan of the corpus. Shared by s03/d12.
+    * broadcast — one scan of the corpus. Shared by s03/s06/s07/d12.
+    * The K-way centroid fan-out is trimmed to 2 rows per vector
+    * BEFORE the rank shuffle by TopKPerKey: each row carries the full
+    * embedding array, so at 100 TB the window formulation would
+    * shuffle K×n wide rows where this moves 2×n.
     */
   def cellAssignments(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
@@ -332,9 +328,11 @@ object Similarity {
       .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    e.join(broadcast(cent), lit(true))
+    val scored = e.join(broadcast(cent), lit(true))
       .withColumn("ccos",
         Vector.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+    graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+        Seq(col("ccos").desc, col("cid").asc), 2)
       .withColumn("rr", row_number().over(wAsg))
   }
 
