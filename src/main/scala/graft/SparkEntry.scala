@@ -61,6 +61,7 @@ object SparkEntry {
     "r16_scd2" -> (Relational.scd2Merge _),
     "r17_range_join" -> (Relational.rangeJoinEvents _),
     "r18_profile" -> (Relational.profileTable _),
+    "r19_incremental_agg" -> (Relational.incrementalAgg _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -957,6 +958,14 @@ ORDER BY interval_id""",
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY column_name")
     },
+    // the oracle is the DIRECT aggregate over the whole table — the
+    // compare PROVES the state ⊎ delta merge law
+    "r19_incremental_agg" ->
+      """WITH o AS (SELECT o_orderstatus,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS total_cents,
+  count(*) AS n_orders, min(cents) AS min_cents, max(cents) AS max_cents
+FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "m06_modality_interleave" ->
       """WITH d AS (SELECT doc_id,
     CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -354,6 +354,39 @@ object Relational {
           .getField("k").as("k"))
       .orderBy(col("event_id"))
 
+  /** r19 — incremental aggregate maintenance: the materialized-view
+    * refresh every warehouse runs instead of rescanning the lake. The
+    * persisted state is the per-group ALGEBRAIC partials (sum, count,
+    * min, max — all mergeable); folding a delta batch in is
+    * partial-aggregate-the-delta + re-aggregate state ⊎ delta —
+    * work ∝ |delta| + |groups|, never ∝ |lake|. Here the state is
+    * derived from the %89-keyed split of orders so the oracle can
+    * prove the merge law: the refreshed result must EQUAL the direct
+    * aggregate over the whole table (this is exactly the
+    * partial/final contract Spark's own hash aggregate relies on).
+    * Money in integer cents so merge order can't move an ulp.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    def partials(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(sum(col("cents")).as("sum_cents"),
+        count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+    // "yesterday's" persisted state and "today's" delta batch
+    val state = partials(o.filter(col("o_orderkey") % 89 =!= 0))
+    val delta = partials(o.filter(col("o_orderkey") % 89 === 0))
+    state.unionByName(delta)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("sum_cents")).as("total_cents"),
+        sum(col("n")).as("n_orders"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Event-time tumbling 1-hour window aggregation — the batch twin
     * of the streaming path (graft.streaming.EventStream applies the
     * same grouping with a watermark).
