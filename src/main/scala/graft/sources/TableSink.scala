@@ -80,15 +80,16 @@ object TableSink {
       "z-value must fit an int: bits * cols.size <= 30")
     val nBuckets = 1 << bits
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // ONE sketch pass computes every column's boundaries (the
+    // multi-column approxQuantile overload) — not a scan per key
+    val allBounds = df.stat.approxQuantile(cols.toArray, qs, 0.001)
     // ascending quantile boundaries per column; the fold nests `when`s
     // so the highest exceeded boundary wins — a codegen'd bucketizer
-    def bucketOf(c: String): Column = {
-      val bounds = df.stat.approxQuantile(c, qs, 0.001)
+    def bucketOf(c: String, bounds: Array[Double]): Column =
       bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
         when(col(c).cast("double") > b, i + 1).otherwise(acc)
       }
-    }
-    val codes = cols.map(bucketOf)
+    val codes = cols.zip(allBounds).map { case (c, b) => bucketOf(c, b) }
     val nc = cols.size
     val zCol = (0 until bits).flatMap { p =>
       codes.zipWithIndex.map { case (bc, ci) =>
