@@ -90,6 +90,66 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
 
+  /** Streaming twin of r19 (incremental aggregate maintenance): every
+    * micro-batch's ALGEBRAIC partials — per-event-type floor-cents
+    * sum + count, both mergeable — fold into a persisted aggregate
+    * state table: read state, union partials, re-aggregate, publish
+    * via a crash-safe temp-dir swap (TableSink.compact's rename
+    * dance; the merged frame materializes into the temp dir BEFORE
+    * the live state moves, so there is never a read-from/write-to
+    * window). Work per batch ∝ |batch| + |groups|, never the history,
+    * and the state table IS the materialized view a dashboard reads —
+    * the streaming side of r19's merge law. A `_last_batch` marker
+    * skips re-delivered batch ids (foreachBatch is at-least-once
+    * within a checkpoint lineage), keeping the merge idempotent under
+    * retries.
+    */
+  def startAggMergeToParquet(spark: SparkSession, inDir: String,
+      stateDir: String, checkpointDir: String) =
+    readEventsStream(spark, inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(stateDir + "_last_batch")
+        val last =
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            try in.readLong() finally in.close()
+          } else -1L
+        if (batchId > last) {
+          val partial = batch.groupBy(col("event_type"))
+            .agg(sum(floor(col("value") * 100)).cast("long").as("sum_cents"),
+              count(lit(1)).as("n_events"))
+          val statePath = new org.apache.hadoop.fs.Path(stateDir)
+          val merged = (if (fs.exists(statePath))
+              spark.read.parquet(stateDir).unionByName(partial)
+            else partial)
+            .groupBy(col("event_type"))
+            .agg(sum(col("sum_cents")).as("sum_cents"),
+              sum(col("n_events")).as("n_events"))
+          val tmp = new org.apache.hadoop.fs.Path(stateDir + "__agg_tmp")
+          val old = new org.apache.hadoop.fs.Path(stateDir + "__agg_old")
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(tmp.toString)
+          fs.delete(old, true)
+          if (fs.exists(statePath) && !fs.rename(statePath, old))
+            throw new java.io.IOException(
+              s"agg merge: could not move $statePath aside")
+          if (!fs.rename(tmp, statePath)) {
+            fs.rename(old, statePath) // roll back
+            throw new java.io.IOException(s"agg merge: could not publish $tmp")
+          }
+          fs.delete(old, true)
+          val out = fs.create(marker, true)
+          try out.writeLong(batchId) finally out.close()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream → idempotent keyed merge: every micro-batch lands through
     * TableSink.appendIfAbsent, so re-delivered keys (source replays,
     * checkpoint restarts, overlapping batches) never duplicate rows —

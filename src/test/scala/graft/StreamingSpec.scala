@@ -127,6 +127,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids == (1L to 7L), s"got $ids")
   }
 
+  test("streaming aggregate-state merge equals the direct batch aggregate") {
+    import org.apache.spark.sql.functions.{col, count, floor, lit, sum}
+    val in = Files.createTempDirectory("graft-agg-in").toString
+    val state = Files.createTempDirectory("graft-agg-out").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-agg-ckpt").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode(SaveMode.Append).parquet(in)
+    // persistent checkpoint across drains: the second drain processes
+    // ONLY the newly arrived files — the state merge carries history
+    def drain() = EventStream.startAggMergeToParquet(spark, in, state, ckpt)
+      .awaitTermination()
+    write(Seq((1L, ts(1), 1L, "click", 1.10, "{}"),
+      (2L, ts(2), 1L, "view", 2.75, "{}"),
+      (3L, ts(3), 2L, "click", 0.45, "{}")))
+    drain()
+    write(Seq((4L, ts(4), 2L, "view", 3.33, "{}"),
+      (5L, ts(5), 1L, "click", 9.99, "{}")))
+    drain()
+    val got = spark.read.parquet(state).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sum_cents"), r.getAs[Long]("n_events"))).toMap
+    // merge law: the maintained state equals the direct aggregate
+    // over everything ever delivered
+    val want = spark.read.parquet(in)
+      .groupBy(col("event_type"))
+      .agg(sum(floor(col("value") * 100)).cast("long").as("sum_cents"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sum_cents"), r.getAs[Long]("n_events"))).toMap
+    assert(got == want, s"state $got vs direct $want")
+    assert(got("click") == ((1154L, 3L))) // 110 + 45 + 999 cents
+  }
+
   test("stratified sampling transform runs unchanged on a document stream") {
     val dir = Files.createTempDirectory("graft-sample-stream").toString
     val docs = (0L until 200L).map(i =>
