@@ -130,11 +130,20 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
-    // compact summary LAST so a bounded tail capture keeps it whole
+    // Tail-capture contract (r7 verdict #1): the driver keeps only the
+    // LAST ~2,000 chars of stdout. At 89 queries the per-query map alone
+    // is ~2.5 KB, so a single compact line put the aggregate header at
+    // the FRONT — exactly the part a bounded tail truncates (five rounds
+    // of "parsed": null, two phantom-regression incidents). Order of
+    // emission is therefore the contract: per-query map FIRST (may be
+    // truncated from the front, that's fine — the full copy is in
+    // SPARK_GRAFT_BENCH_OUT), then a ≤200-char aggregate line as the
+    // ABSOLUTE last stdout line so any tail ≥200 chars keeps it whole.
     val compactQ = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
-    val compact =
-      s"""{"total_s":${fmt3(total)},"failed":$nFailed,"wall_s":${fmt3(wallS)},"load":[${fmt3(loadStart)},${fmt3(loadEnd)}],"q":$compactQ}"""
-    println(compact)
+    println(s"""{"q":$compactQ}""")
+    val aggregate =
+      s"""{"total_s":${fmt3(total)},"failed":$nFailed,"n_q":${results.size},"wall_s":${fmt3(wallS)},"load":[${fmt3(loadStart)},${fmt3(loadEnd)}],"sf":"$sfDir"}"""
+    println(aggregate)
   }
 }

@@ -194,9 +194,12 @@ object ScaleCheck {
       Growth("s02_max_bucket",
         maxBucket(Tables.embeddings(s, baseDir)),
         maxBucket(Tables.embeddings(s, bigDir))),
+      // match PAIRS (pre-aggregation join output), not intervals-with-
+      // ≥1-match: a candidate-generator leak that only piles pairs onto
+      // already-matched intervals would not move the aggregated count
       Growth("r17_matches",
-        cand(baseDir, operators.Relational.rangeJoinEvents),
-        cand(bigDir, operators.Relational.rangeJoinEvents)))
+        cand(baseDir, operators.Relational.rangeJoinMatches),
+        cand(bigDir, operators.Relational.rangeJoinMatches)))
     (growths, (trimBp(baseDir), trimBp(bigDir)))
   }
 

@@ -938,10 +938,16 @@ SELECT key, new_cents, CASE WHEN old_cents IS NULL OR old_cents <> new_cents
   CAST(NULL AS DATE), true
 FROM j WHERE new_cents IS NOT NULL
 ORDER BY key, valid_from""",
+    // CAST(ts AS TIMESTAMP) floors DuckDB's TIMESTAMP_NS to micros,
+    // matching Tables.events' documented ns→us truncation — without it
+    // boundary pairs diverge on any future data with sub-µs components
     "r17_range_join" ->
-      """WITH err AS (SELECT event_id AS interval_id, user_id, ts AS start_ts,
-    ts + INTERVAL 60 MINUTE AS end_ts FROM events WHERE event_type = 'error'),
-p AS (SELECT user_id, ts, value FROM events WHERE event_type <> 'error')
+      """WITH err AS (SELECT event_id AS interval_id, user_id,
+    CAST(ts AS TIMESTAMP) AS start_ts,
+    CAST(ts AS TIMESTAMP) + INTERVAL 60 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type <> 'error')
 SELECT err.interval_id, err.user_id, count(*) AS n_follow,
   CAST(sum(floor(p.value * 100)) AS BIGINT) AS follow_cents
 FROM err JOIN p ON p.user_id = err.user_id

@@ -431,7 +431,20 @@ object Relational {
     * cross product. Per-row floor-cents before the sum keeps the
     * money aggregate integer-exact across engines.
     */
-  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame =
+    rangeJoinMatches(s, dir)
+      .groupBy(col("interval_id"), col("i_uid"))
+      .agg(count(lit(1)).as("n_follow"),
+        sum(floor(col("value") * 100)).cast("long").as("follow_cents"))
+      .select(col("interval_id"), col("i_uid").as("user_id"),
+        col("n_follow"), col("follow_cents"))
+      .orderBy(col("interval_id"))
+
+  /** The pre-aggregation (interval, event) match frame of r17 —
+    * factored out so the scale harness can measure match-PAIR volume
+    * (the true join output) directly; rangeJoinEvents aggregates it.
+    */
+  def rangeJoinMatches(s: SparkSession, dir: String): DataFrame = {
     val binSec = 3600L
     val ev = Tables.events(s, dir)
     val intervals = ev.filter(col("event_type") === "error")
@@ -445,15 +458,9 @@ object Relational {
       .select(col("user_id"), col("ts"), col("value"),
         floor(unix_timestamp(col("ts")) / binSec).cast("long").as("bin"))
     probes.join(intervals,
-        probes("user_id") === intervals("i_uid") &&
-          probes("bin") === intervals("bin") &&
-          col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
-      .groupBy(col("interval_id"), col("i_uid"))
-      .agg(count(lit(1)).as("n_follow"),
-        sum(floor(col("value") * 100)).cast("long").as("follow_cents"))
-      .select(col("interval_id"), col("i_uid").as("user_id"),
-        col("n_follow"), col("follow_cents"))
-      .orderBy(col("interval_id"))
+      probes("user_id") === intervals("i_uid") &&
+        probes("bin") === intervals("bin") &&
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
   }
 
   /** r18 — table profiling (the warehouse `ANALYZE`/data-quality

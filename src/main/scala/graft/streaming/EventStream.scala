@@ -99,10 +99,17 @@ object EventStream {
     * the live state moves, so there is never a read-from/write-to
     * window). Work per batch ∝ |batch| + |groups|, never the history,
     * and the state table IS the materialized view a dashboard reads —
-    * the streaming side of r19's merge law. A `_last_batch` marker
-    * skips re-delivered batch ids (foreachBatch is at-least-once
-    * within a checkpoint lineage), keeping the merge idempotent under
-    * retries.
+    * the streaming side of r19's merge law. The last-merged batch id
+    * lives in a `_batch` file INSIDE the state dir (written into the
+    * temp dir before the publish rename), so state and marker commit
+    * in ONE atomic rename — a crash between publish and a sibling
+    * marker write can never leave "state merged but marker behind"
+    * (which would double-count the retried batch). A missing state dir
+    * with `__agg_old` present means a crash hit between the two
+    * renames of the swap; startup recovery restores `__agg_old` before
+    * reading, so history is never silently discarded. foreachBatch is
+    * at-least-once within a checkpoint lineage; batchId ≤ last ⇒ skip
+    * keeps the merge idempotent under retries.
     */
   def startAggMergeToParquet(spark: SparkSession, inDir: String,
       stateDir: String, checkpointDir: String) =
@@ -111,27 +118,41 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(stateDir + "_last_batch")
-        val last =
-          if (fs.exists(marker)) {
-            val in = fs.open(marker)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "__agg_tmp")
+        val old = new org.apache.hadoop.fs.Path(stateDir + "__agg_old")
+        // Startup recovery: a crash between rename(state→old) and
+        // rename(tmp→state) leaves no state dir but a complete __agg_old.
+        // Restore it first — the interrupted batch re-merges on retry.
+        if (!fs.exists(statePath) && fs.exists(old)) {
+          fs.delete(tmp, true) // tmp (if any) includes the unacked batch
+          if (!fs.rename(old, statePath))
+            throw new java.io.IOException(
+              s"agg merge: could not recover $old -> $statePath")
+        }
+        def readBatchId(dir: org.apache.hadoop.fs.Path): Long = {
+          val f = new org.apache.hadoop.fs.Path(dir, "_batch")
+          if (fs.exists(f)) {
+            val in = fs.open(f)
             try in.readLong() finally in.close()
           } else -1L
+        }
+        val last = if (fs.exists(statePath)) readBatchId(statePath) else -1L
         if (batchId > last) {
           val partial = batch.groupBy(col("event_type"))
             .agg(sum(floor(col("value") * 100)).cast("long").as("sum_cents"),
               count(lit(1)).as("n_events"))
-          val statePath = new org.apache.hadoop.fs.Path(stateDir)
+          // _batch starts with '_' so Spark's parquet reader skips it
           val merged = (if (fs.exists(statePath))
               spark.read.parquet(stateDir).unionByName(partial)
             else partial)
             .groupBy(col("event_type"))
             .agg(sum(col("sum_cents")).as("sum_cents"),
               sum(col("n_events")).as("n_events"))
-          val tmp = new org.apache.hadoop.fs.Path(stateDir + "__agg_tmp")
-          val old = new org.apache.hadoop.fs.Path(stateDir + "__agg_old")
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(tmp.toString)
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batch"), true)
+          try out.writeLong(batchId) finally out.close()
           fs.delete(old, true)
           if (fs.exists(statePath) && !fs.rename(statePath, old))
             throw new java.io.IOException(
@@ -141,8 +162,6 @@ object EventStream {
             throw new java.io.IOException(s"agg merge: could not publish $tmp")
           }
           fs.delete(old, true)
-          val out = fs.create(marker, true)
-          try out.writeLong(batchId) finally out.close()
         }
         ()
       }

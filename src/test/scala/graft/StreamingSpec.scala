@@ -163,6 +163,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(got("click") == ((1154L, 3L))) // 110 + 45 + 999 cents
   }
 
+  test("agg merge sink recovers a crash between the two swap renames") {
+    import org.apache.spark.sql.functions.{col, count, floor, lit, sum}
+    val in = Files.createTempDirectory("graft-aggc-in").toString
+    val state = Files.createTempDirectory("graft-aggc-out").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-aggc-ckpt").toString
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode(SaveMode.Append).parquet(in)
+    def drain() = EventStream.startAggMergeToParquet(spark, in, state, ckpt)
+      .awaitTermination()
+    write(Seq((1L, ts(1), 1L, "click", 1.10, "{}"),
+      (2L, ts(2), 1L, "view", 2.75, "{}")))
+    drain()
+    // simulate a crash caught between rename(state→old) and
+    // rename(tmp→state): state dir gone, __agg_old holds the history,
+    // a stale tmp (from the unacked batch) may linger
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(state), spark.sparkContext.hadoopConfiguration)
+    val statePath = new org.apache.hadoop.fs.Path(state)
+    assert(fs.rename(statePath, new org.apache.hadoop.fs.Path(state + "__agg_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(state + "__agg_tmp"))
+    assert(!fs.exists(statePath))
+    write(Seq((3L, ts(3), 2L, "click", 0.45, "{}")))
+    drain() // startup recovery must restore __agg_old before merging
+    val got = spark.read.parquet(state).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sum_cents"), r.getAs[Long]("n_events"))).toMap
+    assert(got == Map("click" -> ((155L, 2L)), "view" -> ((275L, 1L))),
+      s"history lost across simulated crash: $got")
+  }
+
+  test("agg merge sink skips a replayed batch id (marker inside state dir)") {
+    val in = Files.createTempDirectory("graft-aggr-in").toString
+    val state = Files.createTempDirectory("graft-aggr-out").toString + "/state"
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    Seq((1L, ts(1), 1L, "click", 1.10, "{}"), (2L, ts(2), 1L, "view", 2.75, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Append).parquet(in)
+    // fresh checkpoint per drain ⇒ the SAME input re-delivers as batch 0
+    def drain() = EventStream.startAggMergeToParquet(spark, in, state,
+      Files.createTempDirectory("graft-aggr-ckpt").toString).awaitTermination()
+    drain()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(state), spark.sparkContext.hadoopConfiguration)
+    // marker committed atomically WITH the state (inside the dir), not after
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state + "/_batch")))
+    drain() // replayed batch 0 must be a no-op, not a double-merge
+    val got = spark.read.parquet(state).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sum_cents"), r.getAs[Long]("n_events"))).toMap
+    assert(got == Map("click" -> ((110L, 1L)), "view" -> ((275L, 1L))),
+      s"replayed batch double-merged: $got")
+  }
+
   test("stratified sampling transform runs unchanged on a document stream") {
     val dir = Files.createTempDirectory("graft-sample-stream").toString
     val docs = (0L until 200L).map(i =>

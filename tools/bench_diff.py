@@ -13,10 +13,14 @@ signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # play nice with | head
 
 
 def normalize(d):
-    """Accept both the full Bench doc ({"value":…,"queries":…}) and the
-    compact final-line form ({"total_s":…,"q":…})."""
+    """Accept the full Bench doc ({"value":…,"queries":…}), the legacy
+    one-line compact form ({"total_s":…,"q":…}), and the r8 two-line
+    form (aggregate {"total_s":…} with the per-query map in a sibling
+    {"q":{…}} line, merged by load())."""
     if "q" in d and "queries" not in d:
-        d = dict(d, queries=d["q"], value=d["total_s"])
+        d = dict(d, queries=d["q"])
+    if "total_s" in d and "value" not in d:
+        d = dict(d, value=d["total_s"])
     return d
 
 
@@ -27,8 +31,17 @@ def load(path):
     if d.get("parsed"):
         return normalize(d["parsed"])
     tail = d.get("tail", "")
-    # prefer the compact final line (designed to survive tail capture),
-    # fall back to a complete full-doc line
+    # r8 format: the ABSOLUTE last line is a short aggregate
+    # {"total_s":…,"failed":…,…} with the per-query map on the previous
+    # {"q":{…}} line (possibly front-truncated — then skipped).
+    agg = re.search(r'\{"total_s":[^{}]*\}\s*$', tail)
+    if agg:
+        merged = json.loads(agg.group(0))
+        qline = re.search(r'\{"q":\{[^{}]*\}\}', tail)
+        if qline:
+            merged["q"] = json.loads(qline.group(0))["q"]
+        return normalize(merged)
+    # legacy one-line compact, then full-doc fallback
     for pat in (r'\{"total_s":.*?"q":\{[^{}]*\}\}', r'\{"metric":.*\}'):
         m = re.search(pat, tail)
         if m:
@@ -38,7 +51,7 @@ def load(path):
 
 def main(old_path, new_path, thresh=30.0):
     old, new = load(old_path), load(new_path)
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(oq) & set(nq))
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(oq)} -> {len(nq)} queries)")
