@@ -122,12 +122,6 @@ object ScaleCheck {
     def json: String = f""""$name":{"base":$base,"x":$inflated,"ratio":$ratio%.2f}"""
   }
 
-  /** Sign-LSH bits per band sized to corpus: 3 + log₂(n/baseN). */
-  def bitsFor(n: Long, baseN: Long): Int =
-    3 + math.max(0, math.ceil(math.log(n.toDouble / baseN) / math.log(2)).toInt)
-
-  def bandsFor(bits: Int): Seq[Seq[Int]] =
-    (0 until 4).map(j => (0 until bits).map(r => j * bits + r + 1))
 
   /** Max LSH bucket occupancy over s02's single 3-bit bucket. */
   private def maxBucket(emb: DataFrame): Long = {
@@ -169,7 +163,7 @@ object ScaleCheck {
     def d05auto(dir: String, n: Long): Long =
       Dedup.embeddingDupCandidatesFrom(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-        bandsFor(bitsFor(n, baseN))).count()
+        Dedup.adaptiveBands(n)).count()
     def trimBp(dir: String): Long = {
       val df = operators.TextOps.tfidf(s, dir)
       df.collect()
@@ -185,8 +179,15 @@ object ScaleCheck {
         cand(bigDir, Dedup.simhashCandidates)),
       Growth("d04_cand", cand(baseDir, Dedup.ngramJaccardCandidates),
         cand(bigDir, Dedup.ngramJaccardCandidates)),
-      Growth("d05_cand_3bit", cand(baseDir, Dedup.embeddingDupCandidates),
-        cand(bigDir, Dedup.embeddingDupCandidates)),
+      // fixed 3-bit layout measured EXPLICITLY (the contract query is
+      // adaptive since r8): this row pins the documented quadratic case
+      Growth("d05_cand_3bit",
+        cand(baseDir, (s2, d) => Dedup.embeddingDupCandidatesFrom(
+          Tables.embeddings(s2, d).select(col("vec_id"), col("embedding")),
+          Dedup.DefaultBands)),
+        cand(bigDir, (s2, d) => Dedup.embeddingDupCandidatesFrom(
+          Tables.embeddings(s2, d).select(col("vec_id"), col("embedding")),
+          Dedup.DefaultBands))),
       Growth("d05_cand_autobit", d05auto(baseDir, baseN),
         d05auto(bigDir, baseN * factor)),
       Growth("d06_cand", cand(baseDir, Dedup.fuzzyMatchCandidates),
@@ -194,6 +195,12 @@ object ScaleCheck {
       Growth("s02_max_bucket",
         maxBucket(Tables.embeddings(s, baseDir)),
         maxBucket(Tables.embeddings(s, bigDir))),
+      // s04's queries are a FIXED id set (r8): on content-disjoint
+      // inflation its lexical candidates should stay ~constant — the
+      // old doc_id % 10 rule grew them with the corpus
+      Growth("s04_cand",
+        cand(baseDir, operators.Similarity.hybridCandidates),
+        cand(bigDir, operators.Similarity.hybridCandidates)),
       // match PAIRS (pre-aggregation join output), not intervals-with-
       // ≥1-match: a candidate-generator leak that only piles pairs onto
       // already-matched intervals would not move the aggregated count

@@ -666,6 +666,12 @@ SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
   CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
+    // corpus-adaptive banding replayed in SQL with INTEGER arithmetic
+    // only: ceil(log2 n) = length(bin(n-1)) — same value as the Scala
+    // side's numberOfLeadingZeros formula on every boundary (a float
+    // log2 could ceil 512 to 10); bits = max(3, ceil(log2 n) - 3),
+    // bands = min(64 // bits, bits + 1), band j = coords
+    // [j*bits+1, (j+1)*bits] — see Dedup.adaptiveBands
     "d05_embedding_dup" ->
       """WITH e AS (
   SELECT vec_id, embedding FROM embeddings
@@ -674,12 +680,14 @@ WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
     list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.05 AS FLOAT)],
       embedding[2:])
   FROM embeddings WHERE vec_id < 5),
-b0 AS (SELECT vec_id, embedding, unnest([0, 1, 2, 3]) AS band FROM e),
-b AS (SELECT vec_id, band,
-    (CASE WHEN embedding[band+1] >= 0 THEN 1 ELSE 0 END)
-  + (CASE WHEN embedding[band+9] >= 0 THEN 2 ELSE 0 END)
-  + (CASE WHEN embedding[band+17] >= 0 THEN 4 ELSE 0 END) AS bucket
-  FROM b0),
+p AS (SELECT greatest(3, length(bin(count(*) - 1)) - 3) AS bits FROM e),
+p2 AS (SELECT bits, least(64 // bits, bits + 1) AS nb FROM p),
+bd AS (SELECT unnest(range(nb)) AS band, bits FROM p2),
+b AS (SELECT e.vec_id, bd.band,
+    list_sum(list_transform(range(bd.bits),
+      r -> CASE WHEN e.embedding[CAST(bd.band * bd.bits + r + 1 AS INT)] >= 0
+           THEN 1 << r ELSE 0 END)) AS bucket
+  FROM e CROSS JOIN bd),
 cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
   FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
 SELECT c.vec_a, c.vec_b,
@@ -892,7 +900,8 @@ sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_s
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-q AS (SELECT doc_id AS query_id, shingle FROM shr WHERE doc_id % 10 = 0),
+q AS (SELECT doc_id AS query_id, shingle FROM shr
+  WHERE doc_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
 cand AS (SELECT DISTINCT q.query_id, shr.doc_id FROM shr JOIN q USING (shingle)
   WHERE shr.doc_id <> q.query_id),
 e AS (SELECT vec_id, embedding FROM embeddings),

@@ -431,17 +431,19 @@ object Dedup {
   }
 
   /** d05 — embedding near-dup: cosine ≥ 0.9 pairs found by sign-LSH
-    * banding, not all-pairs. Each vector emits 4 band buckets (sign
-    * pattern of 3 coordinates per band — `Vector.signBucket`);
+    * banding, not all-pairs. Each vector emits one bucket per band
+    * (sign pattern of `bits` coordinates — `Vector.signBucket`);
     * candidate pairs share at least one (band, bucket), i.e. the
     * candidate join is a key-equality join on the bucket id that
-    * shuffles ~n·4 rows, never n² — the same plan shape at 100 TB.
-    * cos ≥ 0.9 means angle ≤ 25.8°, so a random hyperplane splits the
-    * pair with p ≈ 0.143; P(some 3-dim band agrees) ≈ 1−(1−0.63)⁴ ≈
-    * 0.98 — the recall trade-off is part of the operator's declared
-    * semantics and the oracle replays the identical bucketing.
-    * The brute-force formulation is kept as a spec-level cross-check
-    * (see `embeddingDupBrute` / DedupSpec).
+    * shuffles ~n·bands rows, never n² — the same plan shape at
+    * 100 TB. The layout is CORPUS-ADAPTIVE ([[adaptiveBands]]): bits
+    * grows with ⌈log₂ n⌉ so random bucket collisions stay ~linear in
+    * n (a fixed bit width is the documented quadratic failure — see
+    * [[DefaultBands]]), and the band count grows alongside to hold
+    * recall. The recall trade-off is part of the operator's declared
+    * semantics and the oracle replays the identical integer rule and
+    * bucketing. The brute-force formulation is kept as a spec-level
+    * cross-check (see `embeddingDupBrute` / DedupSpec).
     */
   def embeddingDup(s: SparkSession, dir: String): DataFrame =
     embeddingDupFrom(
@@ -449,12 +451,18 @@ object Dedup {
 
   /** d05 over an explicit (vec_id, embedding) frame — lets the gate
     * variant and the scale harness feed augmented corpora through the
-    * identical plan.
+    * identical plan. The band layout is sized from the corpus count
+    * ([[adaptiveBands]]): ONE scalar count action before planning —
+    * legitimate even at 100 TB (parquet row-count metadata), and the
+    * oracle replays the identical integer rule in SQL.
     */
-  def embeddingDupFrom(emb: DataFrame): DataFrame = {
+  def embeddingDupFrom(emb: DataFrame): DataFrame =
+    embeddingDupFrom(emb, adaptiveBands(emb.count()))
+
+  def embeddingDupFrom(emb: DataFrame, bands: Seq[Seq[Int]]): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"),
       Vector.norm(col("embedding")).as("nrm"))
-    val cand = embeddingDupCandidatesFrom(emb)
+    val cand = embeddingDupCandidatesFrom(emb, bands)
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -468,18 +476,46 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** d05's declared band layout: 4 bands × 3 sign bits (8 buckets per
-    * band). The BUCKET-BIT WIDTH is the scale knob: expected random
-    * collisions are ~bands·n²/2^bits, so at growing corpus size the
-    * bits per band must grow ~log₂(n) to hold the candidate count
-    * ~linear (the scale harness measures exactly this; the 3-bit
-    * default is part of d05's oracle-replayed semantics at test SF).
-    * Adding bits lowers per-band recall (each must agree on more
-    * hyperplanes), which more bands buy back — e.g. 8 bands × 6 bits
-    * keeps P(caught | cos ≥ .9) ≈ 0.98 of the 4×3 layout.
+  /** The LEGACY fixed layout: 4 bands × 3 sign bits. Kept ONLY as the
+    * scale harness's documented superlinear case (expected random
+    * collisions ~bands·n²/2^bits with bits pinned ⇒ ~quadratic pair
+    * growth; the r7 bench measured 826 k candidate pairs for 2,000
+    * vectors at sf0.1 — ~41 % of all-pairs). The CONTRACT query uses
+    * [[adaptiveBands]] instead.
     */
   val DefaultBands: Seq[Seq[Int]] =
     (0 until 4).map(j => Seq(j + 1, j + 9, j + 17))
+
+  /** Integer-exact ⌈log₂ n⌉ — no float log, so Spark and the SQL
+    * oracle (length(bin(n−1))) can never disagree on a power-of-two
+    * boundary (log₂(512) = 9.000…2 in IEEE would ceil to 10).
+    */
+  def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** Corpus-adaptive sign-LSH layout (r8, verdict item #3):
+    *   bits  = max(3, ⌈log₂ n⌉ − 3)   — holds expected random
+    *           collisions ~bands·n²/2^bits ≈ O(n·bands·8): doubling
+    *           the corpus adds one bit, halving the per-pair
+    *           collision probability;
+    *   bands = min(⌊64/bits⌋, bits + 1) — added bands buy back the
+    *           per-band recall the extra bits cost (p^bits falls,
+    *           1−(1−p^bits)^bands recovers: 4×3 ⇒ .98, 7×6 ⇒ .97,
+    *           8×8 ⇒ .96 at cos = .9), capped so contiguous
+    *           coordinate blocks stay disjoint in 64 dims (beyond
+    *           ⌊64/bits⌋ bands you'd switch sign-of-coordinate for
+    *           random-projection hyperplanes — same plan shape).
+    * Band j covers the contiguous block [j·bits+1, (j+1)·bits], so
+    * both engines derive the full layout from n with integer
+    * arithmetic only. sf0.01 (n=505): 6 bits × 7 bands; sf0.1
+    * (n=2005): 8 bits × 8 bands ⇒ candidates ~n·bands·(n/2^bits),
+    * measured ~linear by ScaleSpec's autobit row.
+    */
+  def adaptiveBands(n: Long): Seq[Seq[Int]] = {
+    val bits = math.max(3, ceilLog2(n) - 3)
+    val nb = math.min(64 / bits, bits + 1)
+    (0 until nb).map(j => (0 until bits).map(r => j * bits + r + 1))
+  }
 
   /** d05's sign-LSH candidate pairs (observability/spec surface). */
   def embeddingDupCandidatesFrom(emb: DataFrame,
@@ -500,9 +536,14 @@ object Dedup {
       .select(col("vec_a"), col("vec_b")).distinct()
   }
 
-  def embeddingDupCandidates(s: SparkSession, dir: String): DataFrame =
-    embeddingDupCandidatesFrom(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+  /** The contract query's candidate generator — adaptive layout, so
+    * the bench's cand_pairs.d05 telemetry tracks what the gated query
+    * actually shuffles.
+    */
+  def embeddingDupCandidates(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    embeddingDupCandidatesFrom(emb, adaptiveBands(emb.count()))
+  }
 
   /** Offset separating planted gate vectors from real vec_ids. */
   val GatePlantOffset = 10000000L

@@ -96,25 +96,22 @@ object Similarity {
     * cosine rerank, top-3 per query through TopKPerKey. This is the
     * keyword-prefilter → vector-rerank shape of a production retrieval
     * pipeline: the lexical stage bounds the vector work to candidates
-    * instead of the whole corpus. Queries: every 10th document.
+    * instead of the whole corpus. Queries: the FIXED [[annQueryIds]]
+    * set (the round-6 rule s01–s06 already follow) — the old
+    * `doc_id % 10` rule made |Q| ∝ corpus, total work O(n²/10·overlap)
+    * and broadcast 10 % of the embeddings table into every executor;
+    * a constant query set keeps total work ~O(n)·|Q| and the
+    * broadcast side a constant ≤9 rows at any corpus size.
     */
   def hybridSearch(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val sh = Dedup.shingles(s, dir)
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 1000).select(col("shingle"))
-    val shr = sh.join(rare, "shingle")
-    val q = shr.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("query_id"), col("shingle"))
-    val cand = shr.join(q, Seq("shingle"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id")).distinct()
+    val cand = hybridCandidates(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
-    // broadcast only the query-id slice, not the whole corpus — the
-    // candidate join can only ever match vec_id % 10 == 0 rows
-    val qe = e.filter(col("vec_id") % 10 === 0)
+    // the query-embedding slice is the fixed ≤9-id set — a constant-
+    // size frame, safe (and right) to broadcast at any corpus size
+    val qe = e.filter(col("vec_id").isin(annQueryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
     val ce = e.select(col("vec_id").as("doc_id"), col("embedding").as("dv"),
@@ -130,6 +127,24 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("doc_id").as("neighbor_id"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** The lexical-recall candidate frame of s04 — factored out so the
+    * scale harness can measure candidate volume directly. With the
+    * fixed query set, candidates per query depend on shingle overlap
+    * with that query's content, NOT on corpus size: on content-disjoint
+    * inflation the count stays ~constant (ScaleSpec asserts it).
+    */
+  def hybridCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(s, dir)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select(col("shingle"))
+    val shr = sh.join(rare, "shingle")
+    val q = shr.filter(col("doc_id").isin(annQueryIds: _*))
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    shr.join(q, Seq("shingle"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
   }
 
   /** s05 — product-quantization ANN: vectors are compressed to 4

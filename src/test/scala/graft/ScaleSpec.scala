@@ -63,6 +63,16 @@ class ScaleSpec extends SparkSpecBase {
       s"d06 candidates ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("s04 fixed-query hybrid candidates stay ~constant as the corpus inflates") {
+    val g = growth("s04_cand")
+    // fixed ≤9-query set + content-disjoint copies: a query's rare-
+    // shingle matches live in its own copy, so candidate volume must
+    // NOT track corpus size (the old doc_id % 10 rule grew ~10x here);
+    // slack covers df-cap shifts from the 10x larger shingle table
+    assert(g.inflated <= 3 * math.max(g.base, 10L),
+      s"s04 candidates ${g.base} -> ${g.inflated}: corpus-proportional")
+  }
+
   test("s02 max bucket occupancy grows ~linearly (8 fixed buckets)") {
     val g = growth("s02_max_bucket")
     assert(g.inflated <= 15 * math.max(g.base, 5L),
