@@ -164,6 +164,20 @@ object ScaleCheck {
       Dedup.embeddingDupCandidatesFrom(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         Dedup.adaptiveBands(n)).count()
+    // d12's within-cell pair volume with K = semanticK(n) (∝ corpus):
+    // the quantity that is quadratic when K is pinned (the r7 label-
+    // centroid bug) and ~linear when K scales with n
+    def d12Pairs(dir: String): Long = {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val cent = operators.VectorAgg.kmeansCentroids(s, emb,
+        Dedup.semanticK(n))
+      operators.VectorAgg.kmeansAssign(emb, cent)
+        .groupBy(col("cid")).count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("p"))
+        .head().getLong(0)
+    }
     def trimBp(dir: String): Long = {
       val df = operators.TextOps.tfidf(s, dir)
       df.collect()
@@ -201,6 +215,7 @@ object ScaleCheck {
       Growth("s04_cand",
         cand(baseDir, operators.Similarity.hybridCandidates),
         cand(bigDir, operators.Similarity.hybridCandidates)),
+      Growth("d12_pairs", d12Pairs(baseDir), d12Pairs(bigDir)),
       // match PAIRS (pre-aggregation join output), not intervals-with-
       // ≥1-match: a candidate-generator leak that only piles pairs onto
       // already-matched intervals would not move the aggregated count

@@ -1026,18 +1026,41 @@ FROM delta d JOIN f USING (content_hash)
   LEFT JOIN idx i ON d.content_hash = i.content_hash
 ORDER BY d.doc_id""",
     "d11_incremental_lsh" -> incrementalLshSql,
+    // replays VectorAgg.kmeansCentroids CTE-for-CTE: K =
+    // greatest(10, n//50) (integer-exact both engines), vec_id%K seed
+    // means (c0), two assign→mean rounds (a1/c1, a2/c2), final
+    // assignment to c2 — no RNG, milli-floored means each round
     "d12_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
-asg AS (SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid,
-    row_number() OVER (PARTITION BY e.vec_id
-      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
-  FROM e, cent c) z WHERE rr = 1),
+kk AS (SELECT greatest(10, count(*) // 50) AS k FROM e),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
+c0m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT CAST(vec_id % (SELECT k FROM kk) AS INT) AS ck, unnest(v) AS x,
+      unnest(range(1, len(v)+1)) AS idx FROM ev) z
+  GROUP BY ck, idx),
+c0 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c0m GROUP BY ck),
+a1 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c0 c) z WHERE rr = 1),
+c1m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT a1.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
+    FROM ev JOIN a1 USING (vec_id)) z
+  GROUP BY ck, idx),
+c1 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c1m GROUP BY ck),
+a2 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c1 c) z WHERE rr = 1),
+c2m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT a2.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
+    FROM ev JOIN a2 USING (vec_id)) z
+  GROUP BY ck, idx),
+c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c2m GROUP BY ck),
+asg AS (SELECT vec_id, cid FROM (SELECT ev.vec_id, c.ck AS cid,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c2 c) z WHERE rr = 1),
 dropped AS (SELECT a.vec_id AS va, min(b.vec_id) AS dup_of
   FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id > b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id

@@ -895,19 +895,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** K(n) for d12: max(10, n/50) — K GROWS with the corpus, so the
+    * within-cell pairwise cost n²/K stays ~50·n/2, i.e. LINEAR total
+    * work (ScaleSpec measures it at 10×). Integer arithmetic only, so
+    * the oracle replays `greatest(10, count(*)//50)` exactly.
+    */
+  def semanticK(n: Long): Int = math.max(10L, n / 50L).toInt
+
   /** d12 — SEMANTIC dedup (SemDeDup shape, Abbas et al. 2023): the
-    * corpus is partitioned into centroid cells (the same label-seeded
-    * milli-floored IVF centroids s03 uses — Similarity
-    * .cellAssignments), and within each cell a vector is `dropped` if
-    * a smaller-id cellmate sits within cosine ≥ τ (its `dup_of` = the
-    * smallest such id — the greedy keep-first pass of SemDeDup,
-    * deterministic). Everything else is a `keeper`.
+    * corpus is partitioned into K-means cells (the K-FREE full-vector
+    * deterministic clusterer, VectorAgg.kmeansCentroids — r8: cells
+    * were previously the 10 per-label centroids, pinning K at label
+    * cardinality and the per-cell pairwise at n²/10), and within each
+    * cell a vector is `dropped` if a smaller-id cellmate sits within
+    * cosine ≥ τ (its `dup_of` = the smallest such id — the greedy
+    * keep-first pass of SemDeDup, deterministic). Everything else is
+    * a `keeper`.
     *
-    * Scale: the within-cell pairwise IS SemDeDup's accepted cost — it
-    * is ~n²/K per cell, so K (the cluster count) is the scale knob
-    * and grows ∝ corpus (the paper runs K in the tens of thousands on
-    * web scale; here K = the 10 testdata labels). The cell id is the
-    * shuffle key; centroids broadcast.
+    * Scale: the within-cell pairwise IS SemDeDup's accepted cost —
+    * ~n²/K per cell — and K is now a real parameter defaulting to
+    * [[semanticK]] (∝ corpus ⇒ total pair work ~50·n/2, linear; the
+    * paper runs K in the tens of thousands at web scale). The cell id
+    * is the shuffle key; centroids broadcast (see kmeansCentroids for
+    * the past-broadcast-size story).
     *
     * τ default: production SemDeDup runs τ ≈ 0.95; this testdata's
     * embeddings are near-orthogonal random vectors (max within-cell
@@ -916,9 +926,12 @@ object Dedup {
     * (13 of 500 dropped at sf0.01) — the d05-gate reasoning.
     */
   def semanticDedup(s: SparkSession, dir: String,
-      tauBp: Int = 4000): DataFrame = {
-    val cells = graft.operators.Similarity.cellAssignments(s, dir)
-      .filter(col("rr") === 1)
+      tauBp: Int = 4000, kOpt: Option[Int] = None): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val k = kOpt.getOrElse(semanticK(emb.count()))
+    val cent = graft.operators.VectorAgg.kmeansCentroids(s, emb, k)
+    val cells = graft.operators.VectorAgg.kmeansAssign(emb, cent)
+      .withColumn("nrm", Vector.norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       // referenced three times in one plan (both pair sides + the
       // final rejoin) — without the cache the scan+assignment subtree

@@ -334,12 +334,22 @@ object Similarity {
     * embedding array, so at 100 TB the window formulation would
     * shuffle K×n wide rows where this moves 2×n.
     */
-  def cellAssignments(s: SparkSession, dir: String): DataFrame = {
+  def cellAssignments(s: SparkSession, dir: String): DataFrame =
+    cellAssignmentsWith(s, dir,
+      graft.operators.VectorAgg.centroidVectors(s, dir))
+
+  /** cellAssignments against an EXPLICIT (cid, cv) centroid table —
+    * the K-as-a-parameter path: pass VectorAgg.kmeansCentroids(_, _,
+    * k) to run the IVF cell structure with any cluster count instead
+    * of the 10 label centroids the contract query pins.
+    */
+  def cellAssignmentsWith(s: SparkSession, dir: String,
+      cent0: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Vector.norm(col("embedding")).as("nrm"))
-    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
+    val cent = cent0
       .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))

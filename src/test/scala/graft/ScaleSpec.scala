@@ -73,6 +73,16 @@ class ScaleSpec extends SparkSpecBase {
       s"s04 candidates ${g.base} -> ${g.inflated}: corpus-proportional")
   }
 
+  test("d12 within-cell pairs stay ~linear when K scales with the corpus") {
+    val g = growth("d12_pairs")
+    // pairs ≈ n²/(2K): with K = semanticK(n) ∝ n the total is ~25·n.
+    // The base (n=200) sits on the K ≥ 10 floor (K=10 not n/50=4), so
+    // exactly-linear would read LOW here; 30× still cleanly separates
+    // linear-with-floor-distortion from pinned-K quadratic (~100×)
+    assert(g.base > 0 && g.inflated <= 30 * g.base,
+      s"d12 pairs ${g.base} -> ${g.inflated}: superlinear")
+  }
+
   test("s02 max bucket occupancy grows ~linearly (8 fixed buckets)") {
     val g = growth("s02_max_bucket")
     assert(g.inflated <= 15 * math.max(g.base, 5L),
