@@ -51,6 +51,7 @@ object SparkEntry {
     "r06_pivot" -> (Relational.pivotEvents _),
     "r07_asof_join" -> (Relational.asofJoin _),
     "r08_sessionize" -> (Relational.sessionize _),
+    "r20_sessionize_chunked" -> ((s, d) => Relational.sessionizeChunked(s, d)),
     "r09_running_window" -> (Relational.runningWindow _),
     "r10_salted_agg" -> (Relational.saltedAgg _),
     "r11_region_rollup" -> (Relational.regionRollup _),
@@ -247,6 +248,17 @@ c2m AS (SELECT j, ck, idx, CAST(floor(avg(v) * 1000) / 1000.0 AS FLOAT) AS comp
   GROUP BY j, ck, idx),
 cj AS (SELECT j, ck AS cid, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
   FROM c2m GROUP BY j, ck)"""
+
+  /** Shared by r08 and its skew-resistant twin r20 — both must equal
+    * the single-window formulation exactly.
+    */
+  private def sessionizeSql: String =
+    """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+y AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM x),
+z AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value,
+  CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
   private def simhashSql: String = {
     val bitSums = (0 until 32).map { j =>
@@ -571,13 +583,10 @@ SELECT e.event_id, e.user_id, e.value, o.o_orderkey AS matched_orderkey,
   o.o_totalprice AS matched_ordertotal
 FROM ev e ASOF JOIN ord o ON e.user_id = o.uid AND e.ts >= o.ots
 ORDER BY e.event_id""",
-    "r08_sessionize" ->
-      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
-y AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM x),
-z AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
-SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value,
-  CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end
-FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "r08_sessionize" -> sessionizeSql,
+    // r20 computes the SAME result as r08 through the chunked plan —
+    // sharing the oracle text IS the claim being checked
+    "r20_sessionize_chunked" -> sessionizeSql,
     "r09_running_window" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_value,

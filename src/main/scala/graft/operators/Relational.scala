@@ -175,6 +175,62 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** r20 — SKEW-RESISTANT sessionization: identical result to r08
+    * (the oracle is literally r08's SQL) via time-chunk +
+    * boundary-merge, the batch-side shape of the streaming
+    * Sessionizer's incremental state merge. r08's window keys on
+    * user_id alone, so a hot user's entire history lands in ONE task
+    * (SkewSpec measures ~50 % of the corpus in one partition on the
+    * drill corpus; fine at sf0.1, fatal for a 100 TB hot key). Here:
+    *
+    *  1. events sessionize WITHIN (user_id, day chunk) — the exchange
+    *     key carries the chunk, so a hot user diffuses across time
+    *     and no task ever holds more than one chunk of one user;
+    *  2. the per-chunk SESSIONS (already thousands-to-one smaller
+    *     than events) re-sessionize per user with the same 1800 s
+    *     rule on (prev session_end → next session_start): two
+    *     same-chunk sessions are > 1800 s apart by construction, so
+    *     this glues exactly the boundary-crossing runs r08 would
+    *     never have split;
+    *  3. merged groups re-aggregate (counts/sums are algebraic
+    *     partials; min/max of starts/ends) and renumber 1..k per user
+    *     — bit-identical to r08's cumulative session ids.
+    *
+    * The second window still keys on user_id, but over per-chunk
+    * session rows — bounded by chunks-per-user, not events-per-user.
+    */
+  def sessionizeChunked(s: SparkSession, dir: String,
+      chunkSec: Long = 86400L): DataFrame = {
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = Tables.events(s, dir)
+      .withColumn("chunk", floor(unix_timestamp(col("ts")) / chunkSec))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byChunk))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("local_id", sum(col("new_sess")).over(byChunk))
+      .groupBy(col("user_id"), col("chunk"), col("local_id"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"),
+        min(col("ts")).as("p_start"), max(col("ts")).as("p_end"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("p_start"), col("p_end"))
+    local
+      .withColumn("prev_end", lag(col("p_end"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_end").isNull ||
+          unix_timestamp(col("p_start")) - unix_timestamp(col("prev_end")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pv")), 2).as("session_value"),
+        min(col("p_start")).as("session_start"),
+        max(col("p_end")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Per-user running total and 5-row moving average over events. */
   def runningWindow(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -120,6 +120,35 @@ class SkewSpec extends SparkSpecBase {
     assert(out.agg(sum(col("n_events"))).head().getLong(0) == N)
   }
 
+  test("r20 chunked sessionize equals r08 and bounds the hot user's task share") {
+    val plain = operators.Relational.sessionize(spark, dir).collect()
+    val chunked = operators.Relational.sessionizeChunked(spark, dir).collect()
+    assert(plain.length == chunked.length,
+      s"session count ${plain.length} != ${chunked.length}")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+    val byKey = chunked.map(r => key(r) -> r).toMap
+    plain.foreach { p =>
+      val c = byKey(key(p))
+      assert(c.getAs[Long]("n_events") == p.getAs[Long]("n_events"), s"$p")
+      assert(c.getAs[java.sql.Timestamp]("session_start") ==
+        p.getAs[java.sql.Timestamp]("session_start"), s"$p")
+      assert(c.getAs[java.sql.Timestamp]("session_end") ==
+        p.getAs[java.sql.Timestamp]("session_end"), s"$p")
+      // partials merge in a different float order than one flat sum —
+      // equality after round(2) is the contract the oracle checks too
+      assert(c.getAs[Double]("session_value") ==
+        p.getAs[Double]("session_value"), s"$p")
+    }
+    // the whole point: (user_id, chunk) diffuses what user_id alone
+    // concentrates (~0.5 measured by the r08 drill above)
+    val events = Tables.events(spark, dir)
+      .withColumn("chunk", floor(unix_timestamp(col("ts")) / 86400L))
+    val share = maxPartitionShare(events, Seq("user_id", "chunk"))
+    assert(share < 0.20,
+      f"chunked exchange should bound the hot user, got $share%.2f")
+  }
+
   test("t10 sequence pack: sub-sharding bounds the hot language's reducer share") {
     val out = operators.TextOps.sequencePack(spark, dir)
     assert(out.count() == N)
