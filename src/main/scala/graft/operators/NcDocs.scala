@@ -226,52 +226,68 @@ object NcDocs {
     // only the bidder list rides the per-line explode; the other nine
     // doc-level fields rejoin by key AFTER the line fan-out, so the
     // wide columns never multiply by the line count
+    // STAGE SHAPE NOTE (r8 p13 profile): each withColumn is one more
+    // Project for the analyzer and a wider codegen unit — on this
+    // parser's ~30-expression tree that one-off cost (first-run 9.5 s,
+    // re-analysis ~0.9 s/run at sf0.1) exceeded the actual data work
+    // (~1.4 s over 600 k lines). The chain is therefore collapsed into
+    // the minimal projections whose columns don't reference each
+    // other; expressions shared WITHIN a stage (prev/last/_core) stay
+    // single-instance by living one projection upstream.
     val lines = docs
       .select(keyCols.map(col) :+ col("_vendors") :+
-        explode(split(col("_doc"), "\n")).as("l"): _*)
-      .withColumn("l", regexp_replace(trim(col("l")), "\\s+", " "))
+        explode(split(col("_doc"), "\n")).as("l0"): _*)
+      .select(keyCols.map(col) :+ col("_vendors") :+
+        regexp_replace(trim(col("l0")), "\\s+", " ").as("l"): _*)
       // cheap anchored prefilter FIRST — header/vendor lines die
       // before any money-token scanning runs on them
       .filter(col("l").rlike("^\\d{3,4}\\s"))
       // item lines: NNN(N) first token, ≥6 tokens, ≥2 money tokens
-      .withColumn("_money",
-        regexp_extract_all(col("l"), lit("\\$?" + moneyPat + "\\b"), lit(1)))
+      .select(keyCols.map(col) ++ Seq(col("_vendors"), col("l"),
+        regexp_extract_all(col("l"), lit("\\$?" + moneyPat + "\\b"), lit(1))
+          .as("_money")): _*)
       .filter(size(col("_money")) >= 2 && size(split(col("l"), " ")) >= 6)
       // core tokens: everything before the first money token
-      .withColumn("_core", split(trim(regexp_extract(col("l"),
-        "^(.*?)\\s*\\$?\\s*[\\d,]+\\.\\d{2}\\b", 1)), " "))
+      .select(keyCols.map(col) ++ Seq(col("_vendors"), col("_money"),
+        split(trim(regexp_extract(col("l"),
+          "^(.*?)\\s*\\$?\\s*[\\d,]+\\.\\d{2}\\b", 1)), " ").as("_core")): _*)
       .filter(size(col("_core")) >= 2)
     val last = element_at(col("_core"), -1)
     val prev = element_at(col("_core"), -2)
+    // the reference's three qty/unit layouts; qty_raw keeps textual
+    // quantities ("Lump Sum") verbatim as the reference does while the
+    // typed qty column holds the parsed double
     val parsed = lines
-      // the reference's three qty/unit layouts
-      .withColumn("_head", when(isNum(prev) && !isNum(last),
-          slice(col("_core"), lit(1), size(col("_core")) - 2))
-        .when(!isNum(prev) && !isNum(last),
-          slice(col("_core"), lit(1), size(col("_core")) - 2))
-        .otherwise(slice(col("_core"), lit(1), size(col("_core")) - 1)))
-      .withColumn("qty", when(isNum(prev) && !isNum(last),
-          translate(prev, ",", "").cast("double"))
-        .when(isNum(last), translate(last, ",", "").cast("double")))
-      // the reference keeps textual quantities ("Lump Sum") verbatim
-      // in its qty field; a typed engine splits them: qty double,
-      // qty_raw the untyped original
-      .withColumn("qty_raw", when(isNum(prev) && !isNum(last), prev)
-        .when(!isNum(prev) && !isNum(last), concat_ws(" ", prev, last))
-        .otherwise(last))
-      .withColumn("unit", when(isNum(prev) && !isNum(last), last))
-      .withColumn("line_no", element_at(col("_head"), 1))
-      .withColumn("item_no", when(size(col("_head")) >= 2,
-        element_at(col("_head"), 2)))
-      .withColumn("description", when(size(col("_head")) >= 4,
-        array_join(slice(col("_head"), lit(4), size(col("_head")) - 3), " ")))
-      // bidder pairs: last 2·n money tokens when n bidders are known
-      // and present, else the 1-bidder fallback on the last pair
-      .withColumn("_nb", when(size(col("_vendors")) >= 1 &&
-          size(col("_money")) >= size(col("_vendors")) * 2,
-        size(col("_vendors"))).otherwise(1))
-      .withColumn("_pairs",
-        slice(col("_money"), -(col("_nb") * 2), col("_nb") * 2))
+      .select(keyCols.map(col) ++ Seq(col("_vendors"), col("_money"),
+        when(isNum(prev) && !isNum(last),
+            slice(col("_core"), lit(1), size(col("_core")) - 2))
+          .when(!isNum(prev) && !isNum(last),
+            slice(col("_core"), lit(1), size(col("_core")) - 2))
+          .otherwise(slice(col("_core"), lit(1), size(col("_core")) - 1))
+          .as("_head"),
+        when(isNum(prev) && !isNum(last),
+            translate(prev, ",", "").cast("double"))
+          .when(isNum(last), translate(last, ",", "").cast("double"))
+          .as("qty"),
+        when(isNum(prev) && !isNum(last), prev)
+          .when(!isNum(prev) && !isNum(last), concat_ws(" ", prev, last))
+          .otherwise(last).as("qty_raw"),
+        when(isNum(prev) && !isNum(last), last).as("unit"),
+        // bidder pairs: last 2·n money tokens when n bidders are known
+        // and present, else the 1-bidder fallback on the last pair
+        when(size(col("_vendors")) >= 1 &&
+            size(col("_money")) >= size(col("_vendors")) * 2,
+          size(col("_vendors"))).otherwise(1).as("_nb")): _*)
+      .select(keyCols.map(col) ++ Seq(col("_vendors"),
+        col("qty"), col("qty_raw"), col("unit"), col("_nb"),
+        element_at(col("_head"), 1).as("line_no"),
+        when(size(col("_head")) >= 2, element_at(col("_head"), 2))
+          .as("item_no"),
+        when(size(col("_head")) >= 4,
+          array_join(slice(col("_head"), lit(4), size(col("_head")) - 3), " "))
+          .as("description"),
+        slice(col("_money"), -(col("_nb") * 2), col("_nb") * 2)
+          .as("_pairs")): _*)
     // bidder fan-out via a plain explode(sequence(...)) generator —
     // a transform(...) lambda here would drop the whole projection to
     // interpreted CodegenFallback on every line row
