@@ -34,26 +34,30 @@ object InvoicePipeline {
     // partitioning/retry order (first(ignoreNulls) is not)
     val firstNonNull: Column => Column = c =>
       min(when(c.isNotNull, struct(col("line_no"), c.as("v")))).getField("v")
+    // one projection, not 9 chained withColumns: none of these columns
+    // reference each other, and the chain's per-Project analyzer +
+    // codegen cost dominated p13's profile (SURVEY §5 r8 note)
     lines
-      .withColumn("tin", when(
-        regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1) =!= "",
-        regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1)))
-      .withColumn("inv_no", Parse.invoiceNumber(l))
-      .withColumn("inv_date",
+      .select(col("path"), col("file_name"), col("doc_type"), col("line_no"),
+        when(regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1) =!= "",
+          regexp_extract(l, "(?i)(?<!G)TIN[:\\s]+(\\d+)", 1)).as("tin"),
+        Parse.invoiceNumber(l).as("inv_no"),
         when(lower(l).contains("invoice date"),
-          Parse.parseDateMulti(regexp_extract(l, "(?i)Invoice Date[:\\s]+(.+)", 1))))
-      .withColumn("any_date", Parse.findDate(l))
-      .withColumn("due_date",
+          Parse.parseDateMulti(regexp_extract(l, "(?i)Invoice Date[:\\s]+(.+)", 1)))
+          .as("inv_date"),
+        Parse.findDate(l).as("any_date"),
         when(lower(l).contains("due date"),
-          Parse.parseDateMulti(regexp_extract(l, "(?i)Due Date[:\\s]+(.+)", 1))))
-      .withColumn("gst_rate", when(upper(l).contains("GST"), Parse.taxRate(l)))
-      .withColumn("subtotal",
+          Parse.parseDateMulti(regexp_extract(l, "(?i)Due Date[:\\s]+(.+)", 1)))
+          .as("due_date"),
+        when(upper(l).contains("GST"), Parse.taxRate(l)).as("gst_rate"),
         when(lower(l).rlike("sub\\s*total"),
-          Parse.parseFloat(regexp_extract(l, "([\\d,]+\\.\\d+)", 1))))
-      .withColumn("grand_total",
+          Parse.parseFloat(regexp_extract(l, "([\\d,]+\\.\\d+)", 1)))
+          .as("subtotal"),
         when(upper(l).rlike("^TOTAL\\b"),
-          Parse.parseFloat(regexp_extract(l, "([\\d,]+\\.\\d+)", 1))))
-      .withColumn("supplier_line", when(col("line_no") < 2 && trim(l) =!= "", trim(l)))
+          Parse.parseFloat(regexp_extract(l, "([\\d,]+\\.\\d+)", 1)))
+          .as("grand_total"),
+        when(col("line_no") < 2 && trim(l) =!= "", trim(l))
+          .as("supplier_line"))
       .groupBy(col("path"), col("file_name"), col("doc_type"))
       .agg(
         // line_no-ordered join of the first lines (collect_list order
