@@ -20,6 +20,11 @@ class EmptyInputSpec extends SparkSpecBase {
       .write.mode(SaveMode.Overwrite).parquet(s"$d/supplier.parquet")
     Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    // ts as raw long nanos — the driver testdata's TIMESTAMP(NANOS)
+    // shape Tables.events reads under nanosAsLong
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
     d
   }
 
@@ -35,6 +40,9 @@ class EmptyInputSpec extends SparkSpecBase {
     "d08" -> (operators.Dedup.keepBest _),
     "d09" -> ((s, d) => operators.Dedup.chunkDedup(s, d)),
     "d10" -> (operators.Dedup.incrementalDedup _),
+    "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
+    "r08" -> (operators.Relational.sessionize _),
+    "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
     "s01" -> (operators.Similarity.annBruteForce _),
     "s03" -> (operators.Similarity.annIvf _),
     "s05" -> (operators.Similarity.annPq _),
