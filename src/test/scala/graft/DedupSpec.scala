@@ -237,6 +237,27 @@ class DedupSpec extends SparkSpecBase {
     d
   }
 
+  test("d05 adaptive band rule: integer-exact log2 and in-bounds layouts") {
+    import operators.Dedup.{adaptiveBands, ceilLog2}
+    // the power-of-two boundaries a float log2 gets wrong
+    assert(ceilLog2(1L) == 0 && ceilLog2(2L) == 1 && ceilLog2(3L) == 2)
+    assert(ceilLog2(512L) == 9 && ceilLog2(513L) == 10 && ceilLog2(500L) == 9)
+    // gate-relevant sizes: sf0.01 (505 with plants) and sf0.1 (2000)
+    val b505 = adaptiveBands(505L)
+    assert(b505.length == 7 && b505.forall(_.length == 6), b505.toString)
+    val b2000 = adaptiveBands(2000L)
+    assert(b2000.length == 8 && b2000.forall(_.length == 8), b2000.toString)
+    // every coordinate stays a valid 1-based index into 64 dims, and
+    // bands never share a coordinate (disjoint contiguous blocks)
+    for (n <- Seq(0L, 1L, 6L, 505L, 2000L, 100000L, 1L << 40)) {
+      val bands = adaptiveBands(n)
+      val all = bands.flatten
+      assert(all.forall(d => d >= 1 && d <= 64), s"n=$n: $bands")
+      assert(all.distinct.length == all.length, s"n=$n overlapping: $bands")
+      assert(bands.nonEmpty)
+    }
+  }
+
   test("d05 LSH bucketing finds exact and near duplicates; pairs ⊆ brute force") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
