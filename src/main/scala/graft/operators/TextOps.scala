@@ -184,10 +184,15 @@ object TextOps {
     * 8-token shingle with the held-out benchmark slice (docs with
     * doc_id % 50 == 0 stand in for an eval set) are flagged — the
     * n-gram-overlap contamination check every serious training-data
-    * pipeline runs before a model sees the corpus. Scale: the
-    * benchmark shingle set is tiny (2 % of docs, distinct) →
-    * broadcast; the training side is one scan + one equi-join on the
-    * shingle — never a pairwise comparison.
+    * pipeline runs before a model sees the corpus. Scale: in
+    * production the benchmark suite is a FIXED external artifact, but
+    * this query's stand-in slice is corpus-proportional, so the
+    * broadcast HINT is deliberately absent (the s04 lesson, r8): AQE
+    * sizes the distinct shingle set at runtime and broadcasts while
+    * it is small; past the threshold the equi-join degrades to a
+    * shuffle join instead of a forced corpus-sized broadcast. The
+    * training side stays one scan + one equi-join on the shingle —
+    * never a pairwise comparison.
     */
   def decontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     // referenced twice (benchmark side + training side) — cache so
@@ -196,7 +201,7 @@ object TextOps {
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("shingle")).distinct()
     val hits = sh.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(bench), "shingle")
+      .join(bench, "shingle")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_shared"))
     Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0)
