@@ -142,6 +142,20 @@ object Dedup {
   /** d03 — SimHash: 32-bit sign-sum over token hashes; candidate
     * pairs share a 16-bit half (the classic hamming-band trick), kept
     * when hamming distance ≤ 8.
+    *
+    * SCALE CEILING (honest bound, same family as d05's fixed-band
+    * finding): random half-collisions are ~n²/2^16 per side, so this
+    * layout is linear only while n ≲ a few×10⁶ (the harness measures
+    * 18.9× at 10× — the true-pair term still dominates at test SF,
+    * but the quadratic term wins eventually). The declared rule is
+    * pinned at test SF because the hash WIDTH itself is part of the
+    * output (the hamming column); the at-scale path is Manku et
+    * al.'s (WWW'07) construction — widen the fingerprint to 64/128
+    * bits and split into (k+1)+ blocks of ≥ log₂(n)-bit width so a
+    * hamming-≤k pair always shares a block and random collisions
+    * stay ~blocks·n²/2^width ≈ linear. Same plan shape (explode block
+    * keys → equi-join), different declared fingerprint; d05's
+    * adaptiveBands shows the oracle-replayable integer recipe.
     */
   /** Per-doc (doc_id, simhash, half_lo, half_hi), cached — shared by
     * d03 and its candidate-count accessor.
