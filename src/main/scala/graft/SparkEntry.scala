@@ -113,6 +113,7 @@ object SparkEntry {
     "m04_label_centroids" -> (VectorAgg.labelCentroids _),
     "m05_modality_stats" -> (Multimodal.modalityStats _),
     "m06_modality_interleave" -> ((s, d) => Multimodal.modalityInterleave(s, d)),
+    "m07_blob_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
     "w03_session_window" -> (Relational.sessionWindow _),
     "c01_curation" -> ((s, d) => Curation.curate(s, d)))
 
@@ -1007,6 +1008,39 @@ SELECT doc_id, kind, n_tokens, norm2_milli,
   CAST((mr - 1) // 8 AS BIGINT) AS batch_id,
   CAST((mr - 1) % 8 AS INT) AS slot
 FROM r ORDER BY kind, batch_id, slot""",
+    // replays StripeStubDecoder's integer stripe means over the hex
+    // encoding, then the 16-bit sign-fingerprint + half-band join —
+    // floor divisions only, so fingerprints are bit-identical
+    "m07_blob_dedup" ->
+      """WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+    hex(encode(text)) AS h
+  FROM documents),
+st AS (SELECT doc_id, kind, unnest(range(0, 16)) AS stripe_no, h
+  FROM d WHERE byte_len >= 256),
+f AS (SELECT doc_id, kind, stripe_no,
+    substr(h, CAST(stripe_no * 32 AS INT) + 1, 32) AS sx
+  FROM st),
+m AS (SELECT doc_id, kind, stripe_no,
+  CAST(list_sum(list_transform(range(0, length(sx) // 2),
+    i -> CAST(concat('0x', substr(sx, CAST(i * 2 AS INT) + 1, 2)) AS BIGINT)))
+    * 1000 // (length(sx) // 2) AS BIGINT) AS mean_milli
+  FROM f),
+fpb AS (SELECT doc_id, kind, list(mean_milli ORDER BY stripe_no) AS ms
+  FROM m GROUP BY doc_id, kind HAVING count(*) = 16),
+fpa AS (SELECT doc_id, kind, ms, list_sum(ms) // 16 AS avg_milli FROM fpb),
+fp AS (SELECT doc_id, kind,
+  list_sum(list_transform(range(16),
+    j -> CASE WHEN ms[CAST(j + 1 AS INT)] > avg_milli THEN 1 << j ELSE 0 END)) AS fp
+  FROM fpa),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.kind,
+    bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM fp a JOIN fp b ON a.kind = b.kind AND a.doc_id < b.doc_id
+    AND ((a.fp & 255) = (b.fp & 255) OR (a.fp >> 8) = (b.fp >> 8)))
+SELECT doc_a, doc_b, kind, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "d09_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 c AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor((len(t)-1)/8) AS BIGINT) + 1),

@@ -157,4 +157,58 @@ object Multimodal {
     blobs(s, dir).as[Blob].mapPartitions(_.flatMap(decoder.decode))
       .toDF().orderBy(col("doc_id"), col("stripe_no"))
   }
+
+  /** m07 — BLOB-level near-dup (the image-dedup step of a multimodal
+    * pipeline — d01–d12 cover text and embeddings; this covers the
+    * media payloads): a 16-bit perceptual fingerprint per blob — bit
+    * j set iff stripe j's mean exceeds the 16-stripe average, the
+    * pHash recipe with the DCT swapped for the container's stub
+    * decoder (a real pHash drops in through the same [[BlobDecoder]]
+    * seam m02 uses, nothing downstream changes) — then d03's
+    * hamming-band trick: same-modality pairs sharing either 8-bit
+    * half are candidates (a (kind, band, bucket) EQUI-join, never
+    * all-pairs), kept at hamming ≤ 3. Fingerprints are integer-exact
+    * (floor divisions only) so the oracle rebuilds them bit-for-bit.
+    * Scale: one decoder pass + a 2-key band join on a 16-bit space —
+    * the fixed-width ceiling documented on d03 applies identically
+    * (widen the fingerprint for corpora past ~10⁶ blobs per kind).
+    */
+  def blobDedup(s: SparkSession, dir: String,
+      decoder: BlobDecoder = StripeStubDecoder, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val feats = blobs(s, dir).as[Blob]
+      .mapPartitions(_.flatMap(decoder.decode)).toDF()
+      .filter(col("byte_len") >= 256 && col("stripe_no") < 16)
+    val fp = feats
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(array_sort(collect_list(struct(col("stripe_no"), col("mean_milli"))))
+        .as("a"))
+      .filter(size(col("a")) === 16)
+      .withColumn("avg_milli", floor(expr(
+        "aggregate(a, 0L, (acc, x) -> acc + x.mean_milli)") / 16).cast("long"))
+      .withColumn("fp", expr(
+        "aggregate(a, 0L, (acc, x) -> acc + IF(x.mean_milli > avg_milli, " +
+          "shiftleft(1L, x.stripe_no), 0L))"))
+      .select(col("doc_id"), col("kind"), col("fp"))
+    val banded = fp.select(col("doc_id"), col("kind"), col("fp"),
+      explode(array(
+        struct(lit(0).as("band"), col("fp").bitwiseAND(lit(255L)).as("bucket")),
+        struct(lit(1).as("band"), shiftright(col("fp"), 8).as("bucket"))))
+        .as("b"))
+      .select(col("doc_id"), col("kind"), col("fp"),
+        col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("kind"),
+      col("fp").as("fp_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("kind"),
+      col("fp").as("fp_b"), col("band"), col("bucket"))
+    a.join(b, Seq("kind", "band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("kind"),
+        col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("kind"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }
