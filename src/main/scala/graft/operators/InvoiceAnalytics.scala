@@ -41,7 +41,7 @@ object InvoiceAnalytics {
     */
   def topSuppliers(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name").as("supplier_name"))
       .agg(round(sum(col("l_extendedprice")), 2).as("total_spent"))
@@ -51,7 +51,7 @@ object InvoiceAnalytics {
   /** 3.4 — most common products/line items (analytics.sql:84-91). */
   def commonProducts(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
+      .join(Tables.part(s, dir),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name").as("description"))
       .agg(count(lit(1)).as("occurrences"))

@@ -80,7 +80,7 @@ object ParseOps {
     val line = concat(col("l_linenumber").cast("string"), lit(". "),
       col("p_name"), lit(" - "), qty, lit(" "), price, lit(" "), total, lit("."))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         Parse.invoiceLine(line).as("p"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -281,7 +281,7 @@ object ParseOps {
       col("l_quantity").cast("int").cast("string"), lit(" EA $"),
       u1, lit(" $"), a1, lit(" $"), u2, lit(" $"), a2)
     val docs = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), line.as("line"))
       .groupBy(col("l_orderkey"))
       .agg(concat_ws("\n",
@@ -473,7 +473,7 @@ object ParseOps {
           lit("99. POISON ROW - 1 1.00 1.00.").as("line")))).as("x"))
       .select(col("path"), col("x.line_no").as("line_no"), col("x.line").as("line"))
     val items = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").cast("string").as("path"),
         (col("l_linenumber") + 1).as("line_no"),
         concat(col("l_linenumber").cast("string"), lit(". "), col("p_name"),
