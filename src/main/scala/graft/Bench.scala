@@ -27,23 +27,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // same optimizer for every query regardless of map order
-    graft.plans.GraftExtensions.install(spark)
-    // warm the JVM/codegen/parquet-footer caches so per-query numbers
-    // measure data work, not first-query JIT latency
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
-    } catch { case _: Throwable => () }
+    val spark = Sessions.local(cpus) // the shared session contract
+    Sessions.warm(spark, sfDir)
     // min of two runs per query: the first pays one-off plan/codegen
     // compilation, the second measures steady-state data work. A
     // failing query is recorded as -1 (sentinel), never as a

@@ -232,16 +232,7 @@ object ScaleCheck {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftExtensions.install(spark)
+    val spark = Sessions.local(cpus) // the shared session contract
     val (growths, (trim1, trim10)) = run(spark, srcDir, workDir)
     println("{" + growths.map(_.json).mkString(",") +
       s""","t09_trim_bp":{"base":$trim1,"x":$trim10}}""")

@@ -7,21 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // permissive parsing semantics: malformed input → null (the
-      // reference's parsers never throw), matching DuckDB TRY_ casts
-      .config("spark.sql.ansi.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) parquet — read as long, see Tables
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // install the graft rules up front so every query sees the same
-    // optimizer (not just the ones that call install() themselves)
-    graft.plans.GraftExtensions.install(spark)
+    val spark = Sessions.local(cpus) // the shared session contract
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

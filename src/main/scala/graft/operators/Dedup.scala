@@ -550,12 +550,14 @@ object Dedup {
       .select(col("vec_a"), col("vec_b")).distinct()
   }
 
-  /** The contract query's candidate generator — adaptive layout, so
-    * the bench's cand_pairs.d05 telemetry tracks what the gated query
-    * actually shuffles.
+  /** The contract query's candidate generator — the GATE's frame
+    * (base ∪ planted) and the GATE's count-derived layout, so the
+    * bench's cand_pairs.d05 telemetry tracks exactly what the gated
+    * query shuffles (sizing from the unplanted count could pick a
+    * different bit width when n straddles a power of two).
     */
   def embeddingDupCandidates(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val emb = embeddingDupGateFrame(s, dir)
     embeddingDupCandidatesFrom(emb, adaptiveBands(emb.count()))
   }
 
@@ -576,7 +578,14 @@ object Dedup {
     * deterministically and the planted pair can never be dropped by
     * bucketing. The oracle replays the identical augmentation in SQL.
     */
-  def embeddingDupGate(s: SparkSession, dir: String): DataFrame = {
+  def embeddingDupGate(s: SparkSession, dir: String): DataFrame =
+    embeddingDupFrom(embeddingDupGateFrame(s, dir))
+
+  /** The gate's augmented corpus (base ∪ the 5 planted near-dups) —
+    * factored so the bench telemetry sizes and scans the IDENTICAL
+    * frame the gated query does.
+    */
+  def embeddingDupGateFrame(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + GatePlantOffset).as("vec_id"),
@@ -588,7 +597,7 @@ object Dedup {
             .cast("float")),
           slice(col("embedding"), lit(2), size(col("embedding")) - 1))
           .as("embedding"))
-    embeddingDupFrom(base.union(planted))
+    base.union(planted)
   }
 
   /** d08 — keep-BEST dedup: like d01 the corpus collapses on the

@@ -201,6 +201,14 @@ object Relational {
     *     partials; min/max of starts/ends) and renumber 1..k per user
     *     — bit-identical to r08's cumulative session ids.
     *
+    * Float note: session_value merges double partials before the one
+    * round(…, 2) — a different addition order than r08's flat sum.
+    * r08's own partial aggregation is already order-nondeterministic
+    * vs the oracle's flat sum, so this adds no NEW divergence class;
+    * a value landing within an ulp of a half-cent boundary would
+    * need the floor-cents integer treatment (r19's) on BOTH queries
+    * and the shared oracle.
+    *
     * The second window still keys on user_id, but over per-chunk
     * session rows — bounded by chunks-per-user, not events-per-user.
     */

@@ -124,8 +124,16 @@ object VectorAgg {
           col("w.embedding").as("embedding"))
       cent = meanCentroids(asg)
     }
-    // tiny (K rows); consumers reference it for assignment + rejoin
-    cent.select(col("ck").as("cid"), col("cv")).cache()
+    // tiny (K rows); consumers reference it for assignment + rejoin.
+    // Materialize it NOW so the corpus cache can be released — without
+    // the count() the unpersist would race the (lazy) k-means plan,
+    // and without the unpersist every call leaks a corpus-sized cache
+    // entry for the session lifetime (ScaleCheck runs this on the 10×
+    // inflated corpus too).
+    val out = cent.select(col("ck").as("cid"), col("cv")).cache()
+    out.count()
+    v.unpersist()
+    out
   }
 
   /** Nearest-centroid assignment to an explicit centroid table: the

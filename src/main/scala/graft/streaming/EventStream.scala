@@ -130,14 +130,21 @@ object EventStream {
             throw new java.io.IOException(
               s"agg merge: could not recover $old -> $statePath")
         }
-        def readBatchId(dir: org.apache.hadoop.fs.Path): Long = {
-          val f = new org.apache.hadoop.fs.Path(dir, "_batch")
+        def readLong(f: org.apache.hadoop.fs.Path): Option[Long] =
           if (fs.exists(f)) {
             val in = fs.open(f)
-            try in.readLong() finally in.close()
-          } else -1L
-        }
-        val last = if (fs.exists(statePath)) readBatchId(statePath) else -1L
+            try Some(in.readLong()) finally in.close()
+          } else None
+        // legacy layout (pre-r8): the marker lived in a SIBLING file,
+        // written after the publish. A state dir from that version has
+        // no in-dir _batch file — falling back to the sibling stops
+        // one already-merged batch from double-merging on upgrade; the
+        // next publish writes the in-dir marker and retires the old one.
+        val legacyMarker = new org.apache.hadoop.fs.Path(stateDir + "_last_batch")
+        val last =
+          if (!fs.exists(statePath)) -1L
+          else readLong(new org.apache.hadoop.fs.Path(statePath, "_batch"))
+            .orElse(readLong(legacyMarker)).getOrElse(-1L)
         if (batchId > last) {
           val partial = batch.groupBy(col("event_type"))
             .agg(sum(floor(col("value") * 100)).cast("long").as("sum_cents"),
@@ -162,6 +169,7 @@ object EventStream {
             throw new java.io.IOException(s"agg merge: could not publish $tmp")
           }
           fs.delete(old, true)
+          fs.delete(legacyMarker, false) // retired by the in-dir marker
         }
         ()
       }

@@ -216,6 +216,19 @@ class StreamingSpec extends SparkSpecBase {
         (r.getAs[Long]("sum_cents"), r.getAs[Long]("n_events"))).toMap
     assert(got == Map("click" -> ((110L, 1L)), "view" -> ((275L, 1L))),
       s"replayed batch double-merged: $got")
+    // upgrade path: a pre-r8 state dir has the marker in a SIBLING
+    // file and no in-dir _batch — simulate it and replay again: the
+    // fallback must still skip, and the next publish retires the
+    // legacy marker
+    fs.delete(new org.apache.hadoop.fs.Path(state + "/_batch"), false)
+    val legacy = new org.apache.hadoop.fs.Path(state + "_last_batch")
+    val out = fs.create(legacy, true)
+    try out.writeLong(0L) finally out.close()
+    drain() // batch 0 again: legacy marker says it's merged → skip
+    val got2 = spark.read.parquet(state).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("sum_cents"), r.getAs[Long]("n_events"))).toMap
+    assert(got2 == got, s"legacy-marker batch double-merged: $got2")
   }
 
   test("stratified sampling transform runs unchanged on a document stream") {

@@ -31,12 +31,15 @@ def load(path):
     if d.get("parsed"):
         return normalize(d["parsed"])
     tail = d.get("tail", "")
-    # r8 format: the ABSOLUTE last line is a short aggregate
+    # r8 format: the last Bench line is a short aggregate
     # {"total_s":…,"failed":…,…} with the per-query map on the previous
-    # {"q":{…}} line (possibly front-truncated — then skipped).
-    agg = re.search(r'\{"total_s":[^{}]*\}\s*$', tail)
-    if agg:
-        merged = json.loads(agg.group(0))
+    # {"q":{…}} line (possibly front-truncated — then skipped). NOT
+    # anchored at end-of-tail: an sbt "[success] Total time…" epilogue
+    # or any harness footer may trail the aggregate — take the LAST
+    # occurrence wherever it sits.
+    aggs = re.findall(r'\{"total_s":[^{}]*\}', tail)
+    if aggs:
+        merged = json.loads(aggs[-1])
         qline = re.search(r'\{"q":\{[^{}]*\}\}', tail)
         if qline:
             merged["q"] = json.loads(qline.group(0))["q"]
