@@ -43,6 +43,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
     "r08" -> (operators.Relational.sessionize _),
     "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
+    "m07" -> ((s, d) => operators.Multimodal.blobDedup(s, d)),
     "s01" -> (operators.Similarity.annBruteForce _),
     "s03" -> (operators.Similarity.annIvf _),
     "s05" -> (operators.Similarity.annPq _),
