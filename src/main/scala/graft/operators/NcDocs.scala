@@ -51,9 +51,18 @@ object NcDocs {
       Parse.monthNameDateAfter(col("blk"), "FINAL COMPLETION")
         .as("final_completion"))
     df.select(keyCols.map(col) ++ pageFields :+
-        // split into per-contract blocks at each DA##### line
-        explode(split(doc, "(?m)(?=^DA\\d{5}$)")).as("blk"): _*)
-      .filter(col("blk").rlike("(?m)^DA\\d{5}$"))
+        // split into per-contract blocks at each DA##### line. The
+        // delimiter consumes the PRECEDING newline so the regex engine
+        // only attempts matches at '\n' positions — the r8 p15 profile
+        // measured the old per-character zero-width form
+        // ("(?m)(?=^DA\d{5}$)") at 1.3 s of the query's 1.95 s. A
+        // block therefore ends without its trailing newline, which no
+        // block-field regex depends on ((?m)$ matches end-of-string).
+        explode(split(doc, "\\n(?=DA\\d{5}(\\n|$))")).as("blk"): _*)
+      // blocks were split AT every DA##### line, so a block contains
+      // one iff it STARTS with one — anchored prefix test, no
+      // multiline re-scan
+      .filter(col("blk").rlike("^DA\\d{5}(\\n|$)"))
       .select(keyCols.map(col) ++
         Seq(col("state_header"), col("owner_header"), col("letting_date")) ++
         blockFields :+
