@@ -78,7 +78,8 @@ object Bench {
       "d03_simhash" -> (() => operators.Dedup.simhashCandidates(spark, sfDir)),
       "d04_ngram_jaccard" -> (() => operators.Dedup.ngramJaccardCandidates(spark, sfDir)),
       "d05_embedding_dup" -> (() => operators.Dedup.embeddingDupCandidates(spark, sfDir)),
-      "d06_fuzzy_match" -> (() => operators.Dedup.fuzzyMatchCandidates(spark, sfDir))
+      "d06_fuzzy_match" -> (() => operators.Dedup.fuzzyMatchCandidates(spark, sfDir)),
+      "d13_multiblock_simhash" -> (() => operators.Dedup.multiblockSimhashCandidates(spark, sfDir))
     ).flatMap { case (name, mk) =>
       try Some(name -> mk().count())
       catch { case e: Throwable =>

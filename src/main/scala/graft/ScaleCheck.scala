@@ -193,6 +193,11 @@ object ScaleCheck {
         cand(bigDir, Dedup.simhashCandidates)),
       Growth("d04_cand", cand(baseDir, Dedup.ngramJaccardCandidates),
         cand(bigDir, Dedup.ngramJaccardCandidates)),
+      // d13's 4×15-bit Manku blocks: within-copy candidates are the
+      // vocabulary-correlated constant (×factor), cross-copy collisions
+      // are the random ~4·n²/2^15 term — ~linear at this n
+      Growth("d13_cand", cand(baseDir, Dedup.multiblockSimhashCandidates),
+        cand(bigDir, Dedup.multiblockSimhashCandidates)),
       // fixed 3-bit layout measured EXPLICITLY (the contract query is
       // adaptive since r8): this row pins the documented quadratic case
       Growth("d05_cand_3bit",

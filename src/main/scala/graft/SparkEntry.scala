@@ -81,6 +81,7 @@ object SparkEntry {
     "d10_incremental_dedup" -> (Dedup.incrementalDedup _),
     "d11_incremental_lsh" -> (Dedup.incrementalLsh _),
     "d12_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "d13_multiblock_simhash" -> (Dedup.multiblockSimhash _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "s05_ann_pq" -> (Similarity.annPq _),
     "s06_ann_ivfpq" -> (Similarity.annIvfPq _),
     "s07_ann_refine" -> (Similarity.annRefine _),
+    "s08_ann_sq8" -> (Similarity.annSq8 _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "t14_domain_mix" -> (TextOps.domainMix _),
     "t15_mix_resample" -> (TextOps.mixResample _),
     "t16_global_shuffle" -> ((s, d) => TextOps.globalShuffle(s, d)),
+    "t17_contamination_excise" -> ((s, d) => TextOps.contaminationExcise(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -277,6 +280,29 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   AND ((a.simhash & 65535) = (b.simhash & 65535) OR (a.simhash >> 16) = (b.simhash >> 16))
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 ORDER BY 1, 2"""
+  }
+
+  /** DuckDB replay of Dedup.multiblockSimhash (d13): 60-bit sign-sum
+    * fingerprint over 15-hex-char md5 token hashes, 4 disjoint 15-bit
+    * block keys, hamming ≤ 3 on block-sharing pairs.
+    */
+  private def multiblockSimhashSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val recompose = (0 until 60)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($docTokens) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST($recompose AS BIGINT) AS fp FROM s),
+blk AS (SELECT doc_id, fp, j, (fp >> (15*j)) & 32767 AS bv
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+  FROM blk a JOIN blk b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY 1, 2"""
   }
 
   private val langMarkers = Seq(
@@ -904,6 +930,33 @@ f AS (SELECT query_id, vec_id, cos,
 SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM f WHERE rn <= 3 ORDER BY query_id, rn"""),
+    "s08_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT vec_id, unnest(embedding) AS v,
+    unnest(range(1, len(embedding)+1)) AS idx FROM e),
+mnx AS (SELECT idx, min(v) AS mn, max(v) AS mx FROM dims GROUP BY idx),
+q8 AS (SELECT d.vec_id, d.idx,
+    CASE WHEN m.mx > m.mn
+      THEN least(CAST(floor(((CAST(d.v AS DOUBLE) - m.mn) / (m.mx - m.mn)) * 256.0) AS BIGINT), 255)
+      ELSE 0 END AS code,
+    m.mn AS mn, m.mx AS mx
+  FROM dims d JOIN mnx m USING (idx)),
+dq AS (SELECT vec_id, idx,
+    CAST(floor((mn + (code + 0.5) * (mx - mn) / 256.0) * 1000) / 1000.0 AS FLOAT) AS dv
+  FROM q8),
+dqv AS (SELECT vec_id, CAST(list(CAST(dv AS DOUBLE) ORDER BY idx) AS DOUBLE[]) AS dvec
+  FROM dq GROUP BY vec_id),
+qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec FROM e
+  WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+scored AS (SELECT q.query_id, c.vec_id,
+    list_inner_product(q.qvec, q.qvec) + list_inner_product(c.dvec, c.dvec)
+      - 2 * list_inner_product(q.qvec, c.dvec) AS adc
+  FROM qv q, dqv c WHERE c.vec_id <> q.query_id),
+rk AS (SELECT query_id, vec_id, adc,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn FROM scored)
+SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
+  CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
+FROM rk WHERE rn <= 3 ORDER BY query_id, rn""",
     "s04_hybrid_search" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
@@ -1115,6 +1168,7 @@ SELECT s.vec_id, s.cid AS cell,
   d.dup_of
 FROM asg s LEFT JOIN dropped d ON d.va = s.vec_id
 ORDER BY vec_id""",
+    "d13_multiblock_simhash" -> multiblockSimhashSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS shingle
@@ -1182,6 +1236,31 @@ s AS (SELECT doc_id, shuffle_key,
 SELECT doc_id, shard_id, CAST(row_number() OVER (
     PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS INT) AS pos
 FROM s ORDER BY shard_id, pos""",
+    "t17_contamination_excise" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+tok AS (SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) WHERE doc_id % 50 <> 0),
+g AS (SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS shingle
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-2)) AS i) WHERE len(t) >= 4),
+bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 50 = 0),
+hit AS (SELECT g.doc_id, g.i FROM g JOIN bench USING (shingle) WHERE g.doc_id % 50 <> 0),
+x AS (SELECT doc_id, i, max(i+3) OVER (PARTITION BY doc_id ORDER BY i
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM hit),
+y AS (SELECT doc_id, i, CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS brk FROM x),
+z AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+    ROWS UNBOUNDED PRECEDING) AS island FROM y),
+spans AS (SELECT doc_id, island, min(i) AS s, max(i+3) AS e FROM z GROUP BY doc_id, island),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e+1)) AS pos FROM spans),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos WHERE cov.pos IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+stats AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+    CAST(sum(e - s + 1) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id)
+SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+  coalesce(st.n_removed, 0) AS n_removed,
+  coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN stats st USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -79,6 +79,14 @@ object Text {
   def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit deterministic token hash: first 15 hex chars of md5 —
+    * wide enough for the multi-block fingerprint (d13) while staying
+    * inside a signed BIGINT on both engines. Identical in DuckDB:
+    * CAST('0x'||substr(md5(t),1,15) AS BIGINT).
+    */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Positional rolling-hash document fingerprint:
     * sum((pos+1) * hash(token)) mod 1e9+7 over whitespace tokens.
     * Order-sensitive (a permuted doc fingerprints differently), cheap,

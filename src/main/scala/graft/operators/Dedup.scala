@@ -979,6 +979,93 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** d13 — multi-block SimHash near-dup (Manku et al., WWW'07 — the
+    * construction §2.4's d03 Scaladoc names as its at-scale path,
+    * made a real gated operator): a 60-bit sign-sum fingerprint over
+    * 60-bit token hashes ([[graft.functions.Text.tokenHash60]]),
+    * split into 4 disjoint 15-bit blocks; candidate pairs share at
+    * least one (block, value) key and survivors have hamming ≤ 3.
+    *
+    * Unlike d03's half-split (which only GUARANTEES recall for
+    * hamming ≤ 1 and merely tends to catch its declared ≤ 8), this is
+    * recall-EXACT for its threshold: with 4 blocks, any pair within
+    * hamming 3 has ≥ 1 untouched block (pigeonhole), so the block
+    * equi-join provably nominates every qualifying pair — the
+    * candidate stage loses nothing.
+    *
+    * Scale: the candidate join is a key-equality join shuffling
+    * n·4 block keys, never n²; expected RANDOM block collisions are
+    * ~4·n²/2^15, i.e. ~linear while 2^15 ≳ 4n (n ≲ ~8k; this corpus's
+    * tiny shared vocabulary correlates fingerprints so the measured
+    * constant is higher, but the bound's shape holds — ScaleSpec
+    * asserts the analytic ceiling at 1× and 10×). Beyond that the
+    * SAME md5 supplies 128 bits: widen to (k+1) blocks of
+    * ⌈log₂ n⌉-plus bits across two BIGINT words — identical plan
+    * shape, wider declared fingerprint (the d05 adaptiveBands
+    * precedent; the fingerprint width is part of the declared output
+    * here exactly as in d03, so the test-SF semantics stay pinned).
+    */
+  private val MbBlocks = 4
+  private val MbBits = 15
+  private val MbMask = (1L << MbBits) - 1
+
+  /** Per-doc 60-bit fingerprint (doc_id, fp), cached — shared by d13,
+    * its candidate-count accessor, and the recall-exactness spec
+    * (which brute-forces all-pairs hamming from it).
+    */
+  private[graft] def multiblockFrame(s: SparkSession, dir: String): DataFrame = {
+    val width = MbBlocks * MbBits
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("h", Text.tokenHash60(col("tok")))
+    val bitSums = (0 until width).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until width).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      .cache()
+  }
+
+  private def multiblockKeys(fpf: DataFrame): DataFrame =
+    fpf.select(col("doc_id"), col("fp"),
+      explode(array((0 until MbBlocks).map(j =>
+        struct(lit(j).as("blk"),
+          shiftright(col("fp"), MbBits * j).bitwiseAND(MbMask)
+            .as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("fp"),
+        col("b.blk").as("blk"), col("b.bv").as("bv"))
+
+  /** Block-sharing pairs before the hamming cut — d13's raw candidate
+    * workload (observability/spec surface).
+    */
+  def multiblockSimhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val keys = multiblockKeys(multiblockFrame(s, dir))
+    keys.select(col("doc_id").as("doc_a"), col("blk"), col("bv"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("blk"), col("bv")),
+        Seq("blk", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  def multiblockSimhash(s: SparkSession, dir: String): DataFrame = {
+    val keys = multiblockKeys(multiblockFrame(s, dir))
+    keys.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("blk"), col("bv"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("blk"), col("bv")), Seq("blk", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      // filter before the distinct shuffle — far fewer pairs move
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

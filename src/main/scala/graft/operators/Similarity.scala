@@ -361,6 +361,78 @@ object Similarity {
       .withColumn("rr", row_number().over(wAsg))
   }
 
+  /** s08 — scalar-quantized (SQ8) ANN: the third quantization family
+    * next to PQ (s05) and IVF-PQ (s06) — every production vector
+    * store's memory ladder (float32 → SQ8 → PQ). Each dimension is
+    * quantized independently to one byte against the corpus-wide
+    * per-dimension [min, max] range (256 uniform cells); queries stay
+    * float and rank candidates by asymmetric L2 distance to the
+    * DEQUANTIZED corpus (cell midpoints, milli-floored so both
+    * engines reconstruct bit-identical values — the pqCodebook
+    * recipe). SQ8 keeps 4× memory compression with far less
+    * distortion than PQ's 16× — the standard first rung when recall
+    * matters.
+    *
+    * Scale: the range pass is one map-side-combinable aggregation to
+    * a 64-element param row (broadcast); quantization is per-row
+    * compute in a single scan — no shuffle, and at 100 TB the byte
+    * codes are materialized once at ingest while queries pay 4×
+    * less scan bandwidth. The ADC scan is the s05 shape: codes ×
+    * (≤9 broadcast queries) → TopKPerKey, corpus never shuffles.
+    * The array lambdas (zip_with) are CodegenFallback but stay
+    * inside the one projection; the dot products ride FloatVecDot.
+    */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // per-dimension corpus min/max, collected into ONE param row of
+    // aligned arrays (64 elements — broadcast-safe at any corpus size)
+    val params = e
+      .select(posexplode(col("embedding")).as(Seq("i0", "v")))
+      .groupBy(col("i0")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i0"), col("mn"), col("mx"))))
+        .as("pp"))
+      .select(zip_with(
+        transform(col("pp"), p => p.getField("mn")),
+        transform(col("pp"), p => p.getField("mx")),
+        (a, b) => struct(a.as("mn"), b.as("mx"))).as("ps"))
+    val code = (v: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) => {
+      val mn = p.getField("mn").cast("double")
+      val mx = p.getField("mx").cast("double")
+      when(mx > mn,
+        least(floor(((v.cast("double") - mn) / (mx - mn)) * lit(256.0)),
+          lit(255.0)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    // dequantized value = cell midpoint, milli-floored to FLOAT so
+    // the oracle reconstructs the identical vector (pqCodebook recipe)
+    val dq = (c: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) => {
+      val mn = p.getField("mn").cast("double")
+      val mx = p.getField("mx").cast("double")
+      (floor((mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0))
+        * 1000) / lit(1000.0)).cast("float")
+    }
+    val corpus = e.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        zip_with(zip_with(col("embedding"), col("ps"), code), col("ps"), dq)
+          .as("dv"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        Vector.dot(col("qv"), col("qv")) + Vector.dot(col("dv"), col("dv"))
+          - lit(2.0) * Vector.dot(col("qv"), col("dv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("vec_id").asc), 3)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        floor(col("adc") * 1000).cast("long").as("adc_milli"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val asg = cellAssignments(s, dir)
     val cells = asg.filter(col("rr") === 1)

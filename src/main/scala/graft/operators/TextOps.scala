@@ -335,6 +335,86 @@ object TextOps {
       .orderBy(col("shard_id"), col("pos"))
   }
 
+  /** t17 — contamination SPAN EXCISION (the exact-substring
+    * deduplication shape of Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", applied to benchmark
+    * decontamination): where t12 FLAGS whole docs sharing an n-gram
+    * with the benchmark set, this operator REMOVES the contaminated
+    * token spans and keeps the rest of the doc — the
+    * span-level pass production pipelines run when dropping whole
+    * docs would cost too much data. Every benchmark-overlapping
+    * n-gram marks tokens [i, i+n−1]; overlapping-or-adjacent marks
+    * merge into maximal spans (the classic running-max interval merge
+    * — same window machinery as sessionize, keyed per doc); the doc
+    * is re-emitted from its surviving tokens with span stats.
+    *
+    * n = 4 on this corpus: the declared gram width is the operator's
+    * selectivity knob exactly as in t12 (whose n = 8 stand-in finds
+    * doc-level hits; 4-gram spans at sf0.01 excise 19 of 490 docs,
+    * and sf0.1 exercises multi-span docs and full excision).
+    *
+    * Scale: shingle join is the t12/d04 key-equality shape (one scan
+    * + one equi-join, never pairwise); interval merge is two windows
+    * over (doc_id, i) — partitioned by doc, no global state; the
+    * rebuild is an equi anti-join on (doc_id, pos) (covered positions
+    * exploded from spans — bounded by doc length) plus a per-doc
+    * aggregation. Everything shuffles on doc_id.
+    */
+  def contaminationExcise(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    // token-array frame is referenced by the shingle generator AND
+    // the position-level rebuild — cache so the scan+split runs once
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .cache()
+    val g = tk.filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("t"), col("i"), lit(n)), " ").as("shingle"))
+    val bench = g.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle")).distinct()
+    // one row per contaminated gram start (g has one row per (doc, i))
+    val hit = g.filter(col("doc_id") % 50 =!= 0).join(bench, "shingle")
+      .select(col("doc_id"), col("i"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = hit
+      .withColumn("prev_end", max(col("i") + (n - 1)).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("i") + (n - 1)).as("e"))
+    val cov = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    val kept = tk.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(cov, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"))
+    val stats = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        // a fully-excised doc keeps zero tokens — emit '' not null
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
     * synthetic) — the redaction pass every training pipeline runs

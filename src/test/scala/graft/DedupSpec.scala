@@ -67,6 +67,39 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Long]("est_sim_bp") == 10000L)
   }
 
+  test("d13 multi-block simhash: exact dups at hamming 0, unrelated apart") {
+    val pairs = operators.Dedup.multiblockSimhash(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSeq
+    // byte- and whitespace-identical docs: identical fingerprints
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 0))
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 2 && p._3 == 0))
+    // unrelated doc never within hamming 3 of the fox corpus
+    assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
+  }
+
+  test("d13 is recall-EXACT for hamming <= 3 (pigeonhole over 4 blocks)") {
+    // brute-force all-pairs hamming from the same fingerprints must
+    // equal the block-join result EXACTLY — with 4 blocks any pair
+    // within hamming 3 shares >= 1 untouched block, so the candidate
+    // stage provably loses nothing (unlike d03's half split, which
+    // only guarantees hamming <= 1)
+    import org.apache.spark.sql.functions._
+    val fp = operators.Dedup.multiblockFrame(spark, sf0001)
+    val brute = fp.select(col("doc_id").as("doc_a"), col("fp").as("fa"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("fp").as("fb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = operators.Dedup.multiblockSimhash(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "vacuous: no hamming<=3 pair at sf0.001")
+    assert(banded == brute,
+      s"banded/brute diverge: missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
   test("d11 incremental LSH: unmatched delta doc is kept") {
     val d = Files.createTempDirectory("graft-d11").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

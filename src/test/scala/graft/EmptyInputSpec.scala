@@ -41,16 +41,19 @@ class EmptyInputSpec extends SparkSpecBase {
     "d09" -> ((s, d) => operators.Dedup.chunkDedup(s, d)),
     "d10" -> (operators.Dedup.incrementalDedup _),
     "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
+    "d13" -> (operators.Dedup.multiblockSimhash _),
     "r08" -> (operators.Relational.sessionize _),
     "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
     "m07" -> ((s, d) => operators.Multimodal.blobDedup(s, d)),
     "s01" -> (operators.Similarity.annBruteForce _),
     "s03" -> (operators.Similarity.annIvf _),
     "s05" -> (operators.Similarity.annPq _),
+    "s08" -> (operators.Similarity.annSq8 _),
     "t01" -> (operators.TextOps.tokenCount _),
     "t09" -> (operators.TextOps.tfidf _),
     "t11" -> (operators.TextOps.stratifiedSample _),
     "t12" -> ((s, d) => operators.TextOps.decontaminate(s, d)),
+    "t17" -> ((s, d) => operators.TextOps.contaminationExcise(s, d)),
     "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),
     "t14" -> (operators.TextOps.domainMix _),
     "c01" -> ((s, d) => operators.Curation.curate(s, d)))

@@ -15,6 +15,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s03_ann_ivf" -> "IVF assignment: every vector × broadcast 10-centroid table",
     "d12_semantic_dedup" -> "k-means rounds: vector × broadcast K-row centroid table",
     "s05_ann_pq" -> "flat-PQ code scan: codes × broadcast query slice (s06 is the bounded composition)",
+    "s08_ann_sq8" -> "SQ8 scan: 1-row quant-param broadcast + codes × broadcast query slice (s05's shape)",
     "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
     "s07_ann_refine" -> "candidate stage IS s06's scan; refine joins are key-equality",
     "t09_tfidf" -> "1-row corpus-count broadcast",

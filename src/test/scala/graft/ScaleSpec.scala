@@ -40,6 +40,26 @@ class ScaleSpec extends SparkSpecBase {
       s"d04 candidates ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("d13 multi-block candidates are sub-quadratic (all-pairs share shrinks)") {
+    // within-copy candidates are the vocabulary-correlated constant
+    // (grows ×factor); cross-copy collisions exceed the uniform
+    // ~4·n²/2^15 estimate because even rotated copies draw from a
+    // small vocabulary (sign-sums concentrate — measured ~7× uniform
+    // at this n). The robust scale signal is the candidate SHARE of
+    // all-pairs: quadratic growth keeps the share constant, the
+    // 15-bit blocks must shrink it markedly under 10× inflation
+    // (measured: ~2.4 % → ~0.4 %; the documented hard ceiling starts
+    // at n ≈ 2^15/4, past which the construction widens the
+    // fingerprint — Dedup.scala d13 Scaladoc)
+    val g = growth("d13_cand")
+    val n0 = 200L
+    val n1 = 10L * n0
+    val baseShareBp = 10000L * g.base / (n0 * (n0 - 1) / 2)
+    val inflShareBp = 10000L * g.inflated / (n1 * (n1 - 1) / 2)
+    assert(inflShareBp * 3 <= baseShareBp,
+      s"d13 all-pairs share ${baseShareBp}bp -> ${inflShareBp}bp: not sub-quadratic")
+  }
+
   test("d05 fixed 3-bit bands are the documented SUPERlinear case") {
     val g = growth("d05_cand_3bit")
     // ~bands*n^2/2^bits with bits fixed: 10x corpus => ~100x pairs.

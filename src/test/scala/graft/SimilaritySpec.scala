@@ -105,6 +105,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s08 SQ8: quantized retrieval stays in-cluster, deterministic") {
+    // SQ8's per-dim distortion (~range/512 + milli-floor ≈ 0.005) is
+    // far below the inter-cluster separation but ABOVE the 0.001
+    // intra-cluster perturbations, so the contract is the s05 one:
+    // retrieval at cluster granularity matches brute force (within-
+    // cluster order may legitimately shuffle under quantization)
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    val sq = top3(operators.Similarity.annSq8(spark, dir))
+    assert(sq.keySet == Set(0L, 100L))
+    bf.foreach { case (q, truth) =>
+      assert(sq(q).size == 3 && sq(q).map(cluster) == truth.map(cluster),
+        s"cluster recall broken for $q: ${sq(q)} vs $truth")
+    }
+    // deterministic: a re-run is bit-identical
+    val again = operators.Similarity.annSq8(spark, dir).collect()
+    val first = operators.Similarity.annSq8(spark, dir).collect()
+    assert(first.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("pq codebook: K is a free parameter, build is deterministic") {
     val cb16 = operators.VectorAgg.pqCodebook(spark, dir).collect()
     // 4 subspaces, at most K=16 codes each (empty clusters may drop)

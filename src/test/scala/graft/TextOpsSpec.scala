@@ -37,6 +37,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(2L) == ((0L, false)))
   }
 
+  test("t17 excises merged contaminated spans and keeps the rest") {
+    val bench = (1 to 10).map(i => s"eval$i").mkString(" ")
+    // doc 1: clean prefix + eval1..eval6 leak + clean suffix. The leak
+    // produces three overlapping contaminated 4-grams (starts 4,5,6)
+    // that must merge into ONE span covering tokens 4..9 (6 tokens)
+    val leaked = "keep these three " + (1 to 6).map(i => s"eval$i").mkString(" ") +
+      " tail words"
+    val clean = (1 to 8).map(i => s"train$i").mkString(" ")
+    val fully = (3 to 8).map(i => s"eval$i").mkString(" ") // every token covered
+    val dir = mkDocs(Seq(
+      (0L, bench, "en"), (1L, leaked, "en"), (2L, clean, "en"), (3L, fully, "en")))
+    val rows = operators.TextOps.contaminationExcise(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // benchmark doc is not in the output
+    assert(!rows.contains(0L))
+    // overlapping gram hits merged into one span; surviving tokens kept in order
+    assert(rows(1L) == ((1, 6L, "keep these three tail words")), rows(1L).toString)
+    // clean doc untouched, token-joined text preserved
+    assert(rows(2L) == ((0, 0L, clean)))
+    // fully-contaminated doc: everything excised, empty (not null) text
+    assert(rows(3L) == ((1, 6L, "")))
+  }
+
   test("t13 repetition stats flag boilerplate, pass varied text") {
     val loop = ("spam ham " * 20).trim            // one dominant bigram
     val varied = (1 to 40).map(i => s"w$i").mkString(" ")
