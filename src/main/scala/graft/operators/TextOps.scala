@@ -366,16 +366,34 @@ object TextOps {
     val tk = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .cache()
+    val bench = tk.filter(col("doc_id") % 50 === 0)
+      .filter(size(col("t")) >= n)
+      .select(explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
+        col("t"))
+      .select(array_join(slice(col("t"), col("i"), lit(n)), " ").as("shingle"))
+      .distinct()
+    exciseAgainst(tk.filter(col("doc_id") % 50 =!= 0), bench, n)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t17 core against an EXPLICIT benchmark shingle set: excise
+    * every benchmark-overlapping n-gram span from the (doc_id, t)
+    * token frame. Shared by the contract query (bench = the corpus's
+    * doc_id%50 slice) and streaming.ExciseStream (bench = the static
+    * set, arriving docs excised per micro-batch — each doc lands in
+    * exactly one batch and the span logic is per-doc, so per-batch
+    * semantics equal the batch operator exactly).
+    */
+  private[graft] def exciseAgainst(tk: DataFrame, bench: DataFrame,
+      n: Int): DataFrame = {
     val g = tk.filter(size(col("t")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
         col("t"))
       .select(col("doc_id"), col("i"),
         array_join(slice(col("t"), col("i"), lit(n)), " ").as("shingle"))
-    val bench = g.filter(col("doc_id") % 50 === 0)
-      .select(col("shingle")).distinct()
     // one row per contaminated gram start (g has one row per (doc, i))
-    val hit = g.filter(col("doc_id") % 50 =!= 0).join(bench, "shingle")
+    val hit = g.join(bench, "shingle")
       .select(col("doc_id"), col("i"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -392,7 +410,7 @@ object TextOps {
     val cov = spans
       .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
       .distinct()
-    val kept = tk.filter(col("doc_id") % 50 =!= 0)
+    val kept = tk
       .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
       .join(cov, Seq("doc_id", "pos"), "left_anti")
@@ -403,8 +421,7 @@ object TextOps {
     val stats = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_spans"),
         sum(col("e") - col("s") + 1).as("n_removed"))
-    Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"))
+    tk.select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -412,7 +429,6 @@ object TextOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         // a fully-excised doc keeps zero tokens — emit '' not null
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** t08 — PII redaction: scrub emails and phone-like numbers from

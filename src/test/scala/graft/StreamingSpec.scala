@@ -352,4 +352,43 @@ class StreamingSpec extends SparkSpecBase {
     try q2.awaitTermination() finally q2.stop()
     assert(spark.read.parquet(outDir).count() == 4)
   }
+
+  test("streaming excise twin: arriving docs decontaminate exactly like batch t17") {
+    import graft.streaming.ExciseStream
+    val dir = Files.createTempDirectory("graft-exc").toString
+    val inDir = Files.createTempDirectory("graft-exc-in").toString
+    val outDir = Files.createTempDirectory("graft-exc-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-exc-ck").toString
+    val bench = (1 to 10).map(i => s"eval$i").mkString(" ")
+    val leaked = "keep these three " +
+      (1 to 6).map(i => s"eval$i").mkString(" ") + " tail words"
+    val clean = (1 to 8).map(i => s"train$i").mkString(" ")
+    val fully = (3 to 8).map(i => s"eval$i").mkString(" ")
+    val rows = Seq((0L, bench), (1L, leaked), (2L, clean), (3L, fully))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // the training docs ARRIVE as two separate files (two batch groups)
+    df.filter($"doc_id" === 1L).write.mode(SaveMode.Append).parquet(inDir)
+    df.filter($"doc_id" === 2L || $"doc_id" === 3L)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = ExciseStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_spans"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    val batch = asSet(operators.TextOps.contaminationExcise(spark, dir))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // the excision actually excised: merged span, passthrough, full cut
+    assert(streamed == Set(
+      (1L, 1, 6L, "keep these three tail words"),
+      (2L, 0, 0L, clean),
+      (3L, 1, 6L, "")))
+    // replay with the same checkpoint: exactly-once, no duplicates
+    val q2 = ExciseStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
 }
