@@ -63,6 +63,7 @@ object SparkEntry {
     "r17_range_join" -> (Relational.rangeJoinEvents _),
     "r18_profile" -> (Relational.profileTable _),
     "r19_incremental_agg" -> (Relational.incrementalAgg _),
+    "r21_cdc_apply" -> (Relational.cdcApply _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -82,6 +83,7 @@ object SparkEntry {
     "d11_incremental_lsh" -> (Dedup.incrementalLsh _),
     "d12_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "d13_multiblock_simhash" -> (Dedup.multiblockSimhash _),
+    "d14_containment" -> (Dedup.containment _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -702,6 +704,22 @@ SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
   CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
+    "d14_containment" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+  CAST(floor(inter * 10000.0 / sa.sz) AS BIGINT) AS cont_a_bp,
+  CAST(floor(inter * 10000.0 / sb.sz) AS BIGINT) AS cont_b_bp
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 5 >= sa.sz * 4 OR inter * 5 >= sb.sz * 4
+ORDER BY doc_a, doc_b""",
     // corpus-adaptive banding replayed in SQL with INTEGER arithmetic
     // only: ceil(log2 n) = length(bin(n-1)) — same value as the Scala
     // side's numberOfLeadingZeros formula on every boundary (a float
@@ -1036,6 +1054,22 @@ ORDER BY interval_id""",
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY column_name")
     },
+    "r21_cdc_apply" ->
+      """WITH log AS (
+  SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', floor(o_totalprice * 1.1 * 100) / 100
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0),
+last AS (SELECT o_orderkey, seq, op, val,
+    row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM log),
+cnt AS (SELECT o_orderkey, count(*) AS n_ops FROM log GROUP BY 1)
+SELECT l.o_orderkey, c.n_ops, l.seq AS last_seq,
+  CASE WHEN l.op = 'D' THEN 'deleted' ELSE 'live' END AS status,
+  CASE WHEN l.op = 'D' THEN NULL ELSE floor(l.val * 100) / 100 END AS final_total
+FROM last l JOIN cnt c USING (o_orderkey)
+WHERE l.rn = 1 ORDER BY o_orderkey""",
     // the oracle is the DIRECT aggregate over the whole table — the
     // compare PROVES the state ⊎ delta merge law
     "r19_incremental_agg" ->

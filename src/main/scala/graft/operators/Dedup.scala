@@ -1066,6 +1066,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d14 — asymmetric n-gram CONTAINMENT dedup: pairs where one
+    * doc's shingle set is ≥ 80 % contained in the intersection —
+    * |A∩B|/|A| (or /|B|) ≥ τ. Symmetric Jaccard (d04) structurally
+    * MISSES subset inclusion: a 10-shingle quote embedded in a
+    * 100-shingle doc has J ≈ 0.1 but containment 1.0 — the
+    * quote/boilerplate-inclusion case "Deduplicating Training Data"
+    * (Lee et al. 2021) calls out, and the reason production dedup
+    * stacks score both directions. Emits both containment degrees in
+    * integer basis points; τ as pure integer arithmetic
+    * (5·inter ≥ 4·sz — no float threshold ties).
+    *
+    * Scale: identical plan shape to d04 — the df-capped shingle
+    * equi-join IS the candidate generator (ScaleSpec-proven linear),
+    * one (doc_a, doc_b) count aggregation, two broadcast-size joins
+    * to per-doc shingle counts. No new shuffle class.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shRare = rareShingles(s, dir, maxDf = 1000)
+    val inter = shRare.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      // τ = 0.8 on the BETTER-contained side, integer-exact
+      .filter(col("inter") * 5 >= col("sz_a") * 4 ||
+        col("inter") * 5 >= col("sz_b") * 4)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        floor(col("inter") * lit(10000.0) / col("sz_a")).cast("long")
+          .as("cont_a_bp"),
+        floor(col("inter") * lit(10000.0) / col("sz_b")).cast("long")
+          .as("cont_b_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

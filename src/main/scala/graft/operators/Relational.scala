@@ -557,6 +557,44 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** r21 — CDC changelog APPLY: fold an ordered change stream
+    * (insert/update/delete with per-key sequence numbers — the
+    * Debezium/binlog shape) into the final table state, last writer
+    * wins. The changelog is synthesized deterministically from
+    * orders (every key INSERTs at seq 1; key%3==0 UPDATEs at seq 2
+    * with a +10 % floor-cents reprice; key%7==0 DELETEs at seq 3) so
+    * the oracle replays it exactly; the apply itself is the
+    * production pattern: ONE shuffle on the key, last row via
+    * bounded struct-max (seq is the struct's leading field — no
+    * window sort over the history), deletes surface as
+    * status='deleted' rather than silently vanishing (the audit
+    * shape). At 100 TB the changelog is log-partitioned by key and
+    * the struct-max combines map-side — work ∝ changelog, state ∝
+    * live keys; history length never enters a sort.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    // one scan: per-row candidate ops exploded then mod-filtered
+    val log = Tables.orders(s, dir)
+      .select(k, explode(array(
+        struct(lit(1L).as("seq"), lit("I").as("op"),
+          col("o_totalprice").as("val")),
+        struct(lit(2L).as("seq"), lit("U").as("op"),
+          (floor(col("o_totalprice") * 1.1 * 100) / 100).as("val")),
+        struct(lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("val")))).as("c"))
+      .filter(col("c.seq") === 1 ||
+        (col("c.seq") === 2 && k % 3 === 0) ||
+        (col("c.seq") === 3 && k % 7 === 0))
+    log.groupBy(k)
+      .agg(count(lit(1)).as("n_ops"), max(col("c")).as("last"))
+      .select(k, col("n_ops"), col("last.seq").as("last_seq"),
+        when(col("last.op") === "D", "deleted").otherwise("live").as("status"),
+        when(col("last.op") === "D", lit(null).cast("double"))
+          .otherwise(floor(col("last.val") * 100) / 100).as("final_total"))
+      .orderBy(k)
+  }
+
   /** Event-time sliding windows (30-min window, 10-min slide): each
     * event lands in 3 epoch-aligned windows via Spark's window()
     * generator — the oracle reproduces the window set with an explicit

@@ -100,6 +100,26 @@ class DedupSpec extends SparkSpecBase {
       s"banded/brute diverge: missing=${brute -- banded} extra=${banded -- brute}")
   }
 
+  test("d14 containment catches subset inclusion that Jaccard misses") {
+    val d = Files.createTempDirectory("graft-d14").toString
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-shingles
+    val quote = (20 to 31).map(i => s"w$i").mkString(" ") // 10 shingles, all in long
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    Seq((0L, long), (1L, quote), (2L, other))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val cont = operators.Dedup.containment(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("cont_a_bp"), r.getAs[Long]("cont_b_bp"))).toSeq
+    // the quote is 100% contained in the long doc (its side hits 10000)
+    assert(cont == Seq((0L, 1L, 1724L, 10000L)), cont.toString)
+    // symmetric Jaccard on the same corpus misses the pair entirely:
+    // J = 10/58 ≈ 0.17 < τ = 0.2 — the structural gap d14 exists for
+    val jac = operators.Dedup.ngramJaccard(spark, d).collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("d11 incremental LSH: unmatched delta doc is kept") {
     val d = Files.createTempDirectory("graft-d11").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

@@ -25,6 +25,10 @@ class EmptyInputSpec extends SparkSpecBase {
     Seq.empty[(Long, Long, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/orders.parquet")
     d
   }
 
@@ -42,6 +46,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "d10" -> (operators.Dedup.incrementalDedup _),
     "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
     "d13" -> (operators.Dedup.multiblockSimhash _),
+    "d14" -> (operators.Dedup.containment _),
+    "r21" -> (operators.Relational.cdcApply _),
     "r08" -> (operators.Relational.sessionize _),
     "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
     "m07" -> ((s, d) => operators.Multimodal.blobDedup(s, d)),
