@@ -955,9 +955,10 @@ dims AS (SELECT vec_id, unnest(embedding) AS v,
 mnx AS (SELECT idx, min(v) AS mn, max(v) AS mx FROM dims GROUP BY idx),
 q8 AS (SELECT d.vec_id, d.idx,
     CASE WHEN m.mx > m.mn
-      THEN least(CAST(floor(((CAST(d.v AS DOUBLE) - m.mn) / (m.mx - m.mn)) * 256.0) AS BIGINT), 255)
+      THEN least(CAST(floor(((CAST(d.v AS DOUBLE) - CAST(m.mn AS DOUBLE))
+        / (CAST(m.mx AS DOUBLE) - CAST(m.mn AS DOUBLE))) * 256.0) AS BIGINT), 255)
       ELSE 0 END AS code,
-    m.mn AS mn, m.mx AS mx
+    CAST(m.mn AS DOUBLE) AS mn, CAST(m.mx AS DOUBLE) AS mx
   FROM dims d JOIN mnx m USING (idx)),
 dq AS (SELECT vec_id, idx,
     CAST(floor((mn + (code + 0.5) * (mx - mn) / 256.0) * 1000) / 1000.0 AS FLOAT) AS dv

@@ -243,7 +243,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Shared d04/d14 pair-overlap frame: (doc_a, doc_b, inter, sz_a,
+    * sz_b) for every candidate pair sharing ≥ 1 df-capped shingle —
+    * the candidate equi-join + intersection count + the two per-doc
+    * size joins. d04 scores Jaccard on it, d14 scores containment.
+    */
+  private def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shRare = rareShingles(s, dir, maxDf = 1000)
@@ -255,6 +260,10 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    shingleOverlap(s, dir)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
         // basis points via floor: integer-exact across engines (no
@@ -265,7 +274,6 @@ object Dedup {
       // τ = 0.2 as pure integer arithmetic: inter/union >= 1/5
       .filter(col("inter") * 5 >= col("union_sz"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Edit-distance threshold for d06 and its segment count (k+1). */
   private val LevK = 3
@@ -1082,18 +1090,8 @@ object Dedup {
     * one (doc_a, doc_b) count aggregation, two broadcast-size joins
     * to per-doc shingle counts. No new shuffle class.
     */
-  def containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shRare = rareShingles(s, dir, maxDf = 1000)
-    val inter = shRare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+  def containment(s: SparkSession, dir: String): DataFrame =
+    shingleOverlap(s, dir)
       // τ = 0.8 on the BETTER-contained side, integer-exact
       .filter(col("inter") * 5 >= col("sz_a") * 4 ||
         col("inter") * 5 >= col("sz_b") * 4)
@@ -1103,7 +1101,6 @@ object Dedup {
         floor(col("inter") * lit(10000.0) / col("sz_b")).cast("long")
           .as("cont_b_bp"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.

@@ -393,10 +393,8 @@ object Similarity {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("i0"), col("mn"), col("mx"))))
         .as("pp"))
-      .select(zip_with(
-        transform(col("pp"), p => p.getField("mn")),
-        transform(col("pp"), p => p.getField("mx")),
-        (a, b) => struct(a.as("mn"), b.as("mx"))).as("ps"))
+      .select(transform(col("pp"), p =>
+        struct(p.getField("mn").as("mn"), p.getField("mx").as("mx"))).as("ps"))
     val code = (v: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) => {
       val mn = p.getField("mn").cast("double")
       val mx = p.getField("mx").cast("double")

@@ -19,8 +19,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    arrives in exactly one micro-batch and t17's span logic is
   *    per-doc, so per-batch batch semantics give the exact batch-t17
   *    answer with NO cross-batch state;
-  *  - sink appends per-batch results; checkpointing + availableNow
-  *    make the drain exactly-once.
+  *  - the sink is IDEMPOTENT under foreachBatch's at-least-once
+  *    contract: each delivery OVERWRITES its own batch_id=<id>
+  *    partition directory, so a crash between the sink write and the
+  *    checkpoint commit re-delivers the batch into the same path
+  *    instead of appending duplicates (spec-asserted by double
+  *    delivery of one batch id).
   */
 object ExciseStream {
 
@@ -39,16 +43,25 @@ object ExciseStream {
       .distinct()
       .cache()
 
-  /** One micro-batch: tokenize the arriving docs and run the shared
-    * t17 core against the static benchmark set.
+  /** One micro-batch, written idempotently: tokenize the arriving
+    * docs ONCE (exciseAgainst references the token frame three times
+    * — shingles, rebuild, doc list — so it is cached for the batch),
+    * run the shared t17 core, and OVERWRITE the batch's own
+    * batch_id partition so re-delivery of the same id cannot
+    * duplicate rows.
     */
-  def exciseBatch(batch: DataFrame, bench: DataFrame, n: Int = 4): DataFrame =
-    TextOps.exciseAgainst(
-      batch.select(col("doc_id"), Text.tokens(col("text")).as("t")), bench, n)
+  def writeBatch(batch: DataFrame, bench: DataFrame, outPath: String,
+      batchId: Long, n: Int = 4): Unit = {
+    val tk = batch.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .cache()
+    try TextOps.exciseAgainst(tk, bench, n)
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    finally { tk.unpersist(); () }
+  }
 
   /** Drain `inDir` (arriving docs, the documents schema) against the
-    * benchmark set from `dir`, appending excised docs to `outPath`
-    * exactly once.
+    * benchmark set from `dir`, landing excised docs under `outPath`
+    * (one batch_id partition per micro-batch — see [[writeBatch]]).
     */
   def startToParquet(s: SparkSession, inDir: String, dir: String,
       outPath: String, checkpoint: String): StreamingQuery = {
@@ -57,10 +70,8 @@ object ExciseStream {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        exciseBatch(batch, bench)
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatch(batch, bench, outPath, id)
       }
       .start()
   }

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   *    a delta doc arrives in exactly one micro-batch, so per-batch
   *    batch semantics give the exact d11 answer without any
   *    cross-batch state;
-  *  - sink appends per-batch results; checkpointing makes the drain
-  *    exactly-once (availableNow).
+  *  - the sink is IDEMPOTENT under foreachBatch's at-least-once
+  *    contract: each delivery OVERWRITES its own batch_id=<id>
+  *    partition directory, so a crash between the sink write and
+  *    the checkpoint commit re-delivers into the same path instead
+  *    of appending duplicates (spec-asserted by double delivery).
   */
 object IncrementalLshStream {
 
@@ -59,8 +62,23 @@ object IncrementalLshStream {
         col("dup_of"), col("est_sim_bp"))
   }
 
+  /** One micro-batch, written idempotently: the arriving batch is
+    * cached (classifyBatch references it twice — signature side and
+    * doc-list side), classified, and OVERWRITTEN into the batch's
+    * own batch_id partition so re-delivery of the same id cannot
+    * duplicate rows.
+    */
+  def writeBatch(batch: DataFrame, lakeSig: DataFrame, outPath: String,
+      batchId: Long): Unit = {
+    val b = batch.cache()
+    try classifyBatch(b, lakeSig)
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    finally { b.unpersist(); () }
+  }
+
   /** Drain `inDir` (arriving delta docs) against the lake in `dir`,
-    * appending classifications to `outPath` exactly once.
+    * landing classifications under `outPath` (one batch_id partition
+    * per micro-batch — see [[writeBatch]]).
     */
   def startToParquet(s: SparkSession, inDir: String, dir: String,
       outPath: String, checkpoint: String): StreamingQuery = {
@@ -69,10 +87,8 @@ object IncrementalLshStream {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        classifyBatch(batch, lakeSig)
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatch(batch, lakeSig, outPath, id)
       }
       .start()
   }

@@ -12,9 +12,12 @@ import java.nio.file.Files
   */
 class ScaleSpec extends SparkSpecBase {
 
+  private val baseN = 200L
+  private val factor = 10
+
   private lazy val measured = {
     val work = Files.createTempDirectory("graft-scale").toString
-    ScaleCheck.run(spark, sf0001, work, baseN = 200L, factor = 10)
+    ScaleCheck.run(spark, sf0001, work, baseN = baseN, factor = factor)
   }
   private lazy val growth =
     measured._1.map(g => g.name -> g).toMap
@@ -52,8 +55,8 @@ class ScaleSpec extends SparkSpecBase {
     // at n ≈ 2^15/4, past which the construction widens the
     // fingerprint — Dedup.scala d13 Scaladoc)
     val g = growth("d13_cand")
-    val n0 = 200L
-    val n1 = 10L * n0
+    val n0 = baseN
+    val n1 = factor * n0
     val baseShareBp = 10000L * g.base / (n0 * (n0 - 1) / 2)
     val inflShareBp = 10000L * g.inflated / (n1 * (n1 - 1) / 2)
     assert(inflShareBp * 3 <= baseShareBp,

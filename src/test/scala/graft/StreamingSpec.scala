@@ -347,10 +347,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(byId(10L) == "near_dup_of_index") // near-dup of lake doc 11
     assert(byId(20L) == "kept")              // unique tail
     assert(byId(30L) == "kept")              // <3 tokens: no signature
-    // replay with the same checkpoint: exactly-once, no duplicates
+    // replay with the same checkpoint: no re-delivery, no duplicates
     val q2 = IncrementalLshStream.startToParquet(spark, inDir, dir, outDir, ckDir)
     try q2.awaitTermination() finally q2.stop()
     assert(spark.read.parquet(outDir).count() == 4)
+    // at-least-once crash shape: the SAME batch id delivered twice
+    // (crash between sink write and checkpoint commit) overwrites its
+    // own partition instead of appending duplicates
+    val outDir2 = Files.createTempDirectory("graft-ilsh-out2").toString + "/out"
+    val lakeSig = IncrementalLshStream.lakeSignatures(spark, dir)
+    IncrementalLshStream.writeBatch(spark.read.parquet(inDir), lakeSig,
+      outDir2, batchId = 0L)
+    IncrementalLshStream.writeBatch(spark.read.parquet(inDir), lakeSig,
+      outDir2, batchId = 0L)
+    assert(spark.read.parquet(outDir2).count() == 4)
   }
 
   test("streaming excise twin: arriving docs decontaminate exactly like batch t17") {
@@ -386,9 +396,16 @@ class StreamingSpec extends SparkSpecBase {
       (1L, 1, 6L, "keep these three tail words"),
       (2L, 0, 0L, clean),
       (3L, 1, 6L, "")))
-    // replay with the same checkpoint: exactly-once, no duplicates
+    // replay with the same checkpoint: no re-delivery, no duplicates
     val q2 = ExciseStream.startToParquet(spark, inDir, dir, outDir, ckDir)
     try q2.awaitTermination() finally q2.stop()
     assert(spark.read.parquet(outDir).count() == 3)
+    // at-least-once crash shape: double delivery of one batch id is
+    // an overwrite, not an append
+    val outDir2 = Files.createTempDirectory("graft-exc-out2").toString + "/out"
+    val bench2 = ExciseStream.benchShingles(spark, dir)
+    ExciseStream.writeBatch(spark.read.parquet(inDir), bench2, outDir2, 0L)
+    ExciseStream.writeBatch(spark.read.parquet(inDir), bench2, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 3)
   }
 }
