@@ -344,11 +344,20 @@ object Similarity {
     * of the 10 label centroids the contract query pins.
     */
   def cellAssignmentsWith(s: SparkSession, dir: String,
+      cent0: DataFrame): DataFrame =
+    cellAssignmentsOf(s,
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      cent0)
+
+  /** cellAssignmentsWith over an EXPLICIT (vec_id, embedding) frame —
+    * lets streaming.VectorIngestStream assign arriving micro-batches
+    * against the static centroid table through the identical plan.
+    */
+  def cellAssignmentsOf(s: SparkSession, e0: DataFrame,
       cent0: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        Vector.norm(col("embedding")).as("nrm"))
+    val e = e0.select(col("vec_id"), col("embedding"),
+      Vector.norm(col("embedding")).as("nrm"))
     val cent = cent0
       .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wAsg = Window.partitionBy(col("vec_id"))
@@ -382,39 +391,61 @@ object Similarity {
     * The array lambdas (zip_with) are CodegenFallback but stay
     * inside the one projection; the dot products ride FloatVecDot.
     */
+  /** SQ8 quantization params of an (vec_id, embedding) frame: ONE
+    * row holding the per-dimension [min, max] struct array (aligned
+    * with the embedding positions — 64 elements, broadcast-safe at
+    * any corpus size). Shared by s08 and streaming.VectorIngestStream
+    * (where the param row is the STATIC artifact every arriving batch
+    * encodes against).
+    */
+  def sq8Params(e: DataFrame): DataFrame = e
+    .select(posexplode(col("embedding")).as(Seq("i0", "v")))
+    .groupBy(col("i0")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    .groupBy()
+    .agg(array_sort(collect_list(struct(col("i0"), col("mn"), col("mx"))))
+      .as("pp"))
+    .select(transform(col("pp"), p =>
+      struct(p.getField("mn").as("mn"), p.getField("mx").as("mx"))).as("ps"))
+
+  /** Per-dimension byte code of `v` against param struct `p`. */
+  private[graft] def sq8Code(v: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mn = p.getField("mn").cast("double")
+    val mx = p.getField("mx").cast("double")
+    when(mx > mn,
+      least(floor(((v.cast("double") - mn) / (mx - mn)) * lit(256.0)),
+        lit(255.0)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** Dequantized value = cell midpoint, milli-floored to FLOAT so
+    * the oracle reconstructs the identical vector (pqCodebook recipe).
+    */
+  private[graft] def sq8Dequant(c: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mn = p.getField("mn").cast("double")
+    val mx = p.getField("mx").cast("double")
+    (floor((mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0))
+      * 1000) / lit(1000.0)).cast("float")
+  }
+
+  /** (vec_id, codes) byte-code frame of `e` against `params` — the
+    * materialize-at-ingest artifact (4× smaller than the float
+    * corpus). Shared by the ingest stream.
+    */
+  def sq8Codes(e: DataFrame, params: DataFrame): DataFrame =
+    e.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("ps"), sq8Code).as("codes"))
+
   def annSq8(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // per-dimension corpus min/max, collected into ONE param row of
-    // aligned arrays (64 elements — broadcast-safe at any corpus size)
-    val params = e
-      .select(posexplode(col("embedding")).as(Seq("i0", "v")))
-      .groupBy(col("i0")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("i0"), col("mn"), col("mx"))))
-        .as("pp"))
-      .select(transform(col("pp"), p =>
-        struct(p.getField("mn").as("mn"), p.getField("mx").as("mx"))).as("ps"))
-    val code = (v: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) => {
-      val mn = p.getField("mn").cast("double")
-      val mx = p.getField("mx").cast("double")
-      when(mx > mn,
-        least(floor(((v.cast("double") - mn) / (mx - mn)) * lit(256.0)),
-          lit(255.0)).cast("long"))
-        .otherwise(lit(0L))
-    }
-    // dequantized value = cell midpoint, milli-floored to FLOAT so
-    // the oracle reconstructs the identical vector (pqCodebook recipe)
-    val dq = (c: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) => {
-      val mn = p.getField("mn").cast("double")
-      val mx = p.getField("mx").cast("double")
-      (floor((mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0))
-        * 1000) / lit(1000.0)).cast("float")
-    }
+    val params = sq8Params(e)
     val corpus = e.crossJoin(broadcast(params))
       .select(col("vec_id"),
-        zip_with(zip_with(col("embedding"), col("ps"), code), col("ps"), dq)
-          .as("dv"))
+        zip_with(zip_with(col("embedding"), col("ps"), sq8Code), col("ps"),
+          sq8Dequant).as("dv"))
     val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))

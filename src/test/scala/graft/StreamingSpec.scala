@@ -408,4 +408,36 @@ class StreamingSpec extends SparkSpecBase {
     ExciseStream.writeBatch(spark.read.parquet(inDir), bench2, outDir2, 0L)
     assert(spark.read.parquet(outDir2).count() == 3)
   }
+
+  test("vector ingest stream: arriving vectors get the batch cell and codes") {
+    import graft.streaming.VectorIngestStream
+    val inDir = Files.createTempDirectory("graft-ving-in").toString
+    val outDir = Files.createTempDirectory("graft-ving-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-ving-ck").toString
+    // arriving = 6 lake vectors across two files (two batch groups);
+    // parity with batch encoding is exact because assignment and
+    // codes depend only on the STATIC artifacts, never on batching
+    val delta = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 6)
+    delta.filter($"vec_id" < 3).write.mode(SaveMode.Append).parquet(inDir)
+    delta.filter($"vec_id" >= 3).write.mode(SaveMode.Append).parquet(inDir)
+    val q = VectorIngestStream.startToParquet(spark, inDir, sf0001, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"),
+        r.getAs[Seq[Long]]("codes"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir)
+      .select($"vec_id", $"cid".cast("int").as("cid"), $"codes"))
+    val (cent, params) = VectorIngestStream.staticArtifacts(spark, sf0001)
+    val batch = asSet(VectorIngestStream.encodeBatch(delta, cent, params)
+      .select($"vec_id", $"cid".cast("int").as("cid"), $"codes"))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(streamed.size == 6 && streamed.forall(_._3.length == 64))
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-ving-out2").toString + "/out"
+    VectorIngestStream.writeBatch(delta, cent, params, outDir2, 0L)
+    VectorIngestStream.writeBatch(delta, cent, params, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 6)
+  }
 }
