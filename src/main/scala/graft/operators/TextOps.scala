@@ -359,6 +359,14 @@ object TextOps {
     * rebuild is an equi anti-join on (doc_id, pos) (covered positions
     * exploded from spans — bounded by doc length) plus a per-doc
     * aggregation. Everything shuffles on doc_id.
+    *
+    * Guarantee boundary (the known caveat of span excision): every
+    * ORIGINAL contaminated occurrence is removed, but stitching a
+    * removed span's neighbors together can form NEW n-grams across
+    * the seam that happen to match the benchmark; production runs
+    * the pass to a fixpoint (rarely more than two iterations).
+    * PropertySpec asserts the original-occurrence guarantee plus
+    * token conservation and subsequence order.
     */
   def contaminationExcise(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     // token-array frame is referenced by the shingle generator AND

