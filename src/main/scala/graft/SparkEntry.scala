@@ -111,6 +111,7 @@ object SparkEntry {
     "t15_mix_resample" -> (TextOps.mixResample _),
     "t16_global_shuffle" -> ((s, d) => TextOps.globalShuffle(s, d)),
     "t17_contamination_excise" -> ((s, d) => TextOps.contaminationExcise(s, d)),
+    "t18_split_leakage" -> (Dedup.splitLeakage _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -168,6 +169,23 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN 
 SELECT c.doc_a, c.doc_b, round(($matchesExpr) / 16.0, 4) AS est_sim
 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
 ORDER BY 1, 2"""
+
+  /** t18: d02's verified near-dup pairs (≥ 8/16 matching minhashes)
+    * that straddle the deterministic md5 80/10/10 split.
+    */
+  private def splitLeakageSql: String =
+    s"""WITH $minhashCtes,
+sp AS (SELECT doc_id,
+    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+      CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS b
+    FROM documents))
+SELECT c.doc_a, c.doc_b, pa.split AS split_a, pb.split AS split_b,
+  CAST(($matchesExpr) * 625 AS BIGINT) AS est_sim_bp
+FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN sp pa ON pa.doc_id = c.doc_a JOIN sp pb ON pb.doc_id = c.doc_b
+WHERE ($matchesExpr) >= 8 AND pa.split <> pb.split
+ORDER BY doc_a, doc_b"""
 
   /** d11: delta (doc_id%10==0) band keys probe the lake's band index;
     * candidates verify at ≥ 8/16 matching minhashes (est_sim in exact
@@ -670,6 +688,7 @@ FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 3
 ORDER BY key_a, key_b""",
     "d02_minhash_lsh" -> minhashLshSql,
+    "t18_split_leakage" -> splitLeakageSql,
     "d07_dup_clusters" -> dupClustersSql,
     "d08_keep_best" ->
       """WITH m AS (SELECT doc_id,

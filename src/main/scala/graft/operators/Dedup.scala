@@ -123,7 +123,10 @@ object Dedup {
   def minhashLshCandidates(s: SparkSession, dir: String): DataFrame =
     bandPairs(minhashSignatures(s, dir).cache())
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** LSH candidate pairs with their matching-minhash count — the
+    * shared verification stage of d02 and t18.
+    */
+  private def pairMatchCounts(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir).cache()
     val cand = bandPairs(sig)
     val sa = sig.select(col("doc_id").as("doc_a") +:
@@ -134,8 +137,48 @@ object Dedup {
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
     cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    pairMatchCounts(s, dir)
       .select(col("doc_a"), col("doc_b"),
-        round(matches.cast("double") / 16.0, 4).as("est_sim"))
+        round(col("matches").cast("double") / 16.0, 4).as("est_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** t18 — train/val/test SPLIT-LEAKAGE check: near-dup pairs that
+    * STRADDLE a deterministic hash split (md5 bucket: 80 % train,
+    * 10 % val, 10 % test — the t11/t15 salted-bucket recipe) are the
+    * self-contamination every training pipeline must audit before
+    * trusting its eval numbers: a val/test doc with a train near-twin
+    * inflates the measured score. Near-dup = d02's machinery (shared
+    * [[pairMatchCounts]]): band-bucket candidates verified at ≥ 8/16
+    * matching minhashes (est_sim ≥ 0.5, integer basis points).
+    *
+    * Scale: candidates are the d02 key-equality band join (~linear,
+    * ScaleSpec-measured); the split column is a per-row hash — no
+    * extra shuffle beyond two broadcast-size joins of the tiny split
+    * map onto the verified pairs. At 100 TB this audit is the same
+    * cost as d02 itself.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(
+      md5(concat(lit("split"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(10L))
+    val split = when(bucket <= 7, "train")
+      .when(bucket === 8, "val").otherwise("test")
+    val sp = Tables.documents(s, dir).select(col("doc_id"), split.as("split"))
+    pairMatchCounts(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("matches") * lit(625)).cast("long").as("est_sim_bp"))
+      .filter(col("est_sim_bp") >= 5000)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("est_sim_bp"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

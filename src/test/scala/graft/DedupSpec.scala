@@ -100,6 +100,30 @@ class DedupSpec extends SparkSpecBase {
       s"banded/brute diverge: missing=${brute -- banded} extra=${banded -- brute}")
   }
 
+  test("t18 flags cross-split near-dups, ignores same-split ones") {
+    val d = Files.createTempDirectory("graft-t18").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    val near = base.replace("lazy dog", "sleepy dog")
+    val other = "entirely different words about distributed query engines " * 4
+    // md5 split buckets: 0,1,2 -> train; 5,26 -> test
+    Seq((0L, base), (5L, near),   // near-dups STRADDLING train/test
+      (1L, other), (2L, other),   // exact dups INSIDE train
+      (26L, "unrelated tail words and nothing else here at all"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.Dedup.splitLeakage(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"),
+        r.getAs[Long]("est_sim_bp"))).toSeq
+    // exactly the straddling pair leaks; the in-train dup pair (1,2)
+    // is dedup's business (d01/d02), not a leakage finding
+    assert(rows.length == 1, rows.toString)
+    val leak = rows.head
+    assert(leak._1 == 0L && leak._2 == 5L && leak._3 == "train" &&
+      leak._4 == "test" && leak._5 >= 5000L, leak.toString)
+  }
+
   test("d14 containment catches subset inclusion that Jaccard misses") {
     val d = Files.createTempDirectory("graft-d14").toString
     val long = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-shingles

@@ -60,6 +60,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "t11" -> (operators.TextOps.stratifiedSample _),
     "t12" -> ((s, d) => operators.TextOps.decontaminate(s, d)),
     "t17" -> ((s, d) => operators.TextOps.contaminationExcise(s, d)),
+    "t18" -> (operators.Dedup.splitLeakage _),
     "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),
     "t14" -> (operators.TextOps.domainMix _),
     "c01" -> ((s, d) => operators.Curation.curate(s, d)))
