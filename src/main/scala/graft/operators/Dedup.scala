@@ -1081,7 +1081,25 @@ object Dedup {
       .cache()
   }
 
-  private def multiblockKeys(fpf: DataFrame): DataFrame =
+  /** Row-local (STATELESS) 60-bit multi-block fingerprint of a text
+    * Column — the streaming-safe formulation of [[multiblockFrame]]
+    * (no explode, no groupBy; bit-parity with the batch fingerprints
+    * is spec-asserted). The 60 per-bit array folds are HOF lambdas
+    * (CodegenFallback) — acceptable on delta batches; the batch
+    * operator keeps the explode+groupBy form for the full-corpus
+    * scan exactly as d02/d11 do with rowMinhashCols.
+    */
+  def rowMultiblockFp(text: Column): Column = {
+    val t = Text.tokens(text)
+    val hs = transform(t, tok => Text.tokenHash60(tok))
+    (0 until MbBlocks * MbBits).map { j =>
+      val bitSum = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private[graft] def multiblockKeys(fpf: DataFrame): DataFrame =
     fpf.select(col("doc_id"), col("fp"),
       explode(array((0 until MbBlocks).map(j =>
         struct(lit(j).as("blk"),
@@ -1089,6 +1107,31 @@ object Dedup {
             .as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("fp"),
         col("b.blk").as("blk"), col("b.bv").as("bv"))
+
+  /** Shared incremental-d13 core: best lake match (lowest hamming,
+    * smallest lake id on ties) per delta doc at hamming ≤ 3, via the
+    * 4-block key probe — the d11/bestLakeMatch shape on the Manku
+    * fingerprints. Both inputs are (doc_id, fp) frames; returns
+    * (delta_id, dup_of, hamming). Used per micro-batch by
+    * streaming.MultiblockSimhashStream (delta fp from the stateless
+    * [[rowMultiblockFp]], lake fp from the precomputed index).
+    */
+  private[graft] def bestBlockMatch(deltaFp: DataFrame,
+      lakeFp: DataFrame): DataFrame = {
+    val d = multiblockKeys(deltaFp).select(col("doc_id").as("delta_id"),
+      col("fp").as("dfp"), col("blk"), col("bv"))
+    val l = multiblockKeys(lakeFp).select(col("doc_id").as("lake_id"),
+      col("fp").as("lfp"), col("blk"), col("bv"))
+    d.join(l, Seq("blk", "bv"))
+      .select(col("delta_id"), col("lake_id"),
+        bit_count(col("dfp").bitwiseXOR(col("lfp"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .groupBy(col("delta_id"))
+      .agg(min(struct(col("hamming").as("h"), col("lake_id").as("id"))).as("m"))
+      .select(col("delta_id"), col("m.id").as("dup_of"),
+        col("m.h").as("hamming"))
+  }
 
   /** Block-sharing pairs before the hamming cut — d13's raw candidate
     * workload (observability/spec surface).

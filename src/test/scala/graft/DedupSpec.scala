@@ -173,6 +173,19 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("row-local multiblock fingerprint is bit-identical to the batch formulation") {
+    import org.apache.spark.sql.functions.col
+    val batchFp = operators.Dedup.multiblockFrame(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    val rowFp = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), operators.Dedup.rowMultiblockFp(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(batchFp.keySet == rowFp.keySet)
+    batchFp.foreach { case (id, f) =>
+      assert(rowFp(id) == f, s"fingerprint mismatch for doc $id")
+    }
+  }
+
   test("d12 semantic dedup: near-identical cellmates drop to the smallest id") {
     // explicit K=2: the corpus-derived default K(6)=10 exceeds n and
     // every cell is a singleton (nothing to compare) — K is a real

@@ -409,6 +409,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(outDir2).count() == 3)
   }
 
+  test("multiblock simhash stream: arriving docs classify against the lake index") {
+    import graft.streaming.MultiblockSimhashStream
+    val dir = Files.createTempDirectory("graft-mbs").toString
+    val inDir = Files.createTempDirectory("graft-mbs-in").toString
+    val outDir = Files.createTempDirectory("graft-mbs-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-mbs-ck").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    val other = "entirely different words about distributed query engines " * 4
+    // lake = ids not divisible by 10; deltas = 0 (exact lake copy),
+    // 10 (unique content)
+    val rows = Seq((0L, base), (10L, other + " unique tail"),
+      (1L, base), (2L, "zeta eta theta iota kappa lambda mu nu " * 4))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    df.filter($"doc_id" % 10 === 0).write.mode(SaveMode.Append).parquet(inDir)
+    val q = MultiblockSimhashStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("status"),
+        Option(r.getAs[Any]("dup_of")), Option(r.getAs[Any]("hamming")))).toMap
+    // doc 0 is an exact copy of lake doc 1: hamming 0, recall-exact
+    assert(got(0L) == (("near_dup_of_index", Some(1L), Some(0))), got.toString)
+    // doc 10 shares no content with the lake
+    assert(got(10L)._1 == "kept", got.toString)
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-mbs-out2").toString + "/out"
+    val lakeFp = MultiblockSimhashStream.lakeFingerprints(spark, dir)
+    MultiblockSimhashStream.writeBatch(spark.read.parquet(inDir), lakeFp, outDir2, 0L)
+    MultiblockSimhashStream.writeBatch(spark.read.parquet(inDir), lakeFp, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 2)
+  }
+
   test("vector ingest stream: arriving vectors get the batch cell and codes") {
     import graft.streaming.VectorIngestStream
     val inDir = Files.createTempDirectory("graft-ving-in").toString
