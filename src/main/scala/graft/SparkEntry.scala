@@ -93,6 +93,7 @@ object SparkEntry {
     "s06_ann_ivfpq" -> (Similarity.annIvfPq _),
     "s07_ann_refine" -> (Similarity.annRefine _),
     "s08_ann_sq8" -> (Similarity.annSq8 _),
+    "s09_recall_audit" -> (Similarity.annRecallAudit _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "t16_global_shuffle" -> ((s, d) => TextOps.globalShuffle(s, d)),
     "t17_contamination_excise" -> ((s, d) => TextOps.contaminationExcise(s, d)),
     "t18_split_leakage" -> (Dedup.splitLeakage _),
+    "t19_selfdedup" -> ((s, d) => TextOps.selfDedup(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -121,7 +123,8 @@ object SparkEntry {
     "m06_modality_interleave" -> ((s, d) => Multimodal.modalityInterleave(s, d)),
     "m07_blob_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
     "w03_session_window" -> (Relational.sessionWindow _),
-    "c01_curation" -> ((s, d) => Curation.curate(s, d)))
+    "c01_curation" -> ((s, d) => Curation.curate(s, d)),
+    "c02_cluster_sample" -> (Curation.clusterSample _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -272,6 +275,40 @@ c2m AS (SELECT j, ck, idx, CAST(floor(avg(v) * 1000) / 1000.0 AS FLOAT) AS comp
   GROUP BY j, ck, idx),
 cj AS (SELECT j, ck AS cid, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
   FROM c2m GROUP BY j, ck)"""
+
+  /** The d12/c02-shared FULL-VECTOR deterministic k-means chain
+    * (VectorAgg.kmeansCentroids replay): seed `vec_id % k`,
+    * milli-floored means, 2 refinement rounds. Yields `e(vec_id,
+    * embedding)`, `kk(k)`, `ev(vec_id, v)` and the final centroid
+    * table `c2(ck, cv)`; consumers append their own assignment CTE.
+    */
+  private def kmeansCtes: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+kk AS (SELECT greatest(10, count(*) // 50) AS k FROM e),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
+c0m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT CAST(vec_id % (SELECT k FROM kk) AS INT) AS ck, unnest(v) AS x,
+      unnest(range(1, len(v)+1)) AS idx FROM ev) z
+  GROUP BY ck, idx),
+c0 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c0m GROUP BY ck),
+a1 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c0 c) z WHERE rr = 1),
+c1m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT a1.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
+    FROM ev JOIN a1 USING (vec_id)) z
+  GROUP BY ck, idx),
+c1 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c1m GROUP BY ck),
+a2 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c1 c) z WHERE rr = 1),
+c2m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT a2.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
+    FROM ev JOIN a2 USING (vec_id)) z
+  GROUP BY ck, idx),
+c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c2m GROUP BY ck)"""
 
   /** Shared by r08 and its skew-resistant twin r20 — both must equal
     * the single-window formulation exactly.
@@ -796,6 +833,29 @@ SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
+    "s09_recall_audit" ->
+      """WITH b AS (SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+ts AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+tr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS rn FROM ts),
+truth AS (SELECT query_id, vec_id FROM tr WHERE rn <= 3),
+ps AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+pr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS rn FROM ps),
+approx AS (SELECT query_id, vec_id FROM pr WHERE rn <= 3),
+j AS (SELECT t.query_id, count(*) AS n_true, count(a.vec_id) AS n_hits
+  FROM truth t LEFT JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY t.query_id)
+SELECT query_id, CAST(n_true AS INT) AS n_true, CAST(n_hits AS INT) AS n_hits,
+  CAST(n_hits * 10000 // n_true AS BIGINT) AS recall_bp
+FROM j ORDER BY query_id""",
     "s03_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
 cm AS (SELECT label AS cid, idx,
@@ -1181,32 +1241,7 @@ ORDER BY d.doc_id""",
     // means (c0), two assign→mean rounds (a1/c1, a2/c2), final
     // assignment to c2 — no RNG, milli-floored means each round
     "d12_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-kk AS (SELECT greatest(10, count(*) // 50) AS k FROM e),
-ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
-c0m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT CAST(vec_id % (SELECT k FROM kk) AS INT) AS ck, unnest(v) AS x,
-      unnest(range(1, len(v)+1)) AS idx FROM ev) z
-  GROUP BY ck, idx),
-c0 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c0m GROUP BY ck),
-a1 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
-    row_number() OVER (PARTITION BY ev.vec_id
-      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
-  FROM ev, c0 c) z WHERE rr = 1),
-c1m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT a1.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
-    FROM ev JOIN a1 USING (vec_id)) z
-  GROUP BY ck, idx),
-c1 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c1m GROUP BY ck),
-a2 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
-    row_number() OVER (PARTITION BY ev.vec_id
-      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
-  FROM ev, c1 c) z WHERE rr = 1),
-c2m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT a2.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
-    FROM ev JOIN a2 USING (vec_id)) z
-  GROUP BY ck, idx),
-c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c2m GROUP BY ck),
+      ("""WITH """ + kmeansCtes + """,
 asg AS (SELECT vec_id, cid FROM (SELECT ev.vec_id, c.ck AS cid,
     row_number() OVER (PARTITION BY ev.vec_id
       ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
@@ -1221,7 +1256,20 @@ SELECT s.vec_id, s.cid AS cell,
   CASE WHEN d.dup_of IS NOT NULL THEN 'dropped' ELSE 'keeper' END AS status,
   d.dup_of
 FROM asg s LEFT JOIN dropped d ON d.va = s.vec_id
-ORDER BY vec_id""",
+ORDER BY vec_id"""),
+    "c02_cluster_sample" ->
+      ("""WITH """ + kmeansCtes + """,
+asg AS (SELECT vec_id, cid, d2 FROM (SELECT ev.vec_id, c.ck AS cid,
+    list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv) AS d2,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c2 c) z WHERE rr = 1),
+cap AS (SELECT greatest(5, (SELECT count(*) FROM e) // ((SELECT k FROM kk) * 10)) AS cap),
+r AS (SELECT cid AS cell, vec_id, d2,
+    row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn FROM asg)
+SELECT cell, CAST(rn AS INT) AS rn, vec_id,
+  CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
+FROM r, cap WHERE rn <= cap.cap ORDER BY cell, rn"""),
     "d13_multiblock_simhash" -> multiblockSimhashSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -1315,6 +1363,31 @@ SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
   coalesce(r.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN stats st USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
 WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+    "t19_selfdedup" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+tok AS (SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i)),
+g AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS sh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-6)) AS i) WHERE len(t) >= 8),
+dup AS (SELECT sh, min(doc_id*1000000+i) AS canon FROM g GROUP BY sh HAVING count(*) >= 2),
+hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (sh) WHERE g.doc_id*1000000+g.i <> canon),
+x AS (SELECT doc_id, i, max(i+7) OVER (PARTITION BY doc_id ORDER BY i
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM hit),
+y AS (SELECT doc_id, i, CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS brk FROM x),
+z AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+    ROWS UNBOUNDED PRECEDING) AS island FROM y),
+spans AS (SELECT doc_id, island, min(i) AS s, max(i+7) AS e FROM z GROUP BY doc_id, island),
+cov AS (SELECT DISTINCT doc_id, unnest(range(s, e+1)) AS pos FROM spans),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos WHERE cov.pos IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+stats AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+    CAST(sum(e - s + 1) AS BIGINT) AS n_removed FROM spans GROUP BY doc_id)
+SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+  coalesce(st.n_removed, 0) AS n_removed,
+  coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN stats st USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

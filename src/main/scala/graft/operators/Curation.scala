@@ -50,4 +50,42 @@ object Curation {
         (col("prev_cum") % capacity).as("bin_offset"))
       .orderBy(col("lang"), col("shard_id"), col("doc_id"))
   }
+
+  /** c02 — cluster-balanced coreset sampling: from each k-means cell
+    * keep the `cap` most CENTRAL vectors (smallest distance to the
+    * cell's own centroid, vec_id tie-break) — the diversity-balancing
+    * selection stage (SemDeDup/DCLM shape: dedup-then-balance) that
+    * keeps a curated corpus from being dominated by its biggest
+    * semantic clusters. K and cap both derive from the corpus count
+    * with integer rules ([[Dedup.semanticK]]; cap = max(5, n/(10K)))
+    * so the oracle replays them and neither is a fixed constant that
+    * breaks at 100× (the r7 lesson).
+    *
+    * Scale shape: one k-means (VectorAgg.kmeansCentroids — broadcast
+    * centroids, struct-min argmin, one row per vector to the
+    * shuffle), a broadcast rejoin for the assigned centroid's d2, and
+    * a bounded TopKPerKey on cell — never a corpus sort. d2 is the
+    * double |c|²−2v·c both engines fold sequentially (FloatVecDot),
+    * floored to milli-units only at the output edge.
+    */
+  def clusterSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vector
+    graft.plans.GraftExtensions.install(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val k = Dedup.semanticK(n)
+    val cap = math.max(5L, n / (k.toLong * 10L)).toInt
+    val cent = VectorAgg.kmeansCentroids(s, emb, k)
+    val scored = VectorAgg.kmeansAssign(emb, cent)
+      .join(broadcast(cent), "cid")
+      .withColumn("d2", Vector.dot(col("cv"), col("cv"))
+        - lit(2.0) * Vector.dot(col("embedding"), col("cv")))
+    val w = Window.partitionBy(col("cid")).orderBy(col("d2"), col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("cid")),
+        Seq(col("d2").asc, col("vec_id").asc), cap)
+      .withColumn("rn", row_number().over(w))
+      .select(col("cid").as("cell"), col("rn"), col("vec_id"),
+        floor(col("d2") * 1000).cast("long").as("d2_milli"))
+      .orderBy(col("cell"), col("rn"))
+  }
 }

@@ -129,6 +129,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s09 — ANN recall audit: recall@3 of the LSH index (s02) against
+    * brute-force ground truth, per query — the "measure, don't guess"
+    * closer of the ANN ladder: an index whose recall silently decays
+    * as the corpus grows (more hash collisions, skewed buckets) is
+    * caught by running this audit per ingest, and every production
+    * vector store ships exactly this job. Ground truth is the s01
+    * pipeline at the same k; both sides share the fixed ≤9-id query
+    * set, so total work stays O(n)·|Q| — an audit over a SAMPLED
+    * constant query set, never corpus×corpus. recall_bp is integer
+    * basis points (n_hits·10000 div n_true) — no float division to
+    * diverge cross-engine.
+    */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
+    val truth = rankTopK(s,
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", pairCosine), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_true"),
+        count(col("hit")).cast("int").as("n_hits"))
+      .withColumn("recall_bp",
+        expr("CAST((n_hits * 10000) DIV n_true AS BIGINT)"))
+      .orderBy(col("query_id"))
+  }
+
   /** The lexical-recall candidate frame of s04 — factored out so the
     * scale harness can measure candidate volume directly. With the
     * fixed query set, candidates per query depend on shingle overlap

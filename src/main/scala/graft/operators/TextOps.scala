@@ -403,6 +403,18 @@ object TextOps {
     // one row per contaminated gram start (g has one row per (doc, i))
     val hit = g.join(bench, "shingle")
       .select(col("doc_id"), col("i"))
+    exciseHits(tk, hit, n)
+  }
+
+  /** Span-merge + excision core shared by t17 (benchmark hits) and
+    * t19 (corpus-internal duplicate hits): given a (doc_id, i) frame
+    * of contaminated n-gram START positions, merge overlapping
+    * windows into maximal spans, drop every covered token position,
+    * and re-emit per-doc (n_spans, n_removed, clean_text) for EVERY
+    * doc in `tk`. All heavy stages shuffle on doc_id only.
+    */
+  private[graft] def exciseHits(tk: DataFrame, hit: DataFrame,
+      n: Int): DataFrame = {
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
@@ -437,6 +449,49 @@ object TextOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         // a fully-excised doc keeps zero tokens — emit '' not null
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** t19 — corpus-internal exact-substring self-dedup (the
+    * within-corpus half of Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): any n-token window whose
+    * text occurs at MORE THAN ONE position in the corpus keeps only
+    * its first occurrence (minimal (doc_id, pos)); every other
+    * occurrence's span is excised, overlapping windows merged into
+    * maximal spans exactly like t17. The reference pipeline has no
+    * counterpart (pipeline_runner.py dedups whole rows only); this is
+    * the span-level generalization a training corpus needs.
+    *
+    * Scale shape: the single-node suffix-array of the paper does not
+    * distribute; the distributed analog used here is the
+    * fingerprint-window equi-join — one row per token position
+    * carrying a 16-byte md5 of its n-window, ONE map-side-combinable
+    * groupBy on that fingerprint (min + count partials), and one
+    * key-equality join back. Both shuffles are linear in corpus
+    * tokens and narrow (fingerprint + two longs per row); no
+    * similarity self-join anywhere. The canonical occurrence is the
+    * integer min of doc_id*1e6 + pos — both engines replay the same
+    * arithmetic, no struct-min cross-engine concerns.
+    */
+  def selfDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    // token frame feeds the window generator AND the rebuild — cache
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .cache()
+    val posKey = col("doc_id") * lit(1000000L) + col("i")
+    val g = tk.filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("sh"))
+    val dup = g.groupBy(col("sh"))
+      .agg(min(posKey).as("canon"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("sh"), col("canon"))
+    val hit = g.join(dup, "sh")
+      .filter(posKey =!= col("canon"))
+      .select(col("doc_id"), col("i"))
+    exciseHits(tk, hit, n).orderBy(col("doc_id"))
   }
 
   /** t08 — PII redaction: scrub emails and phone-like numbers from

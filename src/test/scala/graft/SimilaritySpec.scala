@@ -124,6 +124,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(first.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("s09 recall audit agrees with the measured LSH hit sets") {
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    val lsh = top3(operators.Similarity.annLsh(spark, dir))
+    val audit = operators.Similarity.annRecallAudit(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("n_true"), r.getAs[Int]("n_hits"),
+          r.getAs[Long]("recall_bp"))).toMap
+    assert(audit.keySet == Set(0L, 100L))
+    audit.foreach { case (q, (nTrue, nHits, bp)) =>
+      assert(nTrue == 3)
+      // the audit's hit count IS the truth∩approx overlap
+      assert(nHits == (bf(q) & lsh.getOrElse(q, Set.empty)).size, s"$q")
+      assert(bp == nHits.toLong * 10000 / nTrue)
+    }
+  }
+
+  test("c02 cluster sample: bounded per-cell, central-first, deterministic") {
+    val rows = operators.Curation.clusterSample(spark, dir).collect()
+    // corpus-derived knobs at n=120: k = max(10, 120/50) = 10,
+    // cap = max(5, 120/100) = 5
+    val byCell = rows.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.values.forall(_.length <= 5), "cap exceeded")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    byCell.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to rs.length), s"$c")
+      val d = sorted.map(_.getAs[Long]("d2_milli"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, s"cell $c")
+    }
+    // every kept vector is from SOME cell of the 3 planted clusters —
+    // with tight clusters a cell never mixes clusters, so the 5 most
+    // central members of a cell share their cluster label
+    byCell.values.foreach { rs =>
+      assert(rs.map(r => cluster(r.getAs[Long]("vec_id"))).toSet.size == 1)
+    }
+    val again = operators.Curation.clusterSample(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("pq codebook: K is a free parameter, build is deterministic") {
     val cb16 = operators.VectorAgg.pqCodebook(spark, dir).collect()
     // 4 subspaces, at most K=16 codes each (empty clusters may drop)

@@ -62,6 +62,27 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(3L) == ((1, 6L, "")))
   }
 
+  test("t19 self-dedup keeps first occurrence, excises every later one") {
+    val phrase = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      (1L, s"a b c $phrase x y", "en"),   // canonical occurrence (pos 4)
+      (2L, s"p q $phrase r", "en"),       // later doc — excised
+      (3L, phrase, "en"),                 // whole doc duplicated — emptied
+      (4L, s"z $phrase m $phrase w", "en"), // two later occurrences, two spans
+      (5L, (1 to 10).map(i => s"u$i").mkString(" "), "en"))) // unique — untouched
+    val rows = operators.TextOps.selfDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // first occurrence survives in full
+    assert(rows(1L) == ((0, 0L, s"a b c $phrase x y")), rows(1L).toString)
+    assert(rows(2L) == ((1, 8L, "p q r")), rows(2L).toString)
+    assert(rows(3L) == ((1, 8L, "")), rows(3L).toString)
+    // within-doc repeats of an already-canonical phrase: both spans go
+    assert(rows(4L) == ((2, 16L, "z m w")), rows(4L).toString)
+    assert(rows(5L)._1 == 0 && rows(5L)._3.startsWith("u1 "))
+  }
+
   test("t13 repetition stats flag boilerplate, pass varied text") {
     val loop = ("spam ham " * 20).trim            // one dominant bigram
     val varied = (1 to 40).map(i => s"w$i").mkString(" ")
