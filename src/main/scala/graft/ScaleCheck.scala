@@ -221,6 +221,20 @@ object ScaleCheck {
         cand(baseDir, operators.Similarity.hybridCandidates),
         cand(bigDir, operators.Similarity.hybridCandidates)),
       Growth("d12_pairs", d12Pairs(baseDir), d12Pairs(bigDir)),
+      // t19's excised-occurrence volume: translate-rotation preserves
+      // within-copy window equality bijectively and cross-copy windows
+      // (rotated vocabularies) essentially never collide ⇒ ~×factor
+      Growth("t19_hits",
+        cand(baseDir, (s2, d) => operators.TextOps.selfDedupHitFrame(
+          Tables.documents(s2, d).select(col("doc_id"),
+            graft.functions.Text.tokens(col("text")).as("t")), 8)),
+        cand(bigDir, (s2, d) => operators.TextOps.selfDedupHitFrame(
+          Tables.documents(s2, d).select(col("doc_id"),
+            graft.functions.Text.tokens(col("text")).as("t")), 8))),
+      // c02's kept-coreset size: bounded by K(n)·cap(n) by construction
+      // — the knob-derivation row (both knobs integer corpus rules)
+      Growth("c02_rows", cand(baseDir, operators.Curation.clusterSample),
+        cand(bigDir, operators.Curation.clusterSample)),
       // match PAIRS (pre-aggregation join output), not intervals-with-
       // ≥1-match: a candidate-generator leak that only piles pairs onto
       // already-matched intervals would not move the aggregated count

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -477,22 +477,41 @@ object TextOps {
     val tk = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .cache()
-    val posKey = col("doc_id") * lit(1000000L) + col("i")
-    val g = tk.filter(size(col("t")) >= n)
+    exciseHits(tk, selfDedupHitFrame(tk, n), n).orderBy(col("doc_id"))
+  }
+
+  /** t19's excised-occurrence frame (doc_id, i) — factored out so the
+    * scale harness can measure hit volume directly (expected ~×factor
+    * under content-disjoint inflation: within-copy duplicate structure
+    * replicates, cross-copy windows don't collide).
+    */
+  private[graft] def selfDedupHitFrame(tk: DataFrame, n: Int): DataFrame = {
+    val g = windowFingerprints(tk, n)
+    val dup = g.groupBy(col("sh"))
+      .agg(min(posKey).as("canon"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("sh"), col("canon"))
+    g.join(dup, "sh")
+      .filter(posKey =!= col("canon"))
+      .select(col("doc_id"), col("i"))
+  }
+
+  /** t19's global occurrence order: one BIGINT per window position,
+    * comparable across docs — min = canonical occurrence.
+    */
+  private[graft] def posKey: Column = col("doc_id") * lit(1000000L) + col("i")
+
+  /** One row per n-token window: (doc_id, i, sh) with sh the md5 of
+    * the window text — the narrow shuffle key t19 and its streaming
+    * twin (streaming.SelfDedupStream) group and probe on.
+    */
+  private[graft] def windowFingerprints(tk: DataFrame, n: Int): DataFrame =
+    tk.filter(size(col("t")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"),
         col("t"))
       .select(col("doc_id"), col("i"),
         md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("sh"))
-    val dup = g.groupBy(col("sh"))
-      .agg(min(posKey).as("canon"), count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .select(col("sh"), col("canon"))
-    val hit = g.join(dup, "sh")
-      .filter(posKey =!= col("canon"))
-      .select(col("doc_id"), col("i"))
-    exciseHits(tk, hit, n).orderBy(col("doc_id"))
-  }
 
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is

@@ -170,6 +170,45 @@ class PropertySpec extends SparkSpecBase {
       s"missing=${expect -- contaminated} extra=${contaminated -- expect}")
   }
 
+  test("t19 invariants on the real corpus: conservation, subsequence, canonical survival") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val out = operators.TextOps.selfDedup(spark, sf0001).collect()
+    assert(out.length == docs.size)
+    // independent recomputation of the duplicated-window occurrence set
+    val occ = docs.toSeq.flatMap { case (id, t) =>
+      t.sliding(8).filter(_.size == 8).zipWithIndex
+        .map { case (w, i0) => (w.mkString(" "), id, i0 + 1L) }
+    }
+    val byWin = occ.groupBy(_._1).filter(_._2.size >= 2)
+    val excisedDocs = byWin.values.flatMap { os =>
+      val canon = os.map { case (_, id, i) => id * 1000000L + i }.min
+      os.collect { case (_, id, i) if id * 1000000L + i != canon => id }
+    }.toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val orig = docs(id)
+      val kept = r.getAs[String]("clean_text") match {
+        case "" => Seq.empty[String]; case s => s.split(" ").toSeq
+      }
+      assert(kept.size + r.getAs[Long]("n_removed") == orig.size, s"doc $id")
+      var i = 0
+      kept.foreach { t =>
+        i = orig.indexOf(t, i); assert(i >= 0, s"doc $id: '$t' out of order"); i += 1
+      }
+      if (r.getAs[Int]("n_spans") == 0)
+        assert(kept == orig, s"doc $id: untouched doc must round-trip")
+    }
+    // exactly the docs owning a non-canonical duplicated occurrence
+    // get spans excised — and docs whose ONLY occurrences are
+    // canonical keep every token (first-occurrence survival)
+    val flagged = out.filter(_.getAs[Int]("n_spans") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == excisedDocs,
+      s"missing=${(excisedDocs -- flagged).take(5)} extra=${(flagged -- excisedDocs).take(5)}")
+  }
+
   test("d13/d14 pair invariants on the real corpus") {
     val mb = operators.Dedup.multiblockSimhash(spark, sf0001).collect()
     assert(mb.nonEmpty)

@@ -106,6 +106,27 @@ class ScaleSpec extends SparkSpecBase {
       s"d12 pairs ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("t19 excised-occurrence volume grows ~linearly on disjoint copies") {
+    val g = growth("t19_hits")
+    // within-copy duplicate structure replicates exactly ×10; only
+    // rare cross-copy rotated-token collisions can push above that
+    assert(g.inflated >= factor * g.base && g.inflated <= 2 * factor * math.max(g.base, 5L),
+      s"t19 hits ${g.base} -> ${g.inflated}: not ~linear")
+  }
+
+  test("c02 coreset stays K(n)*cap(n)-bounded as the corpus inflates") {
+    val g = growth("c02_rows")
+    def bound(n: Long): Long = {
+      val k = operators.Dedup.semanticK(n)
+      k.toLong * math.max(5L, n / (k.toLong * 10L))
+    }
+    assert(g.base <= bound(baseN) && g.inflated <= bound(factor * baseN),
+      s"c02 rows ${g.base} -> ${g.inflated} exceed K*cap bounds " +
+        s"${bound(baseN)}/${bound(factor * baseN)}")
+    // and the kept set grows with the corpus, not frozen at the base
+    assert(g.inflated >= g.base, s"c02 rows shrank: ${g.base} -> ${g.inflated}")
+  }
+
   test("s02 max bucket occupancy grows ~linearly (8 fixed buckets)") {
     val g = growth("s02_max_bucket")
     assert(g.inflated <= 15 * math.max(g.base, 5L),

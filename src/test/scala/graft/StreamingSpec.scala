@@ -409,6 +409,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(outDir2).count() == 3)
   }
 
+  test("self-dedup stream: one-batch output equals batch t19 on lake ∪ delta") {
+    import graft.streaming.SelfDedupStream
+    val lakeDir = Files.createTempDirectory("graft-sdd-lake").toString
+    val allDir = Files.createTempDirectory("graft-sdd-all").toString
+    val inDir = Files.createTempDirectory("graft-sdd-in").toString
+    val outDir = Files.createTempDirectory("graft-sdd-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-sdd-ck").toString
+    val p = (1 to 8).map(i => s"p$i").mkString(" ")  // lake-canonical phrase
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")  // batch-internal dup
+    val r = (1 to 8).map(i => s"r$i").mkString(" ")  // DELTA-canonical phrase
+    val lakeRows = Seq((1L, s"alpha beta $p gamma"), (9L, s"omega $r"))
+    val deltaRows = Seq(
+      (4L, s"$r delta side first"),      // 4*1e6+1 < 9*1e6+2: delta canonical
+      (10L, s"x y $p z"),                // lake-duplicated → excised
+      (20L, s"lead in $q out"),          // batch canonical for q
+      (30L, s"$q trailing words here"))  // later in batch → excised
+    def mk(rows: Seq[(Long, String)], d: String): Unit =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    mk(lakeRows, lakeDir)
+    mk(lakeRows ++ deltaRows, allDir)
+    deltaRows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    val sq = SelfDedupStream.startToParquet(spark, inDir, lakeDir, outDir, ckDir)
+    try sq.awaitTermination() finally sq.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("n_spans"),
+        x.getAs[Long]("n_removed"), x.getAs[String]("clean_text"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    val deltaIds = deltaRows.map(_._1).toSet
+    val batch = asSet(operators.TextOps.selfDedup(spark, allDir)
+      .filter($"doc_id".isin(deltaIds.toSeq: _*)))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // and the semantics are the intended ones
+    assert(streamed == Set(
+      (4L, 0, 0L, s"$r delta side first"),   // delta-canonical: kept whole
+      (10L, 1, 8L, "x y z"),
+      (20L, 0, 0L, s"lead in $q out"),
+      (30L, 1, 8L, "trailing words here")))
+    // at-least-once: double delivery of a batch id overwrites, not appends
+    val outDir2 = Files.createTempDirectory("graft-sdd-out2").toString + "/out"
+    val idx = SelfDedupStream.lakeIndex(spark, lakeDir)
+    SelfDedupStream.writeBatch(spark.read.parquet(inDir), idx, outDir2, 0L)
+    SelfDedupStream.writeBatch(spark.read.parquet(inDir), idx, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 4)
+  }
+
   test("multiblock simhash stream: arriving docs classify against the lake index") {
     import graft.streaming.MultiblockSimhashStream
     val dir = Files.createTempDirectory("graft-mbs").toString
