@@ -64,6 +64,8 @@ object SparkEntry {
     "r18_profile" -> (Relational.profileTable _),
     "r19_incremental_agg" -> (Relational.incrementalAgg _),
     "r21_cdc_apply" -> (Relational.cdcApply _),
+    "r22_funnel" -> (Relational.funnel _),
+    "r23_retention" -> (Relational.retentionCohorts _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -114,6 +116,8 @@ object SparkEntry {
     "t17_contamination_excise" -> ((s, d) => TextOps.contaminationExcise(s, d)),
     "t18_split_leakage" -> (Dedup.splitLeakage _),
     "t19_selfdedup" -> ((s, d) => TextOps.selfDedup(s, d)),
+    "t20_benchmark_overlap" -> ((s, d) => TextOps.benchmarkOverlap(s, d)),
+    "t21_lm_surprisal" -> ((s, d) => TextOps.lmSurprisal(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -1150,6 +1154,32 @@ SELECT l.o_orderkey, c.n_ops, l.seq AS last_seq,
   CASE WHEN l.op = 'D' THEN NULL ELSE floor(l.val * 100) / 100 END AS final_total
 FROM last l JOIN cnt c USING (o_orderkey)
 WHERE l.rn = 1 ORDER BY o_orderkey""",
+    // chained-min formulation — proves the one-shuffle ordered walk
+    // computes the same greedy funnel
+    "r22_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, s1.t1 AS first_view, s2.t2 AS first_click, s3.t3 AS first_purchase,
+  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id""",
+    "r23_retention" ->
+      """WITH e AS (SELECT user_id,
+    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+a AS (SELECT DISTINCT f.cohort_week, e.user_id,
+    CAST(date_diff('day', f.cohort_week, e.wk) // 7 AS INT) AS week_offset
+  FROM e JOIN f USING (user_id))
+SELECT cohort_week, week_offset, count(*) AS n_active
+FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
     // the oracle is the DIRECT aggregate over the whole table — the
     // compare PROVES the state ⊎ delta merge law
     "r19_incremental_agg" ->
@@ -1388,6 +1418,36 @@ SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
   coalesce(r.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN stats st USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id""",
+    "t20_benchmark_overlap" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS sh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-6)) AS i) WHERE len(t) >= 8),
+bw AS (SELECT DISTINCT doc_id, sh FROM g WHERE doc_id % 50 = 0),
+tw AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 <> 0),
+st AS (SELECT bw.doc_id, count(*) AS n_windows, count(tw.sh) AS n_leaked
+  FROM bw LEFT JOIN tw ON bw.sh = tw.sh GROUP BY bw.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(st.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(st.n_leaked, 0) AS BIGINT) AS n_leaked,
+  CAST(coalesce(st.n_leaked, 0) * 10000 // greatest(coalesce(st.n_windows, 0), 1) AS BIGINT) AS leak_bp
+FROM documents d LEFT JOIN st USING (doc_id)
+WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id""",
+    "t21_lm_surprisal" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2),
+dbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+sc AS (SELECT dbg.doc_id,
+    CAST(sum(dbg.k) AS BIGINT) AS n_bigrams,
+    CAST(sum(dbg.k * ((length(bin(c1.c1)) - 1) - (length(bin(c12.c12)) - 1))) AS BIGINT) AS surprisal_units
+  FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+  coalesce(sc.surprisal_units, 0) AS surprisal_units,
+  CAST(coalesce(sc.surprisal_units, 0) * 100 // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS mean_centibits
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

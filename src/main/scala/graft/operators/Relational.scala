@@ -608,4 +608,75 @@ object Relational {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** r22 — ordered event funnel (view → click → purchase), the
+    * earliest-greedy conversion walk product-analytics engines ship:
+    * per user, t1 = first 'view', t2 = first 'click' strictly after
+    * t1, t3 = first 'purchase' strictly after t2. Semantically this
+    * is the chained-min fixpoint the oracle states (three dependent
+    * MIN subqueries), but the plan is ONE shuffle: funnel events
+    * group to their user and a sort_array + aggregate() lambda walks
+    * the ordered run — no per-step self-join, no window sort over
+    * history. Equivalence holds because with strict '>' a step-k
+    * event at ts sees st.t(k-1) already set iff t(k-1) < ts, exactly
+    * the chained-min membership test. Per-user state is 3 timestamps
+    * and the collected array holds only that user's funnel events —
+    * the same per-key envelope as sessionize (r20's time-chunk
+    * mitigation applies unchanged if one tracker-bot user dominates).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+        .as("run"))
+      .select(col("user_id"), expr(
+        """aggregate(run,
+             named_struct('t1', CAST(NULL AS TIMESTAMP),
+                          't2', CAST(NULL AS TIMESTAMP),
+                          't3', CAST(NULL AS TIMESTAMP)),
+             (st, ev) -> named_struct(
+               't1', CASE WHEN st.t1 IS NULL AND ev.event_type = 'view'
+                          THEN ev.ts ELSE st.t1 END,
+               't2', CASE WHEN st.t2 IS NULL AND st.t1 IS NOT NULL
+                               AND ev.event_type = 'click'
+                               AND ev.ts > st.t1
+                          THEN ev.ts ELSE st.t2 END,
+               't3', CASE WHEN st.t3 IS NULL AND st.t2 IS NOT NULL
+                               AND ev.event_type = 'purchase'
+                               AND ev.ts > st.t2
+                          THEN ev.ts ELSE st.t3 END))""").as("f"))
+      .select(col("user_id"),
+        col("f.t1").as("first_view"),
+        col("f.t2").as("first_click"),
+        col("f.t3").as("first_purchase"),
+        expr("""CAST(CASE WHEN f.t3 IS NOT NULL THEN 3
+                          WHEN f.t2 IS NOT NULL THEN 2
+                          WHEN f.t1 IS NOT NULL THEN 1
+                          ELSE 0 END AS INT)""").as("stage"))
+      .orderBy(col("user_id"))
+
+  /** r23 — weekly cohort retention: cohort = Monday-truncated week of
+    * a user's first event; n_active = distinct users of cohort c with
+    * any event in week c+k. Two shuffles that REUSE one key: min(wk)
+    * per user, a user-keyed join back onto the same exchange, then
+    * the (cohort, offset) distinct whose output cardinality is
+    * |cohorts|×|offsets| — tiny at any corpus size. week_offset is
+    * the integer day-difference DIV 7 of two Monday dates (always a
+    * multiple of 7) — no float date math, exact on both engines.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    e.join(first, Seq("user_id"))
+      .select(col("cohort_week"), col("user_id"),
+        expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

@@ -513,6 +513,91 @@ object TextOps {
       .select(col("doc_id"), col("i"),
         md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("sh"))
 
+  /** t20 — benchmark-overlap report: t12 flags TRAINING docs that
+    * leak benchmark n-grams; this is the reverse direction every eval
+    * card needs — per BENCHMARK doc, what fraction of its distinct
+    * n-token windows appears anywhere in the training split
+    * (n_leaked/n_windows in integer basis points). A benchmark item
+    * with high leak_bp is compromised and must be excluded from
+    * reported numbers; papers table exactly this statistic.
+    *
+    * Scale shape: both sides reduce to DISTINCT window fingerprints
+    * (md5 — narrow keys), the train side to fingerprints ONLY; one
+    * left-semi-shaped key-equality join and a doc_id-keyed count.
+    * Linear in corpus tokens, no similarity join.
+    */
+  def benchmarkOverlap(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val win = windowFingerprints(tk, n)
+    val benchWin = win.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("sh")).distinct()
+    val trainWin = win.filter(col("doc_id") % 50 =!= 0)
+      .select(col("sh")).distinct().withColumn("leaked", lit(1))
+    val stats = benchWin.join(trainWin, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        count(col("leaked")).cast("long").as("n_leaked"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 50 === 0)
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("leak_bp",
+        expr("CAST((n_leaked * 10000) DIV greatest(n_windows, 1) AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t21 — bigram-LM surprisal scoring (the CCNet/KenLM perplexity
+    * filter re-expressed oracle-exact): train an MLE bigram model on
+    * the corpus itself and score every doc by its mean next-token
+    * surprisal — garbled/OCR-noise docs score high and get culled.
+    * Cross-engine float log is not replayable, so the model works in
+    * integer floor-log2 units: surprisal(w1,w2) = ⌊log2 C(w1·)⌋ −
+    * ⌊log2 C(w1,w2)⌋, both via length(bin(n))−1 — DuckDB replays the
+    * identical binary-string-length rule.
+    *
+    * Scale shape: bigram extraction is row-local (transform over the
+    * token array); per-doc bigram counts are ONE doc-keyed hash agg
+    * whose exchange is REUSED by the model side (c12 aggregates dbg,
+    * c1 aggregates c12 — identical subplans dedupe via
+    * ReuseExchange); the score joins are plain key-equality shuffles
+    * AQE may broadcast when the model is small (no forced broadcast
+    * of a corpus-derived frame — the s04 lesson). Linear in corpus
+    * tokens; model size is O(distinct bigrams), Zipf-concentrated.
+    */
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dbg = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val c12 = dbg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).cast("long").as("c12"))
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val st = dbg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("k"),
+        ((length(bin(col("c1"))) - 1) - (length(bin(col("c12"))) - 1)).as("u"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("u")).cast("long").as("surprisal_units"))
+    docs.select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_units"), lit(0L)).as("surprisal_units"))
+      .withColumn("mean_centibits",
+        expr("CAST((surprisal_units * 100) DIV greatest(n_bigrams, 1) AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
     * synthetic) — the redaction pass every training pipeline runs

@@ -61,6 +61,13 @@ class EmptyInputSpec extends SparkSpecBase {
     "t12" -> ((s, d) => operators.TextOps.decontaminate(s, d)),
     "t17" -> ((s, d) => operators.TextOps.contaminationExcise(s, d)),
     "t18" -> (operators.Dedup.splitLeakage _),
+    "t19" -> ((s, d) => operators.TextOps.selfDedup(s, d)),
+    "t20" -> ((s, d) => operators.TextOps.benchmarkOverlap(s, d)),
+    "t21" -> ((s, d) => operators.TextOps.lmSurprisal(s, d)),
+    "r22" -> (operators.Relational.funnel _),
+    "r23" -> (operators.Relational.retentionCohorts _),
+    "s09" -> (operators.Similarity.annRecallAudit _),
+    "c02" -> (operators.Curation.clusterSample _),
     "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),
     "t14" -> (operators.TextOps.domainMix _),
     "c01" -> ((s, d) => operators.Curation.curate(s, d)))

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** r22 ordered funnel + r23 weekly cohort retention: hand-walked
+  * corner cases for the greedy chained-min semantics (out-of-order
+  * steps, same-timestamp ties, partial funnels) and Monday-week
+  * cohort offsets.
+  */
+class FunnelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val baseNs = 1704067200L * 1000000000L // 2024-01-01 UTC (a Monday)
+  private def tsNs(min: Long): Long = baseNs + min * 60L * 1000000000L
+  private def micros(min: Long): Long = tsNs(min) / 1000L
+
+  /** events.parquet with ts as long nanos (the driver testdata's
+    * TIMESTAMP(NANOS) shape Tables.events reads under nanosAsLong).
+    */
+  private def mkEvents(rows: Seq[(Long, Long, String)]): String = {
+    val d = Files.createTempDirectory("graft-funnel").toString
+    rows.zipWithIndex.map { case ((uid, m, typ), i) =>
+      (i.toLong, tsNs(m), uid, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("r22 funnel: greedy chained-min with ties and out-of-order steps") {
+    val dir = mkEvents(Seq(
+      // u1: clean 3-step conversion
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 10L, "purchase"),
+      // u2: click before view ignored; click tied with view excluded
+      // (strict >); purchase BEFORE the counted click excluded
+      (2L, 0L, "click"), (2L, 5L, "view"), (2L, 5L, "click"),
+      (2L, 6L, "purchase"), (2L, 7L, "click"),
+      // u3: purchase precedes the first view — stage 1 only
+      (3L, 0L, "purchase"), (3L, 2L, "view"),
+      // u4: only non-funnel events — excluded from the universe
+      (4L, 0L, "error"), (4L, 1L, "signup"),
+      // u5: funnel events but no view — stage 0
+      (5L, 1L, "click"), (5L, 2L, "purchase")))
+    val out = operators.Relational.funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> (
+        Option(r.getAs[java.sql.Timestamp]("first_view")).map(_.getTime),
+        Option(r.getAs[java.sql.Timestamp]("first_click")).map(_.getTime),
+        Option(r.getAs[java.sql.Timestamp]("first_purchase")).map(_.getTime),
+        r.getAs[Int]("stage"))).toMap
+    def ms(min: Long) = Some(micros(min) / 1000L)
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((ms(0), ms(5), ms(10), 3)), out(1L).toString)
+    assert(out(2L) == ((ms(5), ms(7), None, 2)), out(2L).toString)
+    assert(out(3L) == ((ms(2), None, None, 1)), out(3L).toString)
+    assert(out(5L) == ((None, None, None, 0)), out(5L).toString)
+  }
+
+  test("r23 retention: Monday cohorts and integer week offsets") {
+    val day = 24L * 60L
+    val dir = mkEvents(Seq(
+      // u1: cohort week of Jan 1; active weeks 0, 1 (two events), 2
+      (1L, 0L, "view"), (1L, 9L * day, "click"), (1L, 10L * day, "click"),
+      (1L, 15L * day, "view"),
+      // u2: first event Tue Jan 9 -> cohort week Jan 8; active week 0
+      (2L, 8L * day, "purchase"),
+      // u3: cohort Jan 1 week, active weeks 0 and 2
+      (3L, 3L * day, "error"), (3L, 16L * day, "view")))
+    val out = operators.Relational.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("week_offset")) -> r.getAs[Long]("n_active")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 2) -> 2L, ("2024-01-08", 0) -> 1L), out.toString)
+  }
+}

@@ -83,6 +83,42 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(5L)._1 == 0 && rows(5L)._3.startsWith("u1 "))
   }
 
+  test("t20 benchmark overlap reports per-bench-doc leak fraction") {
+    val benchA = (1 to 12).map(i => s"e$i").mkString(" ")  // 5 windows
+    val benchB = (1 to 8).map(i => s"b$i").mkString(" ")   // 1 window
+    val leakTrain = "x y " + (1 to 8).map(i => s"e$i").mkString(" ") // leaks window 1
+    val cleanTrain = (1 to 10).map(i => s"c$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      (0L, benchA, "en"), (50L, benchB, "en"),
+      (1L, leakTrain, "en"), (2L, cleanTrain, "en")))
+    val rows = operators.TextOps.benchmarkOverlap(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_leaked"),
+          r.getAs[Long]("leak_bp"))).toMap
+    // only benchmark docs appear
+    assert(rows.keySet == Set(0L, 50L))
+    // exactly one of benchA's 5 windows appears in the train split
+    assert(rows(0L) == ((5L, 1L, 2000L)), rows(0L).toString)
+    assert(rows(50L) == ((1L, 0L, 0L)), rows(50L).toString)
+  }
+
+  test("t21 lm surprisal: hand-computed integer floor-log2 bigram units") {
+    // corpus bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; contexts a=3, b=2
+    // u(a,b) = flog2(3)-flog2(3) = 0; u(b,a) = flog2(2)-flog2(1) = 1
+    // u(b,c) = 1
+    val dir = mkDocs(Seq(
+      (0L, "a b a b", "en"),   // bigrams (a,b),(b,a),(a,b) -> units 1
+      (1L, "a b c", "en"),     // bigrams (a,b),(b,c) -> units 1
+      (2L, "x", "en")))        // no bigrams
+    val rows = operators.TextOps.lmSurprisal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal_units"),
+          r.getAs[Long]("mean_centibits"))).toMap
+    assert(rows(0L) == ((3L, 1L, 33L)), rows(0L).toString)
+    assert(rows(1L) == ((2L, 1L, 50L)), rows(1L).toString)
+    assert(rows(2L) == ((0L, 0L, 0L)), rows(2L).toString)
+  }
+
   test("t13 repetition stats flag boilerplate, pass varied text") {
     val loop = ("spam ham " * 20).trim            // one dominant bigram
     val varied = (1 to 40).map(i => s"w$i").mkString(" ")
