@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver keeps only the last ~2,000 chars of stdout and parses the
+// FINAL line as JSON (Bench's aggregate line). Two sbt behaviors broke
+// that for six rounds: the `[success] Total time: …` epilogue printed
+// AFTER the program's last line, and the `[info] ` prefix sbt's logger
+// adds to forked-process output. Kill both: no epilogue, and pipe the
+// forked JVM's stdout/stderr straight through unlogged.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1399,8 +1399,10 @@ tok AS (SELECT doc_id, i AS pos, t[i] AS tok
   FROM tk, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i)),
 g AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS sh
   FROM tk, LATERAL (SELECT unnest(range(1, len(t)-6)) AS i) WHERE len(t) >= 8),
-dup AS (SELECT sh, min(doc_id*1000000+i) AS canon FROM g GROUP BY sh HAVING count(*) >= 2),
-hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (sh) WHERE g.doc_id*1000000+g.i <> canon),
+r AS (SELECT doc_id, i,
+    row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn,
+    count(*) OVER (PARTITION BY sh) AS cnt FROM g),
+hit AS (SELECT doc_id, i FROM r WHERE cnt >= 2 AND rn > 1),
 x AS (SELECT doc_id, i, max(i+7) OVER (PARTITION BY doc_id ORDER BY i
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM hit),
 y AS (SELECT doc_id, i, CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS brk FROM x),

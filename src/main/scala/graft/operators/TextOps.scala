@@ -469,8 +469,9 @@ object TextOps {
     * key-equality join back. Both shuffles are linear in corpus
     * tokens and narrow (fingerprint + two longs per row); no
     * similarity self-join anywhere. The canonical occurrence is the
-    * integer min of doc_id*1e6 + pos — both engines replay the same
-    * arithmetic, no struct-min cross-engine concerns.
+    * lexicographic min of (doc_id, pos) via struct-min — safe for
+    * arbitrarily long documents (see [[posKey]]); the oracle replays
+    * the identical order with a row_number window.
     */
   def selfDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     // token frame feeds the window generator AND the rebuild — cache
@@ -496,10 +497,16 @@ object TextOps {
       .select(col("doc_id"), col("i"))
   }
 
-  /** t19's global occurrence order: one BIGINT per window position,
-    * comparable across docs — min = canonical occurrence.
+  /** t19's global occurrence order: lexicographic (doc_id, i) — min =
+    * canonical occurrence. A struct, not stride arithmetic: the r1–r9
+    * key `doc_id*1e6 + i` silently aliased any document with ≥ 1 M
+    * tokens into the next doc_id's key range (concatenated dumps at
+    * 100 TB do hit that), mis-picking the canon. Struct min/least
+    * order structs field-by-field (the r21 struct-max precedent); the
+    * oracle replays the same order with `row_number() OVER (ORDER BY
+    * doc_id, i)`.
     */
-  private[graft] def posKey: Column = col("doc_id") * lit(1000000L) + col("i")
+  private[graft] def posKey: Column = struct(col("doc_id"), col("i"))
 
   /** One row per n-token window: (doc_id, i, sh) with sh the md5 of
     * the window text — the narrow shuffle key t19 and its streaming
@@ -527,9 +534,12 @@ object TextOps {
     * Linear in corpus tokens, no similarity join.
     */
   def benchmarkOverlap(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    // win feeds BOTH the bench and train sides of one plan — without
+    // the cache the tokenize+explode+md5 subtree executes twice (the
+    // t17/t19 convention; ADVICE r9)
     val tk = Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-    val win = windowFingerprints(tk, n)
+    val win = windowFingerprints(tk, n).cache()
     val benchWin = win.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("sh")).distinct()
     val trainWin = win.filter(col("doc_id") % 50 =!= 0)

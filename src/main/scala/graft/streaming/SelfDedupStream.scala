@@ -9,9 +9,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** t19's incremental-ingest twin: arriving docs are span-self-deduped
   * against the LAKE's window-fingerprint index plus their own batch —
   * the d10/d11 daily-ingest shape lifted to span level. The lake side
-  * is a static (sh, lake_canon) index (one BIGINT per distinct window
-  * fingerprint — in production precomputed and stored bucketed by sh
-  * via TableSink, never re-tokenized per batch); each micro-batch
+  * is a static (sh, lake_canon) index (one (doc_id, i) struct per
+  * distinct window fingerprint — in production precomputed and stored
+  * bucketed by sh via TableSink, never re-tokenized per batch; struct
+  * least/min order lexicographically, so arbitrarily long docs rank
+  * correctly, see [[TextOps.posKey]]); each micro-batch
   * tokenizes only its own docs, takes the window-wise min of
   * (lake canon, batch canon) as the global first occurrence, and
   * excises every later occurrence with the shared

@@ -83,6 +83,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(5L)._1 == 0 && rows(5L)._3.startsWith("u1 "))
   }
 
+  test("t19 canon ranks lexicographically for docs past 1M tokens (stride-key regression)") {
+    // The r1–r9 BIGINT key doc_id*1e6+i TIED these two occurrences
+    // (0*1e6+1000001 == 1*1e6+1), so neither was excised and the
+    // duplicate silently survived; with ANY longer doc-0 offset the
+    // stride key would even mis-rank doc 1 as canonical. The struct
+    // key orders (0, 1000001) < (1, 1): doc 1's copy must be the hit.
+    import org.apache.spark.sql.functions._
+    val phrase = (1 to 8).map(i => s"w$i")
+    val planted = array(phrase.map(lit): _*)
+    val tk = Seq(0L, 1L).toDF("doc_id").select(col("doc_id"),
+      when(col("doc_id") === 0L,
+        concat(expr("transform(sequence(1, 1000000), x -> concat('u', x))"), planted))
+        .otherwise(planted).as("t"))
+    val hits = operators.TextOps.selfDedupHitFrame(tk, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("i"))).toSet
+    assert(hits == Set((1L, 1)), hits.toString)
+  }
+
   test("t20 benchmark overlap reports per-bench-doc leak fraction") {
     val benchA = (1 to 12).map(i => s"e$i").mkString(" ")  // 5 windows
     val benchB = (1 to 8).map(i => s"b$i").mkString(" ")   // 1 window
