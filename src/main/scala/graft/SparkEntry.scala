@@ -386,7 +386,41 @@ SELECT doc_id, lang AS labeled_lang, CASE $pick ELSE 'und' END AS predicted_lang
 FROM x ORDER BY doc_id"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("s09_recall_audit" -> recallAuditSql)
+
+  /** s09's oracle, composed: shared brute-force truth (top-3 per
+    * query) + one recall row per index family, each family's approx
+    * set replayed by embedding that family's OWN oracle SQL as a
+    * derived table — the audited index definitions and the audit
+    * never drift apart. DuckDB scopes nested WITH names locally, so
+    * the inner CTEs don't collide with the outer truth CTEs.
+    */
+  private def recallAuditSql: String = {
+    val families =
+      Seq("s02_ann_lsh", "s03_ann_ivf", "s06_ann_ivfpq", "s08_ann_sq8")
+    val rec = families.map { f =>
+      s"""SELECT '$f' AS family, t.query_id, count(*) AS n_true, count(a.neighbor_id) AS n_hits
+  FROM truth t LEFT JOIN (SELECT query_id, neighbor_id FROM (
+${baseOracleSql(f)}
+  )) a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id"""
+    }.mkString("\nUNION ALL\n")
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+ts AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+tr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS rn FROM ts),
+truth AS (SELECT query_id, vec_id AS neighbor_id FROM tr WHERE rn <= 3),
+rec AS (
+""" + rec + """
+)
+SELECT family, query_id, CAST(n_true AS INT) AS n_true, CAST(n_hits AS INT) AS n_hits,
+  CAST(n_hits * 10000 // n_true AS BIGINT) AS recall_bp
+FROM rec ORDER BY family, query_id"""
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q31_docs_processed" ->
       """SELECT o_orderstatus, count(DISTINCT o_orderkey) AS quantity
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
@@ -837,29 +871,6 @@ SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
-    "s09_recall_audit" ->
-      """WITH b AS (SELECT vec_id, embedding,
-    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END) AS bucket
-  FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
-ts AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
-  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-tr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS rn FROM ts),
-truth AS (SELECT query_id, vec_id FROM tr WHERE rn <= 3),
-ps AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
-  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
-pr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS rn FROM ps),
-approx AS (SELECT query_id, vec_id FROM pr WHERE rn <= 3),
-j AS (SELECT t.query_id, count(*) AS n_true, count(a.vec_id) AS n_hits
-  FROM truth t LEFT JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
-  GROUP BY t.query_id)
-SELECT query_id, CAST(n_true AS INT) AS n_true, CAST(n_hits AS INT) AS n_hits,
-  CAST(n_hits * 10000 // n_true AS BIGINT) AS recall_bp
-FROM j ORDER BY query_id""",
     "s03_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
 cm AS (SELECT label AS cid, idx,

@@ -129,17 +129,23 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** s09 — ANN recall audit: recall@3 of the LSH index (s02) against
-    * brute-force ground truth, per query — the "measure, don't guess"
-    * closer of the ANN ladder: an index whose recall silently decays
-    * as the corpus grows (more hash collisions, skewed buckets) is
-    * caught by running this audit per ingest, and every production
-    * vector store ships exactly this job. Ground truth is the s01
-    * pipeline at the same k; both sides share the fixed ≤9-id query
-    * set, so total work stays O(n)·|Q| — an audit over a SAMPLED
-    * constant query set, never corpus×corpus. recall_bp is integer
-    * basis points (n_hits·10000 div n_true) — no float division to
-    * diverge cross-engine.
+  /** s09 — ANN recall audit across the WHOLE index ladder: recall@3
+    * of every approximate family (s02 LSH, s03 IVF, s06 IVF-PQ, s08
+    * SQ8) against shared brute-force ground truth, one row per
+    * (family, query) — the "measure, don't guess" closer of the ANN
+    * ladder: an index whose recall silently decays as the corpus
+    * grows (more hash collisions, skewed buckets, PQ quantization
+    * drift) is caught by running this audit per ingest, and the
+    * production job is exactly "recall per index per ingest". Ground
+    * truth is the s01 pipeline at the same k, computed ONCE and
+    * cached (it feeds all four family joins in one plan — the
+    * re-execution rule); the truth scan dominates the cost, so
+    * auditing four families costs barely more than auditing one.
+    * All sides share the fixed ≤9-id query set, so total work stays
+    * O(n)·|Q| — an audit over a SAMPLED constant query set, never
+    * corpus×corpus. recall_bp is integer basis points
+    * (n_hits·10000 div n_true) — no float division to diverge
+    * cross-engine.
     */
   def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
@@ -147,15 +153,26 @@ object Similarity {
         e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .withColumn("cos", pairCosine), 3)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = annLsh(s, dir)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).cast("int").as("n_true"),
-        count(col("hit")).cast("int").as("n_hits"))
+      .cache()
+    val families = Seq(
+      "s02_ann_lsh" -> annLsh(s, dir),
+      "s03_ann_ivf" -> annIvf(s, dir),
+      "s06_ann_ivfpq" -> annIvfPq(s, dir),
+      "s08_ann_sq8" -> annSq8(s, dir))
+    families.map { case (fam, adf) =>
+      val approx = adf.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("int").as("n_true"),
+          count(col("hit")).cast("int").as("n_hits"))
+        .withColumn("family", lit(fam))
+    }.reduce(_ unionByName _)
       .withColumn("recall_bp",
         expr("CAST((n_hits * 10000) DIV n_true AS BIGINT)"))
-      .orderBy(col("query_id"))
+      .select(col("family"), col("query_id"), col("n_true"),
+        col("n_hits"), col("recall_bp"))
+      .orderBy(col("family"), col("query_id"))
   }
 
   /** The lexical-recall candidate frame of s04 — factored out so the

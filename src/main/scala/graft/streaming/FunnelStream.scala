@@ -17,9 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch agree exactly; an out-of-order event older than a recorded
   * step would need retraction, which no greedy engine does.
   *
-  * State never times out here (a funnel is forever); production would
-  * bound it with a TTL timeout exactly like Sessionizer's — the state
-  * size is three longs per user either way.
+  * State is BOUNDED by an event-time TTL (Sessionizer's timeout
+  * shape): a user whose funnel hasn't advanced within `ttl` of the
+  * watermark is dropped from the store, and a later event re-enters
+  * the funnel from stage 0 — at 100 TB of users an unbounded "funnel
+  * is forever" store grows without limit, so expiry is the default.
+  * Pass `ttl = None` for the never-expire variant (the exact-parity
+  * contract vs the batch funnel, which sees all history).
   */
 object FunnelStream {
 
@@ -44,12 +48,20 @@ object FunnelStream {
     FunnelRow(uid, toTs(st.t1), toTs(st.t2), toTs(st.t3),
       if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2 else if (st.t1 >= 0) 1 else 0)
 
-  def update(uid: Long, events: Iterator[Ev],
+  def update(ttlMs: Option[Long])(uid: Long, events: Iterator[Ev],
       state: GroupState[St]): Iterator[FunnelRow] = {
+    if (state.hasTimedOut) {
+      // stale funnel: forget the user — snapshots were already
+      // emitted at each advance, so expiry emits nothing; the next
+      // event re-initializes from stage 0
+      state.remove()
+      return Iterator.empty
+    }
     val first = state.getOption.isEmpty
     val st0 = state.getOption.getOrElse(St(-1L, -1L, -1L))
     var st = st0
-    events.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+    val evs = events.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+    evs.foreach { e =>
       val t = micros(e.ts)
       if (st.t1 < 0 && e.event_type == "view") st = st.copy(t1 = t)
       else if (st.t2 < 0 && st.t1 >= 0 && e.event_type == "click" &&
@@ -59,18 +71,33 @@ object FunnelStream {
     }
     if (st != st0 || first) {
       state.update(st)
+      // TTL rides event time from the newest signal we have (funnel
+      // step or raw event), so a quiet-but-advancing user stays live
+      ttlMs.foreach { ttl =>
+        val lastUs = math.max(math.max(st.t1, math.max(st.t2, st.t3)),
+          evs.lastOption.map(e => micros(e.ts)).getOrElse(-1L))
+        state.setTimeoutTimestamp(lastUs / 1000L + ttl)
+      }
       Iterator(toRow(uid, st))
     } else Iterator.empty
   }
 
-  /** events stream (EventStream.schema) → funnel-advance snapshots. */
-  def funnel(spark: SparkSession, events: Dataset[_]): Dataset[FunnelRow] = {
+  /** events stream (EventStream.schema) → funnel-advance snapshots.
+    * `ttl` bounds the state store (default 30 days of event time);
+    * None preserves the exact never-expire batch-parity semantics.
+    */
+  def funnel(spark: SparkSession, events: Dataset[_],
+      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofDays(30))
+      ): Dataset[FunnelRow] = {
     import spark.implicits._
-    events.toDF()
+    val ttlMs = ttl.map(_.toMillis)
+    val src = events.toDF()
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_type")).as[Ev]
+    val withWm = ttlMs.fold(src)(_ => src.withWatermark("ts", "10 minutes"))
+    withWm.select(col("user_id"), col("ts"), col("event_type")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+        ttlMs.fold(GroupStateTimeout.NoTimeout)(_ =>
+          GroupStateTimeout.EventTimeTimeout))(update(ttlMs))
   }
 }

@@ -23,11 +23,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * equal batch [[TextOps.selfDedup]] over (lake ∪ batch) restricted
   * to the batch's doc_ids — `least(lake_canon, batch_canon)` IS the
   * global min since every occurrence lives on one side or the other.
-  * Known seam (documented, same class as d10/d11's static index): a
-  * window duplicated across TWO DELTA batches but absent from the
-  * lake is not deduped across the batch boundary — production folds
-  * each batch's new canon keys back into the index (an idempotent
-  * min-merge, the EventStream agg-merge shape).
+  * Both sides assume ingested doc_ids are DISJOINT from lake doc_ids
+  * (the d10/d11 ingest contract): a re-delivered doc_id that already
+  * exists in the lake makes its batch posKey EQUAL the lake canon, so
+  * the batch copy survives as "canonical" instead of being excised —
+  * dedupe-by-doc_id upstream (TableSink.appendIfAbsent) before span
+  * self-dedup.
+  *
+  * Two index modes:
+  *  - [[startToParquet]] probes a STATIC snapshot ([[lakeIndex]]) —
+  *    cheapest, but a window duplicated across two DELTA batches yet
+  *    absent from the lake is not deduped across the batch boundary;
+  *  - [[startFolding]] closes that seam: each batch min-merges its
+  *    own canon keys back into a parquet-backed index (one
+  *    `delta_id=<batch>` partition per micro-batch, overwritten on
+  *    re-delivery), and probes read min-per-sh over base+deltas.
+  *    Min-merge is associative, commutative, and idempotent — the
+  *    EventStream agg-merge law — so at-least-once re-delivery and
+  *    any later compaction of deltas (TableSink.compact at 100 TB)
+  *    leave the index identical.
   */
 object SelfDedupStream {
 
@@ -78,6 +92,65 @@ object SelfDedupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeBatch(batch, idx, outPath, id)
+      }
+      .start()
+  }
+
+  /** Current index state: min canon per window fingerprint over the
+    * base snapshot and every folded delta. The aggregate is the probe
+    * side of one batch's key-equality join — narrow (16-byte sh +
+    * one struct) and map-side combinable.
+    */
+  def readIndex(s: SparkSession, idxDir: String): DataFrame =
+    s.read.parquet(idxDir)
+      .groupBy(col("sh")).agg(min(col("lake_canon")).as("lake_canon"))
+
+  /** One micro-batch against the EVOLVING index: probe min(base ∪
+    * deltas), excise, then fold this batch's canon keys in as the
+    * `delta_id=b<id>` partition (overwrite — re-delivery replaces,
+    * and min-merge idempotency makes the replay a no-op).
+    */
+  def writeBatchFold(batch: DataFrame, idxDir: String, outPath: String,
+      batchId: Long, n: Int = 8): Unit = {
+    val tk = batch.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .cache()
+    try {
+      val g = TextOps.windowFingerprints(tk, n)
+      // feeds the probe join AND the index fold — two actions
+      val batchCanon = g.groupBy(col("sh"))
+        .agg(min(TextOps.posKey).as("batch_canon"))
+        .cache()
+      try {
+        val hit = g.join(batchCanon, "sh")
+          .join(readIndex(batch.sparkSession, idxDir), Seq("sh"), "left")
+          .filter(TextOps.posKey =!=
+            least(col("lake_canon"), col("batch_canon")))
+          .select(col("doc_id"), col("i"))
+        TextOps.exciseHits(tk, hit, n)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        batchCanon.select(col("sh"), col("batch_canon").as("lake_canon"))
+          .write.mode("overwrite").parquet(s"$idxDir/delta_id=b$batchId")
+      } finally { batchCanon.unpersist(); () }
+    } finally { tk.unpersist(); () }
+  }
+
+  /** [[startToParquet]] with the cross-delta-batch seam closed: the
+    * lake snapshot is materialized once as the index's base delta,
+    * then every micro-batch probes base+deltas and folds its canon
+    * keys back in.
+    */
+  def startFolding(s: SparkSession, inDir: String, dir: String,
+      outPath: String, checkpoint: String, idxDir: String): StreamingQuery = {
+    val base = new org.apache.hadoop.fs.Path(s"$idxDir/delta_id=base")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base))
+      lakeIndex(s, dir).write.mode("overwrite").parquet(base.toString)
+    s.readStream.schema(IncrementalLshStream.schema).parquet(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchFold(batch, idxDir, outPath, id)
       }
       .start()
   }

@@ -12,7 +12,7 @@ class PlanHygieneSpec extends SparkSpecBase {
   /** Queries that INTENTIONALLY scan against a broadcast tiny side. */
   private val allowed: Map[String, String] = Map(
     "s01_ann_bruteforce" -> "declared exactness baseline: corpus × broadcast query slice",
-    "s09_recall_audit" -> "ground truth IS s01's corpus × broadcast query-slice scan",
+    "s09_recall_audit" -> "truth is s01's corpus × broadcast query-slice scan; the four audited families reuse their own allowlisted shapes",
     "c02_cluster_sample" -> "k-means assignment: vector × broadcast K-row centroid table (d12's scan)",
     "s03_ann_ivf" -> "IVF assignment: every vector × broadcast 10-centroid table",
     "d12_semantic_dedup" -> "k-means rounds: vector × broadcast K-row centroid table",

@@ -124,18 +124,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(first.map(_.toString).sameElements(again.map(_.toString)))
   }
 
-  test("s09 recall audit agrees with the measured LSH hit sets") {
+  test("s09 recall audit agrees with the measured hit sets of every family") {
     val bf = top3(operators.Similarity.annBruteForce(spark, dir))
-    val lsh = top3(operators.Similarity.annLsh(spark, dir))
+    val fams = Map(
+      "s02_ann_lsh" -> top3(operators.Similarity.annLsh(spark, dir)),
+      "s03_ann_ivf" -> top3(operators.Similarity.annIvf(spark, dir)),
+      "s06_ann_ivfpq" -> top3(operators.Similarity.annIvfPq(spark, dir)),
+      "s08_ann_sq8" -> top3(operators.Similarity.annSq8(spark, dir)))
     val audit = operators.Similarity.annRecallAudit(spark, dir).collect()
-      .map(r => r.getAs[Long]("query_id") ->
+      .map(r => (r.getAs[String]("family"), r.getAs[Long]("query_id")) ->
         (r.getAs[Int]("n_true"), r.getAs[Int]("n_hits"),
           r.getAs[Long]("recall_bp"))).toMap
-    assert(audit.keySet == Set(0L, 100L))
-    audit.foreach { case (q, (nTrue, nHits, bp)) =>
+    // one row per (family, query): the production "recall per index
+    // per ingest" grid, all four families against ONE shared truth
+    assert(audit.keySet ==
+      (for (f <- fams.keySet; q <- Set(0L, 100L)) yield (f, q)))
+    audit.foreach { case ((f, q), (nTrue, nHits, bp)) =>
       assert(nTrue == 3)
       // the audit's hit count IS the truth∩approx overlap
-      assert(nHits == (bf(q) & lsh.getOrElse(q, Set.empty)).size, s"$q")
+      assert(nHits == (bf(q) & fams(f).getOrElse(q, Set.empty)).size, s"$f/$q")
       assert(bp == nHits.toLong * 10000 / nTrue)
     }
   }

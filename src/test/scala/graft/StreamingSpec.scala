@@ -421,7 +421,7 @@ class StreamingSpec extends SparkSpecBase {
     val r = (1 to 8).map(i => s"r$i").mkString(" ")  // DELTA-canonical phrase
     val lakeRows = Seq((1L, s"alpha beta $p gamma"), (9L, s"omega $r"))
     val deltaRows = Seq(
-      (4L, s"$r delta side first"),      // 4*1e6+1 < 9*1e6+2: delta canonical
+      (4L, s"$r delta side first"),      // (4,1) < (9,2) lexicographic: delta canonical
       (10L, s"x y $p z"),                // lake-duplicated → excised
       (20L, s"lead in $q out"),          // batch canonical for q
       (30L, s"$q trailing words here"))  // later in batch → excised
@@ -457,6 +457,48 @@ class StreamingSpec extends SparkSpecBase {
     SelfDedupStream.writeBatch(spark.read.parquet(inDir), idx, outDir2, 0L)
     SelfDedupStream.writeBatch(spark.read.parquet(inDir), idx, outDir2, 0L)
     assert(spark.read.parquet(outDir2).count() == 4)
+  }
+
+  test("self-dedup stream folding: cross-delta-batch duplicates dedupe via the evolving index") {
+    import graft.streaming.SelfDedupStream
+    val lakeDir = Files.createTempDirectory("graft-sdf-lake").toString
+    val inDir = Files.createTempDirectory("graft-sdf-in").toString
+    val outDir = Files.createTempDirectory("graft-sdf-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-sdf-ck").toString
+    val idxDir = Files.createTempDirectory("graft-sdf-idx").toString + "/idx"
+    val w = (1 to 8).map(i => s"v$i").mkString(" ") // ABSENT from the lake
+    Seq((1L, "lake doc with entirely unrelated content", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$lakeDir/documents.parquet")
+    def deliver(rows: Seq[(Long, String)]): Unit = {
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+      val sq = SelfDedupStream.startFolding(spark, inDir, lakeDir, outDir,
+        ckDir, idxDir)
+      try sq.awaitTermination() finally sq.stop()
+    }
+    // two AvailableNow runs = two delta batches over one checkpoint;
+    // the static-index mode would keep BOTH copies of w (the
+    // documented seam) — the folded index must excise the second
+    deliver(Seq((100L, s"one $w two")))
+    deliver(Seq((200L, s"$w again words")))
+    val out = spark.read.parquet(outDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> (x.getAs[Int]("n_spans"),
+        x.getAs[Long]("n_removed"), x.getAs[String]("clean_text"))).toMap
+    assert(out(100L) == ((0, 0L, s"one $w two")), out(100L).toString)
+    assert(out(200L) == ((1, 8L, "again words")), out(200L).toString)
+    // at-least-once re-delivery: the batch's canons are already in the
+    // index, its posKey equals that folded canon (min-merge
+    // idempotency), so a replay produces identical output
+    val outDir2 = Files.createTempDirectory("graft-sdf-out2").toString + "/out"
+    val b2 = Seq((200L, s"$w again words", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    SelfDedupStream.writeBatchFold(b2, idxDir, outDir2, 1L)
+    SelfDedupStream.writeBatchFold(b2, idxDir, outDir2, 1L)
+    val replay = spark.read.parquet(outDir2).collect()
+    assert(replay.length == 1 &&
+      replay.head.getAs[String]("clean_text") == "again words")
   }
 
   test("multiblock simhash stream: arriving docs classify against the lake index") {
