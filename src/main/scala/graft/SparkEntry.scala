@@ -66,6 +66,7 @@ object SparkEntry {
     "r21_cdc_apply" -> (Relational.cdcApply _),
     "r22_funnel" -> (Relational.funnel _),
     "r23_retention" -> (Relational.retentionCohorts _),
+    "r24_funnel_chained" -> (Relational.funnelChained _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -387,7 +388,11 @@ FROM x ORDER BY doc_id"""
   }
 
   def oracleSql: Map[String, String] =
-    baseOracleSql + ("s09_recall_audit" -> recallAuditSql)
+    baseOracleSql +
+      ("s09_recall_audit" -> recallAuditSql) +
+      // r24 computes r22's EXACT semantics by a different plan (chained
+      // MINs vs one-shuffle array walk) — same oracle, stated once
+      ("r24_funnel_chained" -> baseOracleSql("r22_funnel"))
 
   /** s09's oracle, composed: shared brute-force truth (top-3 per
     * query) + one recall row per index family, each family's approx

@@ -657,6 +657,49 @@ object Relational {
                           ELSE 0 END AS INT)""").as("stage"))
       .orderBy(col("user_id"))
 
+  /** r24 — the funnel via chained MINs: r22's skew-resistant twin.
+    * Same greedy semantics (the oracle is literally r22's SQL), but
+    * computed as three dependent min-aggregations instead of one
+    * per-user ordered array: r22's sort_array walk holds a user's
+    * whole funnel-event run in one task — right when per-user counts
+    * are bounded, broken by a tracker-bot user with 10^8 events. Here
+    * every step is a plain map-side-combinable MIN (t1 = min view;
+    * t2 = min click strictly after t1; t3 = min purchase strictly
+    * after t2), so a hot user costs partial-aggregate rows, never
+    * task memory — the r20-vs-r08 trade re-expressed for funnels.
+    * Price: three user-keyed exchanges instead of one, all on the
+    * SAME key (co-partitioning carries across the chain; AQE
+    * coalesces). FunnelSpec asserts row-equality with r22 on the
+    * corner-case corpus.
+    */
+  def funnelChained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    e.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), col("first_click")),
+        Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        expr("""CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+                          WHEN first_click IS NOT NULL THEN 2
+                          WHEN first_view IS NOT NULL THEN 1
+                          ELSE 0 END AS INT)""").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** r23 — weekly cohort retention: cohort = Monday-truncated week of
     * a user's first event; n_active = distinct users of cohort c with
     * any event in week c+k. Two shuffles that REUSE one key: min(wk)

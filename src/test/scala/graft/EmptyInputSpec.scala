@@ -66,6 +66,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "t21" -> ((s, d) => operators.TextOps.lmSurprisal(s, d)),
     "r22" -> (operators.Relational.funnel _),
     "r23" -> (operators.Relational.retentionCohorts _),
+    "r24" -> (operators.Relational.funnelChained _),
     "s09" -> (operators.Similarity.annRecallAudit _),
     "c02" -> (operators.Curation.clusterSample _),
     "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),

@@ -56,6 +56,22 @@ class FunnelSpec extends SparkSpecBase {
     assert(out(5L) == ((None, None, None, 0)), out(5L).toString)
   }
 
+  test("r24 chained-min funnel is row-identical to r22's array walk") {
+    // same corner-case corpus as the r22 test: ties, out-of-order
+    // steps, non-funnel users, partial funnels
+    val dir = mkEvents(Seq(
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 10L, "purchase"),
+      (2L, 0L, "click"), (2L, 5L, "view"), (2L, 5L, "click"),
+      (2L, 6L, "purchase"), (2L, 7L, "click"),
+      (3L, 0L, "purchase"), (3L, 2L, "view"),
+      (4L, 0L, "error"), (4L, 1L, "signup"),
+      (5L, 1L, "click"), (5L, 2L, "purchase")))
+    val a = operators.Relational.funnel(spark, dir).collect().map(_.toString)
+    val b = operators.Relational.funnelChained(spark, dir).collect()
+      .map(_.toString)
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+  }
+
   test("r23 retention: Monday cohorts and integer week offsets") {
     val day = 24L * 60L
     val dir = mkEvents(Seq(
