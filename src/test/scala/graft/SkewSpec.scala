@@ -149,6 +149,24 @@ class SkewSpec extends SparkSpecBase {
       f"chunked exchange should bound the hot user, got $share%.2f")
   }
 
+  test("r24 chained funnel equals r22 under skew; exchanges carry partial MINs") {
+    // r22's sort_array walk ships the hot user's WHOLE ordered run
+    // (50% of the corpus) through one exchange into one task's array;
+    // r24's three exchanges carry one partial-min row per (user, map
+    // partition) — per-task state is O(1) however hot the user is
+    val a = operators.Relational.funnel(spark, dir).collect().map(_.toString)
+    val b = operators.Relational.funnelChained(spark, dir).collect()
+      .map(_.toString)
+    assert(a.sameElements(b), s"skew corpus diverged: ${a.length}/${b.length}")
+    val plan = operators.Relational.funnelChained(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan.take(2000))
+    // and r22's plan really does carry the array through the shuffle
+    val plan22 = operators.Relational.funnel(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan22.contains("collect_list"), plan22.take(2000))
+  }
+
   test("t10 sequence pack: sub-sharding bounds the hot language's reducer share") {
     val out = operators.TextOps.sequencePack(spark, dir)
     assert(out.count() == N)
