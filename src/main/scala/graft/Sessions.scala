@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * setting added for one cannot silently miss the others —
   *  - `ansi.enabled=false`: malformed input → null (the reference's
   *    parsers never throw), matching DuckDB TRY_ casts;
-  *  - `nanosAsLong=true`: events.ts is parquet TIMESTAMP(NANOS),
-  *    read as long (Tables.events floors to micros);
+  *  - `nanosAsLong=true`: some testdata generations ship events.ts
+  *    as parquet TIMESTAMP(NANOS) — read as long, floored to micros
+  *    (Tables.events dispatches on the read schema; a MICROS-typed
+  *    generation passes through as a plain timestamp cast);
   *  - UTC + shuffle.partitions=cpus (not 200) for local[n] runs;
   *  - graft optimizer rules installed session-wide so every query
   *    sees the same planner regardless of map order.

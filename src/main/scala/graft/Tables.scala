@@ -21,14 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long
-    * (spark.sql.legacy.parquet.nanosAsLong=true, set in every session
-    * we build) and we truncate to micros — the same ns→us floor DuckDB
-    * applies casting TIMESTAMP_NS → TIMESTAMP.
+  /** events.ts has shipped in two parquet shapes across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark reads as a LONG under
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in every session
+    * we build) and we floor to micros, the same ns→us floor DuckDB
+    * applies casting TIMESTAMP_NS → TIMESTAMP — and plain
+    * TIMESTAMP(MICROS), which both engines read directly (Spark as
+    * NTZ; the UTC sessions make the TIMESTAMP cast value-identical).
+    * Dispatch on the read schema so either generation works.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
