@@ -235,6 +235,14 @@ object ScaleCheck {
       // — the knob-derivation row (both knobs integer corpus rules)
       Growth("c02_rows", cand(baseDir, operators.Curation.clusterSample),
         cand(bigDir, operators.Curation.clusterSample)),
+      // t22's hashed-bigram model: row count must stay ≤ the 10k
+      // bucket capacity however big the corpus gets — the hashed-
+      // features contract that makes the model broadcast safe
+      Growth("t22_model_rows",
+        cand(baseDir, (s2, d) => operators.TextOps.dsirModel(
+          operators.TextOps.dsirDocBuckets(Tables.documents(s2, d), 10000))),
+        cand(bigDir, (s2, d) => operators.TextOps.dsirModel(
+          operators.TextOps.dsirDocBuckets(Tables.documents(s2, d), 10000)))),
       // match PAIRS (pre-aggregation join output), not intervals-with-
       // ≥1-match: a candidate-generator leak that only piles pairs onto
       // already-matched intervals would not move the aggregated count

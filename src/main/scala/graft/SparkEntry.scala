@@ -67,6 +67,7 @@ object SparkEntry {
     "r22_funnel" -> (Relational.funnel _),
     "r23_retention" -> (Relational.retentionCohorts _),
     "r24_funnel_chained" -> (Relational.funnelChained _),
+    "r25_pagerank" -> (Relational.purchasePagerank _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -97,6 +98,7 @@ object SparkEntry {
     "s07_ann_refine" -> (Similarity.annRefine _),
     "s08_ann_sq8" -> (Similarity.annSq8 _),
     "s09_recall_audit" -> (Similarity.annRecallAudit _),
+    "s10_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -119,6 +121,8 @@ object SparkEntry {
     "t19_selfdedup" -> ((s, d) => TextOps.selfDedup(s, d)),
     "t20_benchmark_overlap" -> ((s, d) => TextOps.benchmarkOverlap(s, d)),
     "t21_lm_surprisal" -> ((s, d) => TextOps.lmSurprisal(s, d)),
+    "t22_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "t23_quality_classifier" -> (TextOps.qualityClassifier _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -860,6 +864,13 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    "s10_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+s AS (SELECT q.query_id, e.vec_id,
+    CAST(floor(list_cosine_similarity(q.qv, e.embedding) * 10000) AS BIGINT) AS cos_bp
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+SELECT query_id, vec_id AS neighbor_id, cos_bp
+FROM s WHERE cos_bp >= 2000 ORDER BY query_id, neighbor_id""",
     "s02_ann_lsh" ->
       """WITH b AS (SELECT vec_id, embedding,
     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
@@ -1196,6 +1207,20 @@ a AS (SELECT DISTINCT f.cohort_week, e.user_id,
   FROM e JOIN f USING (user_id))
 SELECT cohort_week, week_offset, count(*) AS n_active
 FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    "r25_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+edges AS (SELECT c AS src, p AS dst FROM pairs UNION ALL SELECT p AS src, c AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r1 AS (SELECT e.dst AS src, 150 + (850 * sum(1000 // d.deg)) // 1000 AS r
+  FROM edges e JOIN deg d USING (src) GROUP BY e.dst),
+r2 AS (SELECT e.dst AS node,
+    CAST(150 + (850 * sum(r1.r // d.deg)) // 1000 AS BIGINT) AS rank_milli
+  FROM edges e JOIN deg d USING (src) JOIN r1 ON r1.src = e.src GROUP BY e.dst)
+SELECT CAST((r2.node - 1) // 2 AS BIGINT) AS s_suppkey,
+  CAST(deg.deg AS BIGINT) AS n_customers, r2.rank_milli
+FROM r2 JOIN deg ON deg.src = r2.node
+WHERE r2.node % 2 = 1 ORDER BY rank_milli DESC, s_suppkey""",
     // the oracle is the DIRECT aggregate over the whole table — the
     // compare PROVES the state ⊎ delta merge law
     "r19_incremental_agg" ->
@@ -1466,6 +1491,37 @@ SELECT d.doc_id,
   coalesce(sc.surprisal_units, 0) AS surprisal_units,
   CAST(coalesce(sc.surprisal_units, 0) * 100 // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS mean_centibits
 FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    "t22_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+bg AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS bg
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2),
+db AS (SELECT doc_id, source,
+    CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 10000 AS b, count(*) AS k
+  FROM bg GROUP BY 1, 2, 3),
+bs AS (SELECT b,
+    CAST(sum(CASE WHEN source = 'src0' THEN k ELSE 0 END) AS BIGINT) AS ct,
+    CAST(sum(CASE WHEN source <> 'src0' THEN k ELSE 0 END) AS BIGINT) AS cr
+  FROM db GROUP BY 1),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM bs),
+sc AS (SELECT db.doc_id,
+    CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+    CAST(sum(db.k * (((length(bin(bs.ct + 1)) - 1) - (length(bin(tot.tt + 1)) - 1))
+                   - ((length(bin(bs.cr + 1)) - 1) - (length(bin(tot.tr + 1)) - 1)))) AS BIGINT) AS weight_units
+  FROM db JOIN bs USING (b) CROSS JOIN tot GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+  coalesce(sc.weight_units, 0) AS weight_units,
+  coalesce(sc.weight_units, 0) > 0 AS keep
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    "t23_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  CAST(coalesce(list_sum(list_transform(t,
+    w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 10000 % 17 - 8)), 0) AS BIGINT) AS score,
+  CAST(coalesce(list_sum(list_transform(t,
+    w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 10000 % 17 - 8)), 0) AS BIGINT) > 0 AS label
+FROM tk ORDER BY doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -175,6 +175,31 @@ object Similarity {
       .orderBy(col("family"), col("query_id"))
   }
 
+  /** s10 — radius (range) search: every corpus vector within a fixed
+    * cosine radius of each query (floor-bp threshold, default
+    * cos ≥ 0.20) — the OTHER primitive every vector store exposes
+    * beside top-k: "all matches above a similarity bar", the shape
+    * retrieval-augmented filtering and near-match sweeps use when the
+    * result count must be data-driven, not fixed at k.
+    *
+    * Scale shape: identical to s01 — the fixed ≤9-row query set
+    * broadcasts, the corpus streams ONCE with no shuffle (the
+    * threshold filter runs inside the scan's projection, so unlike
+    * top-k there is no rank window at all — radius search is
+    * strictly cheaper than brute top-k). Output volume is the
+    * data-dependent part: |{cos ≥ τ}| per query, which for a fixed τ
+    * grows linearly with the corpus — the caller picks τ to bound
+    * it, exactly as a production store does.
+    */
+  def rangeSearch(s: SparkSession, dir: String, thresholdBp: Long = 2000L): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_bp", floor(pairCosine * 10000).cast("long"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_bp"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** The lexical-recall candidate frame of s04 — factored out so the
     * scale harness can measure candidate volume directly. With the
     * fixed query set, candidates per query depend on shingle overlap

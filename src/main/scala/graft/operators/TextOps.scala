@@ -608,6 +608,114 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t22 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by log p_target(x) − log p_raw(x) under hashed-bigram unigram
+    * models of a target domain (source = 'src0' — the curated slice)
+    * vs the rest of the corpus. High-weight docs look like the target
+    * and get upsampled; the reference pipeline has no counterpart —
+    * this is the domain-targeting selector modern corpus builds run.
+    *
+    * Cross-engine floats don't replay, so the log-ratio works in
+    * integer floor-log2 units (the t21 trick): per bucket b,
+    * u(b) = (⌊log2(Ct+1)⌋ − ⌊log2(Tt+1)⌋) − (⌊log2(Cr+1)⌋ −
+    * ⌊log2(Tr+1)⌋), add-one smoothed, with C the bucket counts and T
+    * the split totals; doc weight = Σ k·u over its buckets.
+    *
+    * Scale shape: bigram→bucket hashing is row-local; per-doc bucket
+    * counts are ONE doc-keyed hash agg; the model side re-aggregates
+    * that frame by bucket — and is CAPACITY-BOUNDED at `buckets` rows
+    * by construction (the point of hashed features: model size is
+    * fixed at 10 k rows regardless of corpus size), so broadcasting
+    * it is safe at ANY scale — this is the documented exception to
+    * the s04 no-forced-broadcast-of-corpus-derived-frames rule.
+    * Linear in corpus tokens, one wide shuffle total.
+    */
+  def dsirWeights(s: SparkSession, dir: String, buckets: Int = 10000): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val db = dsirDocBuckets(docs, buckets)
+    val bs = dsirModel(db)
+      .cache() // feeds the totals agg AND the per-doc join in one plan
+    val tot = bs.agg(sum(col("ct")).cast("long").as("tt"),
+      sum(col("cr")).cast("long").as("tr"))
+    dsirScore(docs, db, bs, tot).orderBy(col("doc_id"))
+  }
+
+  /** t22's scoring stage, shared with the streaming twin
+    * (streaming.DsirStream scores arriving batches against a FROZEN
+    * lake model through this exact code path — parity by
+    * construction, spec-asserted empirically).
+    */
+  private[graft] def dsirScore(docs: DataFrame, db: DataFrame,
+      bs: DataFrame, tot: DataFrame): DataFrame = {
+    def flog2(c: Column) = length(bin(c)) - 1
+    // LEFT join: a bucket the model has never seen scores with the
+    // add-one smoothing floor (ct=cr=0). In the batch operator every
+    // db bucket is in bs by construction (left ≡ inner); the seam
+    // matters for the streaming twin, where the model is frozen and
+    // arriving docs can hash into untouched buckets.
+    val st = db.join(broadcast(bs), Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"),
+        ((flog2(coalesce(col("ct"), lit(0L)) + 1) - flog2(col("tt") + 1))
+          - (flog2(coalesce(col("cr"), lit(0L)) + 1) - flog2(col("tr") + 1))).as("u"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        sum(col("k") * col("u")).cast("long").as("weight_units"))
+    docs.select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight_units"), lit(0L)).as("weight_units"))
+      .withColumn("keep", col("weight_units") > 0L)
+  }
+
+  /** t22's per-(doc, bucket) bigram counts — row-local hashing then
+    * ONE doc-keyed hash agg. */
+  private[graft] def dsirDocBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> concat(w, ' ', t[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("k"))
+
+  /** t22's hashed bigram model: target/raw counts per bucket —
+    * CAPACITY-BOUNDED at `buckets` rows regardless of corpus size
+    * (the hashed-features contract; ScaleSpec measures it), which is
+    * what makes broadcasting it safe at any scale.
+    */
+  private[graft] def dsirModel(db: DataFrame): DataFrame =
+    db.groupBy(col("b"))
+      .agg(sum(when(col("source") === "src0", col("k")).otherwise(lit(0L)))
+        .cast("long").as("ct"),
+        sum(when(col("source") =!= "src0", col("k")).otherwise(lit(0L)))
+          .cast("long").as("cr"))
+
+  /** t23 — hashed linear quality classifier (the fastText-style
+    * filter shape of CCNet/GPT-3-era pipelines): score = Σ over
+    * tokens of a fixed integer weight keyed by the token's hash
+    * bucket, label = score > 0. The weights here are a deterministic
+    * stand-in (bucket % 17 − 8) for trained ones — the Spark shape is
+    * the real artifact: per-doc scoring with NO shuffle at all, a
+    * pure projection over the scan (aggregate-HOF over the token
+    * array), embarrassingly parallel at 100 TB. The md5 per token
+    * dominates per-row cost exactly as the hash does in fastText.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        expr("aggregate(t, 0L, (acc, w) -> acc" +
+          " + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)" +
+          " % 10000 % 17 - 8)").as("score"))
+      .withColumn("label", col("score") > 0L)
+      .orderBy(col("doc_id"))
+
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
     * synthetic) — the redaction pass every training pipeline runs

@@ -68,6 +68,9 @@ class EmptyInputSpec extends SparkSpecBase {
     "r23" -> (operators.Relational.retentionCohorts _),
     "r24" -> (operators.Relational.funnelChained _),
     "s09" -> (operators.Similarity.annRecallAudit _),
+    "s10" -> ((s, d) => operators.Similarity.rangeSearch(s, d)),
+    "t22" -> ((s, d) => operators.TextOps.dsirWeights(s, d)),
+    "t23" -> (operators.TextOps.qualityClassifier _),
     "c02" -> (operators.Curation.clusterSample _),
     "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),
     "t14" -> (operators.TextOps.domainMix _),

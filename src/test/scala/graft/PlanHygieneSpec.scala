@@ -20,6 +20,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s08_ann_sq8" -> "SQ8 scan: 1-row quant-param broadcast + codes × broadcast query slice (s05's shape)",
     "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
     "s07_ann_refine" -> "candidate stage IS s06's scan; refine joins are key-equality",
+    "s10_range_search" -> "declared radius scan: corpus × broadcast fixed query slice (s01's shape minus the rank stage)",
+    "t22_dsir_weights" -> "1-row split-totals broadcast; the 10k-bucket model join is key-equality",
     "t09_tfidf" -> "1-row corpus-count broadcast",
     "t14_domain_mix" -> "1-row corpus-total broadcast",
     "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)")

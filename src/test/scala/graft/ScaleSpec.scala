@@ -127,6 +127,15 @@ class ScaleSpec extends SparkSpecBase {
     assert(g.inflated >= g.base, s"c02 rows shrank: ${g.base} -> ${g.inflated}")
   }
 
+  test("t22 DSIR model stays capacity-bounded as the corpus inflates") {
+    val g = growth("t22_model_rows")
+    // the model is hashed features: its row count saturates at the
+    // 10k bucket space no matter the corpus — THE property that makes
+    // broadcasting it safe at 100 TB (corpus-sized growth would fail)
+    assert(g.base > 0 && g.inflated <= 10000L,
+      s"t22 model ${g.base} -> ${g.inflated}: exceeds bucket capacity")
+  }
+
   test("s02 max bucket occupancy grows ~linearly (8 fixed buckets)") {
     val g = growth("s02_max_bucket")
     assert(g.inflated <= 15 * math.max(g.base, 5L),

@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s10 radius search covers the same-cluster ball and the brute top-3") {
+    val rows = operators.Similarity.rangeSearch(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(byQ.keySet == Set(0L, 100L))
+    // every returned row clears the radius bar
+    assert(rows.forall(_.getAs[Long]("cos_bp") >= 2000L))
+    byQ.foreach { case (q, ns) =>
+      // the full same-cluster ball (cosine ≈ 1 ≫ τ) is inside the radius
+      val sameCluster =
+        (0L until 120L).filter(i => i != q && cluster(i) == cluster(q)).toSet
+      assert((sameCluster -- ns).isEmpty, s"$q missing ${sameCluster -- ns}")
+    }
+    // top-k and radius agree: every brute-force top-3 neighbor is in
+    // the ball (its cosine is in-cluster, far above τ)
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    bf.foreach { case (q, ts) => assert(ts.subsetOf(byQ(q)), s"$q") }
+  }
+
   test("c02 cluster sample: bounded per-cell, central-first, deterministic") {
     val rows = operators.Curation.clusterSample(spark, dir).collect()
     // corpus-derived knobs at n=120: k = max(10, 120/50) = 10,

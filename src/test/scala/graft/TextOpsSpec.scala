@@ -137,6 +137,50 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(2L) == ((0L, 0L, 0L)), rows(2L).toString)
   }
 
+  test("t22 DSIR upweights docs that look like the target domain") {
+    val d = Files.createTempDirectory("graft-dsir").toString
+    val tgtText = (1 to 30).map(i => s"alpha${i % 5}").mkString(" ")
+    val rawText = (1 to 30).map(i => s"zulu${i % 5}").mkString(" ")
+    val rows =
+      (0L until 4L).map(i => (i, tgtText, "src0")) ++     // target slice
+      (10L until 14L).map(i => (i, rawText, "src3")) ++   // raw background
+      Seq((20L, tgtText, "src5"),   // probe A: target-looking raw doc
+          (21L, rawText, "src5"))   // probe B: background-looking raw doc
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val out = operators.TextOps.dsirWeights(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("weight_units"), r.getAs[Boolean]("keep"))).toMap
+    // the target-looking probe scores strictly above the background
+    // probe, and the importance sign separates them
+    assert(out(20L)._1 > out(21L)._1, s"${out(20L)} vs ${out(21L)}")
+    assert(out(20L)._2, s"target-looking probe culled: ${out(20L)}")
+    assert(!out(21L)._2, s"background probe kept: ${out(21L)}")
+  }
+
+  test("t23 classifier score is the exact hashed-weight sum, shuffle-free") {
+    def weight(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 10000 % 17 - 8
+    }
+    val toks = Seq("the", "quick", "brown", "fox", "jumps")
+    val dir = mkDocs(Seq((1L, toks.mkString(" "), "en")))
+    val df = operators.TextOps.qualityClassifier(spark, dir)
+    val r = df.collect().head
+    val expected = toks.map(weight).sum
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Long]("score") == expected, s"score ${r.getAs[Long]("score")} != $expected")
+    assert(r.getAs[Boolean]("label") == (expected > 0))
+    // the scoring plan is a pure projection: no join, no aggregation
+    // exchange anywhere — scan-speed at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate")
+      && !plan.contains("SortAggregate"), plan.take(1200))
+  }
+
   test("t13 repetition stats flag boilerplate, pass varied text") {
     val loop = ("spam ham " * 20).trim            // one dominant bigram
     val varied = (1 to 40).map(i => s"w$i").mkString(" ")
