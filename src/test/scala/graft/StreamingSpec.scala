@@ -565,4 +565,55 @@ class StreamingSpec extends SparkSpecBase {
     VectorIngestStream.writeBatch(delta, cent, params, outDir2, 0L)
     assert(spark.read.parquet(outDir2).count() == 6)
   }
+
+  test("DSIR stream: arriving docs score against the frozen lake model") {
+    import graft.streaming.DsirStream
+    val dir = Files.createTempDirectory("graft-dsir-lake").toString
+    val inDir = Files.createTempDirectory("graft-dsir-in").toString
+    val outDir = Files.createTempDirectory("graft-dsir-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-dsir-ck").toString
+    val tgtText = (1 to 30).map(i => s"alpha${i % 5}").mkString(" ")
+    val rawText = (1 to 30).map(i => s"zulu${i % 5}").mkString(" ")
+    val oovText = (1 to 30).map(i => s"omega$i").mkString(" ")
+    // lake (id % 10 != 0): 4 target docs + 4 raw docs with EQUAL
+    // bigram totals (tt == tr, so a fully-OOV doc scores exactly 0);
+    // deltas (id % 10 == 0): target-looking, background-looking, OOV
+    val rows =
+      (1L to 4L).map(i => (i, tgtText, "src0")) ++
+      (11L to 14L).map(i => (i, rawText, "src3")) ++
+      Seq((0L, tgtText, "src5"), (10L, rawText, "src5"), (20L, oovText, "src5"))
+    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // deltas arrive as two files (two micro-batch groups)
+    df.filter($"doc_id" % 10 === 0 && $"doc_id" < 20)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    df.filter($"doc_id" % 10 === 0 && $"doc_id" >= 20)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = DsirStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("weight_units"), r.getAs[Boolean]("keep"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    // parity: the stream equals the batch scorer under the same model
+    val (bs, tot) = DsirStream.lakeModel(spark, dir)
+    val batch = asSet(DsirStream.scoreBatch(
+      spark.read.parquet(inDir), bs, tot))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    val byId = streamed.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // target-looking delta upweighted, background-looking culled
+    assert(byId(0L)._2 > 0 && byId(0L)._1 > 0, byId(0L).toString)
+    assert(byId(10L)._2 < 0, byId(10L).toString)
+    // fully-OOV delta is SCORED (not dropped by the model join), at
+    // the smoothing floor: tt == tr by construction ⇒ exactly 0
+    assert(byId(20L) == ((29L, 0L, false)), byId(20L).toString)
+    assert(byId(0L)._2 > byId(20L)._2 && byId(20L)._2 > byId(10L)._2)
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-dsir-out2").toString + "/out"
+    DsirStream.writeBatch(spark.read.parquet(inDir), bs, tot, outDir2, 0L)
+    DsirStream.writeBatch(spark.read.parquet(inDir), bs, tot, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 3)
+  }
 }
