@@ -722,4 +722,53 @@ object Relational {
       .agg(count(lit(1)).as("n_active"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** r25 — supplier importance via PageRank on the bipartite
+    * customer↔supplier purchase graph (two power-iteration rounds,
+    * damping 0.85): the graph-centrality quality signal corpus
+    * pipelines compute at web scale (Common Crawl ranks hosts by
+    * exactly this family of link centralities). Cross-engine floats
+    * don't replay, so the whole computation is integer milli-units:
+    * r₀ = 1000 everywhere, rₖ₊₁(v) = 150 + (850·Σᵤ→ᵥ rₖ(u) DIV
+    * deg(u)) DIV 1000 — both engines floor-divide positives
+    * identically. The oracle pins two unrolled rounds; a production
+    * run iterates the same step to convergence with d07's
+    * localCheckpoint loop.
+    *
+    * Scale shape: the classic distributed PageRank — each round is
+    * ONE dst-keyed map-side-combinable sum after an src-keyed
+    * equi-join of ranks onto edges; edges and degrees are cached
+    * (each feeds both rounds — the one-plan re-execution rule), all
+    * joins key-equality, no broadcast of corpus-derived frames
+    * (AQE decides). Node ids are parity-tagged (2c / 2p+1) so the
+    * two key spaces can't collide.
+    */
+  def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .cache() // feeds deg + both rounds
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .cache() // feeds both rounds
+    val r1 = edges.join(deg, "src")
+      .groupBy(col("dst"))
+      .agg(sum(expr("1000 DIV deg")).as("in1"))
+      .select(col("dst").as("src"), // rename: next round joins on src
+        expr("150 + (850 * in1) DIV 1000").as("r"))
+    val r2 = edges.join(deg, "src").join(r1, "src")
+      .groupBy(col("dst"))
+      .agg(sum(expr("r DIV deg")).as("in2"))
+      .select(col("dst").as("node"),
+        expr("CAST(150 + (850 * in2) DIV 1000 AS BIGINT)").as("rank_milli"))
+    r2.filter(col("node") % 2 === 1)
+      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .select(expr("CAST((node - 1) DIV 2 AS BIGINT)").as("s_suppkey"),
+        col("deg").cast("long").as("n_customers"), col("rank_milli"))
+      .orderBy(col("rank_milli").desc, col("s_suppkey"))
+  }
 }
