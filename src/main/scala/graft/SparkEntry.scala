@@ -123,6 +123,8 @@ object SparkEntry {
     "t21_lm_surprisal" -> ((s, d) => TextOps.lmSurprisal(s, d)),
     "t22_dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "t23_quality_classifier" -> (TextOps.qualityClassifier _),
+    "t24_bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
+    "t25_bpe_apply" -> ((s, d) => Bpe.bpeApply(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -397,6 +399,42 @@ FROM x ORDER BY doc_id"""
       // r24 computes r22's EXACT semantics by a different plan (chained
       // MINs vs one-shuffle array walk) — same oracle, stated once
       ("r24_funnel_chained" -> baseOracleSql("r22_funnel"))
+
+  /** t24/t25 helper: one BPE merge round as DuckDB CTEs over an input
+    * CTE `in` with (word, n, arr) — pair count, top pair (count DESC,
+    * pair ASC), and the PARITY-RULE replay of the greedy
+    * left-to-right non-overlapping merge: within a run of consecutive
+    * candidate positions every other one (odd row_number) is active;
+    * a position is consumed iff its predecessor was active. Equivalent
+    * to the Scala fold in operators.Bpe.mergePass (see its Scaladoc
+    * for the argument). Emits CTE r$r with the same (word, n, arr)
+    * shape so rounds chain.
+    */
+  private def bpeRound(r: Int, in: String): String =
+    raw"""p$r AS (SELECT arr[i] AS a, arr[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM $in, LATERAL (SELECT unnest(range(1, len(arr))) AS i)
+  WHERE len(arr) >= 2 GROUP BY 1, 2),
+t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+pos$r AS (SELECT $in.word, $in.n, i, arr[CAST(i AS INT)] AS s,
+    coalesce(i < len(arr) AND arr[CAST(i AS INT)] = t$r.a AND arr[CAST(i + 1 AS INT)] = t$r.b, false) AS cand,
+    t$r.a AS ma, t$r.b AS mb
+  FROM $in LEFT JOIN t$r ON true, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i)),
+g$r AS (SELECT *, CASE WHEN cand THEN i - row_number() OVER (PARTITION BY word, cand ORDER BY i) END AS grp FROM pos$r),
+o$r AS (SELECT *, coalesce(cand AND row_number() OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1, false) AS active FROM g$r),
+q$r AS (SELECT *, coalesce(lag(active) OVER (PARTITION BY word ORDER BY i), false) AS consumed FROM o$r),
+r$r AS (SELECT word, n, list(CASE WHEN active THEN ma || mb ELSE s END ORDER BY i) AS arr
+  FROM q$r WHERE active OR NOT consumed GROUP BY word, n)"""
+
+  /** t24/t25 shared base: corpus word counts + char-split symbols,
+    * then two replayed merge rounds.
+    */
+  private def bpeCtes: String =
+    raw"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+a0 AS (SELECT word, n, regexp_split_to_array(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' ') AS arr FROM w),
+${bpeRound(1, "a0")},
+${bpeRound(2, "r1")}"""
 
   /** s09's oracle, composed: shared brute-force truth (top-3 per
     * query) + one recall row per index family, each family's approx
@@ -1522,6 +1560,30 @@ SELECT doc_id,
   CAST(coalesce(list_sum(list_transform(t,
     w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 10000 % 17 - 8)), 0) AS BIGINT) > 0 AS label
 FROM tk ORDER BY doc_id""",
+    "t24_bpe_train" ->
+      raw"""WITH $bpeCtes,
+v AS (SELECT sym, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT n, unnest(arr) AS sym FROM r2) GROUP BY 1)
+SELECT kind, ord, sym, cnt FROM (
+  SELECT 'merge' AS kind, CAST(1 AS INT) AS ord, a || b AS sym, cnt FROM t1
+  UNION ALL SELECT 'merge', CAST(2 AS INT), a || b, cnt FROM t2
+  UNION ALL SELECT 'vocab', CAST(0 AS INT), sym, cnt FROM v)
+ORDER BY kind, ord, sym""",
+    "t25_bpe_apply" ->
+      raw"""WITH $bpeCtes,
+dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+dd AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k FROM dt WHERE word <> '' GROUP BY 1, 2),
+j AS (SELECT dd.doc_id,
+    CAST(sum(dd.k) AS BIGINT) AS n_tokens,
+    CAST(sum(dd.k * length(dd.word)) AS BIGINT) AS n_char_syms,
+    CAST(sum(dd.k * len(r2.arr)) AS BIGINT) AS n_bpe_syms
+  FROM dd JOIN r2 USING (word) GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(j.n_tokens, 0) AS n_tokens,
+  coalesce(j.n_char_syms, 0) AS n_char_syms,
+  coalesce(j.n_bpe_syms, 0) AS n_bpe_syms,
+  CAST(coalesce(j.n_bpe_syms, 0) * 10000 // greatest(coalesce(j.n_char_syms, 0), 1) AS BIGINT) AS compression_bp
+FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,
