@@ -99,6 +99,7 @@ object SparkEntry {
     "s08_ann_sq8" -> (Similarity.annSq8 _),
     "s09_recall_audit" -> (Similarity.annRecallAudit _),
     "s10_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "s11_mmr_rerank" -> (Similarity.mmrRerank _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -909,6 +910,40 @@ s AS (SELECT q.query_id, e.vec_id,
   FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
 SELECT query_id, vec_id AS neighbor_id, cos_bp
 FROM s WHERE cos_bp >= 2000 ORDER BY query_id, neighbor_id""",
+    // s11: the three greedy MMR rounds replayed CTE-for-CTE —
+    // λ=0.7 in tenths (mmr = 7·rel_bp − 3·max_sim_bp), ties on cid
+    "s11_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+sc AS (SELECT q.query_id, e.vec_id AS cid, e.embedding AS cv,
+    list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+pool AS (SELECT query_id, cid, cv, CAST(floor(cos * 10000) AS BIGINT) AS rel_bp
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rnk FROM sc)
+  WHERE rnk <= 10),
+sims AS (SELECT x.query_id AS sq, x.cid AS sc, y.cid AS ss,
+    CAST(floor(list_cosine_similarity(x.cv, y.cv) * 10000) AS BIGINT) AS sim_bp
+  FROM pool x JOIN pool y ON x.query_id = y.query_id AND x.cid <> y.cid),
+s1 AS (SELECT query_id, cid AS s1, 7 * rel_bp AS mmr1 FROM pool
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel_bp DESC, cid) = 1),
+m2 AS (SELECT p.query_id, p.cid, 7 * p.rel_bp - 3 * sm.sim_bp AS mmr
+  FROM pool p JOIN s1 ON s1.query_id = p.query_id AND p.cid <> s1.s1
+  JOIN sims sm ON sm.sq = p.query_id AND sm.sc = p.cid AND sm.ss = s1.s1),
+s2 AS (SELECT query_id, cid AS s2, mmr AS mmr2 FROM m2
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, cid) = 1),
+sel AS (SELECT s1.query_id, s1.s1, s2.s2 FROM s1 JOIN s2 USING (query_id)),
+pen AS (SELECT sm.sq, sm.sc, max(sm.sim_bp) AS pen
+  FROM sims sm JOIN sel ON sel.query_id = sm.sq AND (sm.ss = sel.s1 OR sm.ss = sel.s2)
+  GROUP BY 1, 2),
+m3 AS (SELECT p.query_id, p.cid, 7 * p.rel_bp - 3 * pen.pen AS mmr
+  FROM pool p JOIN sel ON sel.query_id = p.query_id AND p.cid <> sel.s1 AND p.cid <> sel.s2
+  JOIN pen ON pen.sq = p.query_id AND pen.sc = p.cid),
+s3 AS (SELECT query_id, cid AS s3, mmr AS mmr3 FROM m3
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, cid) = 1)
+SELECT query_id, rn, neighbor_id, mmr_units FROM (
+  SELECT query_id, CAST(1 AS INT) AS rn, s1 AS neighbor_id, mmr1 AS mmr_units FROM s1
+  UNION ALL SELECT query_id, CAST(2 AS INT), s2, mmr2 FROM s2
+  UNION ALL SELECT query_id, CAST(3 AS INT), s3, mmr3 FROM s3)
+ORDER BY query_id, rn""",
     "s02_ann_lsh" ->
       """WITH b AS (SELECT vec_id, embedding,
     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -198,6 +198,80 @@ object Similarity {
       .filter(col("cos_bp") >= thresholdBp)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_bp"))
       .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** s11 — MMR diversity re-rank (Carbonell & Goldstein 1998,
+    * "maximal marginal relevance"): greedily select 3 results per
+    * query from the brute-force top-10 candidate pool, each pick
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    * — the de-duplicating re-rank every production retrieval stack
+    * runs so the top results aren't three near-copies of one hit.
+    * λ = 0.7 in integer tenths: mmr = 7·rel_bp − 3·max_sim_bp, ties
+    * break on candidate id — integer-exact cross-engine (the oracle
+    * replays the three greedy rounds CTE-for-CTE).
+    *
+    * Scale shape: the ONLY corpus-sized work is the candidate stage —
+    * s01's broadcast-query scan + bounded TopKPerKey (≤10·|Q| rows
+    * survive). Everything after operates on that constant-size pool:
+    * the pairwise-sim self-join is ≤ 90·|Q| rows, each greedy round a
+    * bounded struct-min — at 100 TB the re-rank costs the same as at
+    * 1 GB. In production the pool comes from the ANN index (s07's
+    * refine output slots in verbatim); brute force here keeps the
+    * oracle composable.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val (q, e) = queriesAndCorpus(s, dir)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", pairCosine)
+    val pool0 = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("vec_id").asc), 10)
+      .select(col("query_id"), col("vec_id").as("cid"),
+        floor(col("cos") * 10000).cast("long").as("rel_bp"))
+    val ev = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        Vector.norm(col("embedding")).as("cn"))
+    // ≤10·|Q| rows; feeds the sims self-join and all three rounds
+    val pool = pool0.join(ev, Seq("cid")).cache()
+    val sims = pool.as("x").join(pool.as("y"),
+        col("x.query_id") === col("y.query_id")
+          && col("x.cid") =!= col("y.cid"))
+      .select(col("x.query_id").as("sq"), col("x.cid").as("sc"),
+        col("y.cid").as("ss"),
+        floor(Vector.dot(col("x.cv"), col("y.cv"))
+          / (col("x.cn") * col("y.cn")) * 10000).cast("long").as("sim_bp"))
+      .cache() // feeds rounds 2 and 3
+    // deterministic greedy argmax: bounded struct-min, never a sort
+    def pick(df: DataFrame, score: Column, idOut: String, mmrOut: String) =
+      df.groupBy(col("query_id"))
+        .agg(min(struct((-score).as("ns"), col("cid").as("c"))).as("t"))
+        .select(col("query_id"), col("t.c").as(idOut),
+          (-col("t.ns")).cast("long").as(mmrOut))
+    val s1 = pick(pool, col("rel_bp") * 7, "s1", "mmr1").cache()
+    val m2 = pool.join(s1, Seq("query_id")).filter(col("cid") =!= col("s1"))
+      .join(sims, col("sq") === col("query_id") && col("sc") === col("cid")
+        && col("ss") === col("s1"))
+      .select(col("query_id"), col("cid"),
+        (col("rel_bp") * 7 - col("sim_bp") * 3).as("mmr"))
+    val s2 = pick(m2, col("mmr"), "s2", "mmr2")
+    val sel = s1.join(s2, Seq("query_id")).cache() // feeds pen + m3
+    val pen = sims.join(sel, col("sq") === col("query_id")
+        && (col("ss") === col("s1") || col("ss") === col("s2")))
+      .groupBy(col("sq"), col("sc"))
+      .agg(max(col("sim_bp")).as("pen"))
+    val m3 = pool.join(sel, Seq("query_id"))
+      .filter(col("cid") =!= col("s1") && col("cid") =!= col("s2"))
+      .join(pen, col("sq") === col("query_id") && col("sc") === col("cid"))
+      .select(col("query_id"), col("cid"),
+        (col("rel_bp") * 7 - col("pen") * 3).as("mmr"))
+    val s3 = pick(m3, col("mmr"), "s3", "mmr3")
+    s1.select(col("query_id"), lit(1).as("rn"),
+        col("s1").as("neighbor_id"), col("mmr1").as("mmr_units"))
+      .union(s2.select(col("query_id"), lit(2).as("rn"),
+        col("s2").as("neighbor_id"), col("mmr2").as("mmr_units")))
+      .union(s3.select(col("query_id"), lit(3).as("rn"),
+        col("s3").as("neighbor_id"), col("mmr3").as("mmr_units")))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** The lexical-recall candidate frame of s04 — factored out so the

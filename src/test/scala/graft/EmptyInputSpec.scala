@@ -74,7 +74,10 @@ class EmptyInputSpec extends SparkSpecBase {
     "c02" -> (operators.Curation.clusterSample _),
     "t13" -> ((s, d) => operators.TextOps.repetitionStats(s, d)),
     "t14" -> (operators.TextOps.domainMix _),
-    "c01" -> ((s, d) => operators.Curation.curate(s, d)))
+    "c01" -> ((s, d) => operators.Curation.curate(s, d)),
+    "t24" -> ((s, d) => operators.Bpe.bpeTrain(s, d)),
+    "t25" -> ((s, d) => operators.Bpe.bpeApply(s, d)),
+    "s11" -> (operators.Similarity.mmrRerank _))
 
   for ((name, fn) <- ops)
     test(s"$name returns an empty result on empty input") {

@@ -21,6 +21,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s06_ann_ivfpq" -> "IVF assignment stage shares s03's broadcast-centroid scan",
     "s07_ann_refine" -> "candidate stage IS s06's scan; refine joins are key-equality",
     "s10_range_search" -> "declared radius scan: corpus × broadcast fixed query slice (s01's shape minus the rank stage)",
+    "s11_mmr_rerank" -> "candidate stage IS s01's corpus × broadcast query scan; the MMR rounds are key-equality joins over the bounded pool",
+    "t24_bpe_train" -> "1-row learned-merge-pair broadcast per round (the t09/t14 1-row pattern); pair counting is a vocab-bounded aggregate",
+    "t25_bpe_apply" -> "t24's 1-row merge broadcasts; the apply join is key-equality on the vocab-bounded word table",
     "t22_dsir_weights" -> "1-row split-totals broadcast; the 10k-bucket model join is key-equality",
     "t09_tfidf" -> "1-row corpus-count broadcast",
     "t14_domain_mix" -> "1-row corpus-total broadcast",

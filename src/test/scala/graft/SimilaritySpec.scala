@@ -231,4 +231,29 @@ class SimilaritySpec extends SparkSpecBase {
       assert(ns.size == 3 && ns.forall(cluster(_) == cluster(q)), s"$q -> $ns")
     }
   }
+
+  test("s11 MMR: first pick is the brute top-1, picks distinct, greedy law holds") {
+    val mmr = operators.Similarity.mmrRerank(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val brute = operators.Similarity.annBruteForce(spark, sf0001).collect()
+      .filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(mmr.nonEmpty)
+    mmr.foreach { case (q, rows) =>
+      val byRn = rows.map(r => r.getAs[Int]("rn") -> r).toMap
+      assert(byRn.size == 3, s"$q: ${rows.length} rows")
+      // pick 1 is relevance-only — must equal the brute-force top-1
+      assert(byRn(1).getAs[Long]("neighbor_id") == brute(q), s"query $q")
+      // selections are pairwise distinct
+      val ids = rows.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(ids.size == 3, s"$q picked $ids")
+      // greedy law: round 3 maximizes over a SUBSET of round 2's set
+      // with a pointwise-larger penalty (max over {s1,s2} ≥ sim to s1
+      // alone), so its max can only fall. (mmr1 vs mmr2 is NOT
+      // monotone in general — negative pool sims can raise round 2.)
+      assert(byRn(2).getAs[Long]("mmr_units") >= byRn(3).getAs[Long]("mmr_units"),
+        s"$q mmr2 < mmr3")
+    }
+  }
 }
