@@ -136,7 +136,8 @@ object SparkEntry {
     "m07_blob_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
     "w03_session_window" -> (Relational.sessionWindow _),
     "c01_curation" -> ((s, d) => Curation.curate(s, d)),
-    "c02_cluster_sample" -> (Curation.clusterSample _))
+    "c02_cluster_sample" -> (Curation.clusterSample _),
+    "c03_corpus_card" -> (Curation.corpusCard _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -1414,6 +1415,23 @@ r AS (SELECT cid AS cell, vec_id, d2,
 SELECT cell, CAST(rn AS INT) AS rn, vec_id,
   CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
 FROM r, cap WHERE rn <= cap.cap ORDER BY cell, rn"""),
+    "c03_corpus_card" ->
+      """WITH b AS (SELECT source, lang, n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents),
+hs AS (SELECT h, count(*) AS nc FROM b GROUP BY 1),
+r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+    CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+  FROM b JOIN hs USING (h) GROUP BY ROLLUP (source))
+SELECT coalesce(source, 'ALL') AS source, n_docs, n_langs, n_tokens,
+  n_chars, n_dup_docs,
+  CAST(n_dup_docs * 10000 // n_docs AS BIGINT) AS dup_bp,
+  CAST(n_chars // n_docs AS BIGINT) AS mean_chars
+FROM r WHERE n_docs > 0 ORDER BY source""",
     "d13_multiblock_simhash" -> multiblockSimhashSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

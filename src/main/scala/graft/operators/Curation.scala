@@ -88,4 +88,46 @@ object Curation {
         floor(col("d2") * 1000).cast("long").as("d2_milli"))
       .orderBy(col("cell"), col("rn"))
   }
+
+  /** c03 — the corpus DATASET CARD: the per-source summary every
+    * released training corpus ships (docs, languages, token/char
+    * volume, exact-dup share) plus the all-sources total row — the
+    * governance/report artifact of a corpus build, produced as one
+    * query. Duplication is CORPUS-WIDE (a doc duplicated across
+    * sources counts as duplicated in both sources' rows — the
+    * cross-source contamination a card must surface), reusing d01's
+    * normalized content hash.
+    *
+    * Scale shape: one scan computes per-doc stats + content hash
+    * (cached — it feeds the corpus-wide hash count AND the enriched
+    * join in one plan); one hash-keyed map-combinable count; one
+    * key-equality join back; rollup(source) is an Expand over
+    * |sources|+1 grouping sets with map-side partials. Integer
+    * DIV for the ratio columns — no float to diverge cross-engine.
+    * 'ALL' labels the rollup total (sources are src0..srcN by
+    * construction, so the label cannot collide).
+    */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        md5(Text.normalize(col("text"))).as("h"))
+      .cache() // feeds the hash count and the enriched join
+    val hs = base.groupBy(col("h")).agg(count(lit(1)).as("nc"))
+    base.join(hs, Seq("h"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(when(col("nc") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_docs"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_langs"), col("n_tokens"), col("n_chars"),
+        col("n_dup_docs"))
+      .withColumn("dup_bp",
+        expr("CAST(n_dup_docs * 10000 DIV n_docs AS BIGINT)"))
+      .withColumn("mean_chars", expr("CAST(n_chars DIV n_docs AS BIGINT)"))
+      .orderBy(col("source"))
+  }
 }

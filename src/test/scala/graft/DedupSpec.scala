@@ -467,4 +467,27 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.filter(p => p._2 == 3 || p._1 == 3).forall(_._3 <= 8))
     assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
   }
+
+  test("c03 corpus card: total row sums sources, corpus-wide dup share") {
+    val rows = operators.Curation.corpusCard(spark, dir).collect()
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    // 5 one-doc sources + the ALL total
+    assert(rows.length == 6)
+    val all = bySrc("ALL")
+    assert(all.getAs[Long]("n_docs") == 5L)
+    assert(all.getAs[Long]("n_docs") ==
+      rows.filter(_.getAs[String]("source") != "ALL")
+        .map(_.getAs[Long]("n_docs")).sum)
+    // docs 0,1,2 normalize to the same content (src0/src1/src2) —
+    // duplication is corpus-WIDE, so each of those source rows
+    // surfaces its doc as duplicated even though it is unique
+    // within its own source
+    assert(all.getAs[Long]("n_dup_docs") == 3L)
+    assert(all.getAs[Long]("dup_bp") == 6000L)
+    Seq("src0", "src1", "src2").foreach { s =>
+      assert(bySrc(s).getAs[Long]("n_dup_docs") == 1L, s)
+      assert(bySrc(s).getAs[Long]("dup_bp") == 10000L, s)
+    }
+    assert(bySrc("src4").getAs[Long]("n_dup_docs") == 0L)
+  }
 }

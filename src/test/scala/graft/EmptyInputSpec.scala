@@ -77,10 +77,15 @@ class EmptyInputSpec extends SparkSpecBase {
     "c01" -> ((s, d) => operators.Curation.curate(s, d)),
     "t24" -> ((s, d) => operators.Bpe.bpeTrain(s, d)),
     "t25" -> ((s, d) => operators.Bpe.bpeApply(s, d)),
-    "s11" -> (operators.Similarity.mmrRerank _))
+    "s11" -> (operators.Similarity.mmrRerank _),
+    // Spark grouping-sets aggregation emits NO rows on empty input
+    // (DuckDB emits the () grand total — the oracle filters it with
+    // WHERE n_docs > 0, a no-op on any non-empty corpus)
+    "c03" -> (operators.Curation.corpusCard _))
 
   for ((name, fn) <- ops)
     test(s"$name returns an empty result on empty input") {
       assert(fn(spark, dir).count() == 0L)
     }
+
 }
