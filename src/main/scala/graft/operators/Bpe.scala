@@ -30,7 +30,7 @@ object Bpe {
     * regexp spaces every char; both engines replay it
     * (`regexp_replace(word, '(.)', '\1 ', 'g')` in DuckDB).
     */
-  private def charSyms(word: Column): Column =
+  private[graft] def charSyms(word: Column): Column =
     split(trim(regexp_replace(word, "(.)", "$1 ")), " ")
 
   /** One greedy left-to-right non-overlapping merge pass of pair
@@ -127,6 +127,49 @@ object Bpe {
     val (fin, _) = learn(s, dir, rounds)
     fin.select(col("word"), length(col("word")).cast("long").as("n_char_syms"),
       size(col("syms")).cast("long").as("n_bpe_syms"))
+  }
+
+  /** Frozen-tokenizer application over (doc_id, word, k) counts: the
+    * memoized word table answers known words through a key-equality
+    * LEFT join; words the lake vocab never saw (the streaming OOV
+    * seam) fall back to row-local application of the frozen merge
+    * RULES — charSyms + one mergePass per learned round — exactly how
+    * a production tokenizer's word cache backstops onto the merge
+    * loop. `merges` are 1-row frames with (pa$i, pb$i) columns;
+    * broadcasting them is trivially safe (the t09 1-row pattern).
+    * Emits per-doc counts + the OOV token count (a rising OOV share
+    * is the re-train signal a corpus build monitors).
+    */
+  private[graft] def applyFrozen(docs: DataFrame, memo: DataFrame,
+      merges: Seq[DataFrame]): DataFrame = {
+    val dd = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).cast("long").as("k"))
+    val joined = merges.foldLeft(dd.join(memo, Seq("word"), "left")) {
+      (acc, m) => acc.crossJoin(broadcast(m))
+    }
+    val fallback = merges.indices.foldLeft(charSyms(col("word"))) {
+      (acc, i) => mergePass(acc, col(s"pa${i + 1}"), col(s"pb${i + 1}"))
+    }
+    val st = joined
+      .withColumn("n_bpe",
+        coalesce(col("memo_syms"), size(fallback).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_tokens"),
+        sum(col("k") * length(col("word"))).cast("long").as("n_char_syms"),
+        sum(col("k") * col("n_bpe")).cast("long").as("n_bpe_syms"),
+        sum(when(col("memo_syms").isNull, col("k")).otherwise(lit(0L)))
+          .cast("long").as("n_oov_tokens"))
+    docs.select(col("doc_id")).join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_char_syms"), lit(0L)).as("n_char_syms"),
+        coalesce(col("n_bpe_syms"), lit(0L)).as("n_bpe_syms"),
+        coalesce(col("n_oov_tokens"), lit(0L)).as("n_oov_tokens"))
+      .withColumn("compression_bp", expr(
+        "CAST(n_bpe_syms * 10000 DIV greatest(n_char_syms, 1) AS BIGINT)"))
   }
 
   /** t25 — BPE tokenizer APPLY: per-doc symbol counts before/after

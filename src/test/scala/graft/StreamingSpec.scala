@@ -616,4 +616,56 @@ class StreamingSpec extends SparkSpecBase {
     DsirStream.writeBatch(spark.read.parquet(inDir), bs, tot, outDir2, 0L)
     assert(spark.read.parquet(outDir2).count() == 3)
   }
+
+  test("BPE apply stream: frozen tokenizer, OOV falls back to merge rules") {
+    import graft.streaming.BpeApplyStream
+    val dir = Files.createTempDirectory("graft-bpes-lake").toString
+    val inDir = Files.createTempDirectory("graft-bpes-in").toString
+    val outDir = Files.createTempDirectory("graft-bpes-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-bpes-ck").toString
+    // the BpeSpec hand corpus: learns (l,o) then (lo,w)
+    Seq((0L, "low low low low low", "en", "src0", 19L),
+      (1L, "lower lower", "en", "src0", 11L),
+      (2L, "newest newest newest", "en", "src1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // deltas: known words / an OOV word the merges still compress /
+    // an OOV word no merge touches — two files, two batch groups
+    val delta = Seq(
+      (100L, "low low", "en", "src5", 7L),
+      (101L, "lowest", "en", "src5", 6L),
+      (102L, "zzz", "en", "src5", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    delta.filter($"doc_id" < 102).write.mode(SaveMode.Append).parquet(inDir)
+    delta.filter($"doc_id" === 102).write.mode(SaveMode.Append).parquet(inDir)
+    val q = BpeApplyStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_char_syms"), r.getAs[Long]("n_bpe_syms"),
+        r.getAs[Long]("n_oov_tokens"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    // parity: the stream equals the batch scorer under the same artifact
+    val (memo, merges) = BpeApplyStream.frozenTokenizer(spark, dir)
+    val all = spark.read.parquet(inDir)
+    assert(streamed == asSet(BpeApplyStream.scoreBatch(all, memo, merges)))
+    val byId = streamed.map(t => t._1 -> t).toMap
+    // known words ride the memo: low×2 → 2 bpe syms, 0 OOV
+    assert(byId(100L) == ((100L, 2L, 6L, 2L, 0L)), byId(100L).toString)
+    // OOV "lowest": rules give [low,e,s,t] — compressed, counted OOV
+    assert(byId(101L) == ((101L, 1L, 6L, 4L, 1L)), byId(101L).toString)
+    // OOV "zzz": no merge applies — chars pass through
+    assert(byId(102L) == ((102L, 1L, 3L, 3L, 1L)), byId(102L).toString)
+    // the memo is PURE memoization: an empty memo (every word through
+    // the rule fallback) changes nothing but cost
+    val emptyMemo = Seq.empty[(String, Long)].toDF("word", "memo_syms")
+    val viaRules = BpeApplyStream.scoreBatch(all, emptyMemo, merges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe_syms"))).toSet
+    assert(viaRules == streamed.map(t => (t._1, t._4)))
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-bpes-out2").toString + "/out"
+    BpeApplyStream.writeBatch(all, memo, merges, outDir2, 0L)
+    BpeApplyStream.writeBatch(all, memo, merges, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 3)
+  }
 }
