@@ -243,6 +243,19 @@ object ScaleCheck {
           operators.TextOps.dsirDocBuckets(Tables.documents(s2, d), 10000))),
         cand(bigDir, (s2, d) => operators.TextOps.dsirModel(
           operators.TextOps.dsirDocBuckets(Tables.documents(s2, d), 10000)))),
+      // t24's round-1 pair vocabulary: bounded by |symbol alphabet|²
+      // regardless of corpus size (letters+digits+punct ⇒ a few
+      // hundred) — the property that keeps every BPE merge round a
+      // bounded aggregate; alphabet rotation preserves the bound
+      Growth("t24_pair_vocab",
+        cand(baseDir, operators.Bpe.roundOnePairs),
+        cand(bigDir, operators.Bpe.roundOnePairs)),
+      // s11's MMR candidate pool: top-10 per FIXED query ⇒ ≤ 10·|Q|
+      // rows at any corpus size (the s04 constancy shape) — all MMR
+      // rounds after the pool are corpus-independent
+      Growth("s11_pool_rows",
+        cand(baseDir, operators.Similarity.mmrPool),
+        cand(bigDir, operators.Similarity.mmrPool)),
       // match PAIRS (pre-aggregation join output), not intervals-with-
       // ≥1-match: a candidate-generator leak that only piles pairs onto
       // already-matched intervals would not move the aggregated count

@@ -59,17 +59,30 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("n"))
       .select(col("word"), col("n"), charSyms(col("word")).as("syms"))
 
-  /** The weighted top adjacent symbol pair of the current vocab —
-    * ties break (count DESC, a ASC, b ASC) via a bounded struct-min,
-    * never a sort. 1-row frame (NULLs when no pair exists).
+  /** Weighted adjacent-pair counts of a vocab — the BPE "model side".
+    * Its row count is ALPHABET-bounded (≤ |symbols|², independent of
+    * corpus size; ScaleSpec measures the saturation), which is what
+    * keeps every merge round a bounded aggregate at 100 TB.
     */
-  private def topPair(vocab: DataFrame): DataFrame =
+  private[graft] def pairCounts(vocab: DataFrame): DataFrame =
     vocab.filter(size(col("syms")) >= 2)
       .select(col("n"), explode(expr(
         "transform(slice(syms, 1, size(syms) - 1)," +
           " (w, i) -> struct(w AS a, syms[i + 1] AS b))")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("n")).cast("long").as("cnt"))
+
+  /** The round-1 pair-count frame straight off the corpus (the scale
+    * harness measures its cardinality). */
+  private[graft] def roundOnePairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(wordTable(s, dir))
+
+  /** The weighted top adjacent symbol pair of the current vocab —
+    * ties break (count DESC, a ASC, b ASC) via a bounded struct-min,
+    * never a sort. 1-row frame (NULLs when no pair exists).
+    */
+  private def topPair(vocab: DataFrame): DataFrame =
+    pairCounts(vocab)
       .agg(min(struct((-col("cnt")).as("nc"), col("a").as("a"),
         col("b").as("b"))).as("t"))
       .select(col("t.a").as("pa"), col("t.b").as("pb"),

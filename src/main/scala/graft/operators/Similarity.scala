@@ -219,15 +219,23 @@ object Similarity {
     * refine output slots in verbatim); brute force here keeps the
     * oracle composable.
     */
-  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+  /** s11's candidate pool: brute-force top-10 per fixed query —
+    * ≤ 10·|Q| rows at ANY corpus size (the scale harness measures the
+    * constancy; everything after the pool is corpus-independent).
+    */
+  private[graft] def mmrPool(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val (q, e) = queriesAndCorpus(s, dir)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
-    val pool0 = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("vec_id").asc), 10)
       .select(col("query_id"), col("vec_id").as("cid"),
         floor(col("cos") * 10000).cast("long").as("rel_bp"))
+  }
+
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val pool0 = mmrPool(s, dir)
     val ev = Tables.embeddings(s, dir)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         Vector.norm(col("embedding")).as("cn"))

@@ -136,6 +136,30 @@ class ScaleSpec extends SparkSpecBase {
       s"t22 model ${g.base} -> ${g.inflated}: exceeds bucket capacity")
   }
 
+  test("t24 BPE pair vocabulary stays alphabet-bounded as the corpus inflates") {
+    val g = growth("t24_pair_vocab")
+    // adjacent char pairs live in the ~(26+10+punct)² space however
+    // big the corpus — corpus-sized growth would make merge rounds
+    // corpus-sized aggregates; rotation keeps the alphabet fixed
+    assert(g.base > 0 && g.inflated <= 2500L,
+      s"t24 pair vocab ${g.base} -> ${g.inflated}: exceeds alphabet bound")
+    // rotation mints new pairs per copy (each copy writes a different
+    // slice of the pair space), so the measured shape is sub-linear
+    // growth INTO the fixed ceiling, not flatness from the start
+    // (measured: 82 -> 505 of ~1300 possible at 10× inflation)
+    assert(g.inflated < factor * g.base,
+      s"t24 pair vocab ${g.base} -> ${g.inflated}: linear-or-worse")
+  }
+
+  test("s11 MMR pool stays constant-size as the corpus inflates") {
+    val g = growth("s11_pool_rows")
+    // top-10 per FIXED query: ≤ 10·|Q| rows at any corpus size, and
+    // inflation must not grow it (the s04 fixed-query-set rule)
+    assert(g.base > 0 && g.inflated <= 10L * operators.Similarity.annQueryIds.length)
+    assert(g.inflated == g.base,
+      s"s11 pool ${g.base} -> ${g.inflated}: grew with the corpus")
+  }
+
   test("s02 max bucket occupancy grows ~linearly (8 fixed buckets)") {
     val g = growth("s02_max_bucket")
     assert(g.inflated <= 15 * math.max(g.base, 5L),
