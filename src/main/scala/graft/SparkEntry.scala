@@ -126,6 +126,8 @@ object SparkEntry {
     "t23_quality_classifier" -> (TextOps.qualityClassifier _),
     "t24_bpe_train" -> ((s, d) => Bpe.bpeTrain(s, d)),
     "t25_bpe_apply" -> ((s, d) => Bpe.bpeApply(s, d)),
+    "t26_chunk_split" -> ((s, d) => TextOps.chunkSplit(s, d)),
+    "t27_exact_sample" -> ((s, d) => TextOps.exactSample(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -1637,6 +1639,20 @@ SELECT d.doc_id,
   coalesce(j.n_bpe_syms, 0) AS n_bpe_syms,
   CAST(coalesce(j.n_bpe_syms, 0) * 10000 // greatest(coalesce(j.n_char_syms, 0), 1) AS BIGINT) AS compression_bp
 FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""",
+    "t26_chunk_split" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+c AS (SELECT doc_id, s AS start_pos, t
+  FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(t), 1) + 1, 96)) AS s))
+SELECT doc_id,
+  CAST((start_pos - 1) // 96 AS INT) AS chunk_id,
+  CAST(start_pos AS BIGINT) AS start_pos,
+  CAST(least(128, len(t) - start_pos + 1) AS BIGINT) AS n_tokens,
+  md5(array_to_string(t[CAST(start_pos AS INT):CAST(least(len(t), start_pos + 127) AS INT)], ' ')) AS chunk_hash
+FROM c ORDER BY doc_id, chunk_id""",
+    "t27_exact_sample" ->
+      """WITH r AS (SELECT lang, doc_id, md5('t27|' || CAST(doc_id AS VARCHAR)) AS r FROM documents),
+q AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rn FROM r)
+SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM q WHERE rn <= 25 ORDER BY lang, rn""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -148,6 +148,52 @@ object TextOps {
       .orderBy(col("lang"), col("shard_id"), col("doc_id"))
   }
 
+  /** t26 — overlapping CHUNK SPLIT (the RAG-ingestion primitive and
+    * t10's inverse): each doc splits into 128-token windows on a
+    * 96-token stride (32-token overlap, the retrieval convention so
+    * no phrase is cut at every boundary), each chunk carrying its
+    * position and an md5 content hash — the unit d09's chunk-dedup
+    * and any vector-store ingest consume. Entirely ROW-LOCAL: one
+    * explode over the per-doc start sequence, no shuffle at all
+    * before the output sort — scan-speed at 100 TB.
+    */
+  def chunkSplit(s: SparkSession, dir: String, size0: Int = 128,
+      stride: Int = 96): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")), lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("int").as("chunk_id"),
+        col("start").cast("long").as("start_pos"),
+        least(lit(size0), size(col("t")) - col("start") + 1).cast("long")
+          .as("n_tokens"),
+        md5(array_join(slice(col("t"), col("start"), lit(size0)), " "))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** t27 — EXACT-k per-stratum sample: exactly min(k, n) docs per
+    * language by deterministic md5 rank — the eval-slice/debug-slice
+    * builder (t11's hash-Bernoulli gives a RATE, not a count; an eval
+    * set wants exactly k rows per stratum, reproducibly). The salted
+    * hash is the random order, TopKPerKey bounds the shuffle to ≤ k
+    * rows per language per partition — a distributed reservoir sample
+    * without a global sort (never window-over-corpus).
+    */
+  def exactSample(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val r = md5(concat(lit("t27|"), col("doc_id").cast("string")))
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), r.as("r"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("r"), col("doc_id"))
+    graft.plans.TopK.perKey(ranked, Seq(col("lang")),
+        Seq(col("r").asc, col("doc_id").asc), k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** t11 — deterministic stratified sampling: per-language keep rates
     * applied via an md5 hash bucket of the doc id (bucket = first 8
     * md5 hex digits mod 100). Hash-based Bernoulli sampling is THE

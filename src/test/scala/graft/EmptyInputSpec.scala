@@ -78,6 +78,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "t24" -> ((s, d) => operators.Bpe.bpeTrain(s, d)),
     "t25" -> ((s, d) => operators.Bpe.bpeApply(s, d)),
     "s11" -> (operators.Similarity.mmrRerank _),
+    "t26" -> ((s, d) => operators.TextOps.chunkSplit(s, d)),
+    "t27" -> ((s, d) => operators.TextOps.exactSample(s, d)),
     // Spark grouping-sets aggregation emits NO rows on empty input
     // (DuckDB emits the () grand total — the oracle filters it with
     // WHERE n_docs > 0, a no-op on any non-empty corpus)

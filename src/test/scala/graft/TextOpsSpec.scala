@@ -251,4 +251,39 @@ class TextOpsSpec extends SparkSpecBase {
     // de: floor(1500 * 100 / 20) = 7500
     assert(rows("de") == ((20L, 7500L)))
   }
+
+  test("t26 chunk split: 128-token windows on a 96 stride, 32-token overlap") {
+    val dir = mkDocs(Seq(
+      (0L, (1 to 200).map(i => s"w$i").mkString(" "), "en"), // 3 chunks
+      (1L, (1 to 96).map(i => s"v$i").mkString(" "), "en"),  // exactly 1
+      (2L, "a b c", "en")))                                  // 1 short chunk
+    val rows = operators.TextOps.chunkSplit(spark, dir).collect()
+    val d0 = rows.filter(_.getAs[Long]("doc_id") == 0L)
+      .map(r => (r.getAs[Int]("chunk_id"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("n_tokens")))
+    // starts 1/97/193: full window, clipped 104, clipped tail 8 —
+    // consecutive chunks overlap by 128-96 = 32 tokens
+    assert(d0.toSeq == Seq((0, 1L, 128L), (1, 97L, 104L), (2, 193L, 8L)))
+    assert(rows.count(_.getAs[Long]("doc_id") == 1L) == 1)
+    val d2 = rows.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2.head.getAs[Long]("n_tokens") == 3L)
+    // chunk hashes are the d09-consumable content ids: distinct here
+    assert(rows.map(_.getAs[String]("chunk_hash")).distinct.length == rows.length)
+  }
+
+  test("t27 exact sample: exactly min(k, n) rows per stratum, deterministic") {
+    val dir = mkDocs(
+      (0L until 60L).map(i => (i, s"doc $i", "en")) ++  // 60 > k=25
+        (60L until 70L).map(i => (i, s"doc $i", "de"))) // 10 < k
+    val rows = operators.TextOps.exactSample(spark, dir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang("en").length == 25 && byLang("de").length == 10)
+    // rn is contiguous 1..k and the pick is deterministic across runs
+    assert(byLang("en").map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 25))
+    val again = operators.TextOps.exactSample(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rn"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(again == rows.map(r => (r.getAs[String]("lang"),
+      r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSet)
+  }
 }
