@@ -139,7 +139,8 @@ object SparkEntry {
     "w03_session_window" -> (Relational.sessionWindow _),
     "c01_curation" -> ((s, d) => Curation.curate(s, d)),
     "c02_cluster_sample" -> (Curation.clusterSample _),
-    "c03_corpus_card" -> (Curation.corpusCard _))
+    "c03_corpus_card" -> (Curation.corpusCard _),
+    "c04_outlier_scrub" -> (Curation.outlierScrub _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -1417,6 +1418,25 @@ r AS (SELECT cid AS cell, vec_id, d2,
 SELECT cell, CAST(rn AS INT) AS rn, vec_id,
   CAST(floor(d2 * 1000) AS BIGINT) AS d2_milli
 FROM r, cap WHERE rn <= cap.cap ORDER BY cell, rn"""),
+    // c04: d12's k-means rounds replayed, then TRUE squared distance
+    // |v−c|² in milli-floored integers; mean = integer DIV; outlier
+    // rule pure integer (10·d2 > 25·mean on cells ≥ 5)
+    "c04_outlier_scrub" ->
+      ("""WITH """ + kmeansCtes + """,
+asg AS (SELECT vec_id, ck AS cid, v, cv FROM (SELECT ev.vec_id, c.ck, ev.v, c.cv,
+    row_number() OVER (PARTITION BY ev.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
+  FROM ev, c2 c) z WHERE rr = 1),
+d AS (SELECT vec_id, cid,
+    CAST(floor((list_inner_product(v, v) + list_inner_product(cv, cv)
+      - 2 * list_inner_product(v, cv)) * 1000) AS BIGINT) AS d2_milli
+  FROM asg),
+st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_cell,
+    CAST(sum(d2_milli) AS BIGINT) AS sum_d2m FROM d GROUP BY 1)
+SELECT d.vec_id, d.cid AS cell, d.d2_milli, st.n_cell,
+  CAST(st.sum_d2m // st.n_cell AS BIGINT) AS cell_mean_milli,
+  (st.n_cell >= 5 AND d.d2_milli * 10 > (st.sum_d2m // st.n_cell) * 25) AS outlier
+FROM d JOIN st USING (cid) ORDER BY d.vec_id"""),
     "c03_corpus_card" ->
       """WITH b AS (SELECT source, lang, n_chars,
     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -89,6 +89,48 @@ object Curation {
       .orderBy(col("cell"), col("rn"))
   }
 
+  /** c04 — embedding-space OUTLIER SCRUB: vectors far from their own
+    * k-means cell center are flagged — the mis-encoded/garbage-input
+    * filter a corpus build runs over its embedding table (a vector
+    * 2.5× its cell's mean squared distance is an encoder failure or
+    * out-of-domain junk, not a cluster member). Reuses d12's K-free
+    * deterministic k-means (K ∝ corpus ⇒ cells stay ~50 vectors at
+    * any scale); the TRUE squared distance |v−c|² works in
+    * milli-floored integers, the cell mean is an integer DIV, and the
+    * outlier rule (10·d2 > 25·mean, cells ≥ 5 members) is pure
+    * integer arithmetic — the oracle replays every round CTE-for-CTE.
+    *
+    * Scale shape: assignment is the broadcast-centroid struct-min
+    * scan (allowlisted); per-cell stats are ONE map-combinable
+    * K-row aggregate; the flag join is key-equality on cid. Linear
+    * in corpus vectors.
+    */
+  def outlierScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vector
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val cent = VectorAgg.kmeansCentroids(s, emb, Dedup.semanticK(n))
+    val asg = VectorAgg.kmeansAssign(emb, cent)
+      .join(broadcast(cent), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        floor((Vector.dot(col("embedding"), col("embedding"))
+          + Vector.dot(col("cv"), col("cv"))
+          - lit(2.0) * Vector.dot(col("embedding"), col("cv"))) * 1000)
+          .cast("long").as("d2_milli"))
+      .cache() // feeds the cell stats AND the flag join
+    val stats = asg.groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_cell"),
+        sum(col("d2_milli")).cast("long").as("sum_d2m"))
+    asg.join(stats, Seq("cid"))
+      .select(col("vec_id"), col("cid").as("cell"), col("d2_milli"),
+        col("n_cell"),
+        expr("CAST(sum_d2m DIV n_cell AS BIGINT)").as("cell_mean_milli"))
+      .withColumn("outlier",
+        col("n_cell") >= 5L &&
+          col("d2_milli") * 10L > col("cell_mean_milli") * 25L)
+      .orderBy(col("vec_id"))
+  }
+
   /** c03 — the corpus DATASET CARD: the per-source summary every
     * released training corpus ships (docs, languages, token/char
     * volume, exact-dup share) plus the all-sources total row — the

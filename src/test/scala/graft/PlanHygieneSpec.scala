@@ -14,6 +14,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s01_ann_bruteforce" -> "declared exactness baseline: corpus × broadcast query slice",
     "s09_recall_audit" -> "truth is s01's corpus × broadcast query-slice scan; the four audited families reuse their own allowlisted shapes",
     "c02_cluster_sample" -> "k-means assignment: vector × broadcast K-row centroid table (d12's scan)",
+    "c04_outlier_scrub" -> "k-means assignment: vector × broadcast K-row centroid table (d12's scan); stats + flag joins are key-equality on cid",
     "s03_ann_ivf" -> "IVF assignment: every vector × broadcast 10-centroid table",
     "d12_semantic_dedup" -> "k-means rounds: vector × broadcast K-row centroid table",
     "s05_ann_pq" -> "flat-PQ code scan: codes × broadcast query slice (s06 is the bounded composition)",

@@ -232,6 +232,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("c04 outlier scrub: the planted far vector flags, tight-cluster members don't") {
+    val d = Files.createTempDirectory("graft-c04").toString
+    val dim = 64
+    def center(c: Int): Array[Float] = Array.tabulate(dim) { i =>
+      val s = math.sin(c * 131.7 + i * 2.3)
+      (math.signum(s) * (0.2 + 0.8 * math.abs(s))).toFloat
+    }
+    val inliers = (0 until 120).map { id =>
+      val v = center(id / 40).zipWithIndex.map { case (x, i) =>
+        x + 0.001f * math.sin(id * 17.3 + i).toFloat
+      }
+      (id.toLong, v, id / 40)
+    }
+    // id 200: 3× a cluster center — an encoder failure, far from
+    // every tight cluster
+    val rows = inliers :+ ((200L, center(0).map(_ * 3f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val out = operators.Curation.outlierScrub(spark, d).collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(200L).getAs[Boolean]("outlier"), byId(200L).toString)
+    // tight-cluster members sit at floor-0 distance in their cells —
+    // never flagged (0 > 0 is false even when the cell mean is 0)
+    val flagged = out.filter(_.getAs[Boolean]("outlier"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged.contains(200L) && flagged.size <= 12,
+      s"flagged $flagged")
+    assert(inliers.count { case (id, _, _) =>
+      byId(id).getAs[Long]("d2_milli") == 0L && flagged.contains(id) } == 0)
+  }
+
   test("s11 MMR: first pick is the brute top-1, picks distinct, greedy law holds") {
     val mmr = operators.Similarity.mmrRerank(spark, sf0001).collect()
       .groupBy(_.getAs[Long]("query_id"))
