@@ -68,6 +68,7 @@ object SparkEntry {
     "r23_retention" -> (Relational.retentionCohorts _),
     "r24_funnel_chained" -> (Relational.funnelChained _),
     "r25_pagerank" -> (Relational.purchasePagerank _),
+    "r26_funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -100,6 +101,7 @@ object SparkEntry {
     "s09_recall_audit" -> (Similarity.annRecallAudit _),
     "s10_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "s11_mmr_rerank" -> (Similarity.mmrRerank _),
+    "s12_filtered_ann" -> (Similarity.annFiltered _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -948,6 +950,20 @@ SELECT query_id, rn, neighbor_id, mmr_units FROM (
   UNION ALL SELECT query_id, CAST(2 AS INT), s2, mmr2 FROM s2
   UNION ALL SELECT query_id, CAST(3 AS INT), s3, mmr3 FROM s3)
 ORDER BY query_id, rn""",
+    // s12: s01's scan restricted to the query's label (pre-filter
+    // strategy) — top-3 within the filtered slice
+    "s12_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+s AS (SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, rn, vec_id AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
     "s02_ann_lsh" ->
       """WITH b AS (SELECT vec_id, embedding,
     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
@@ -1268,6 +1284,25 @@ s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
 s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, s1.t1 AS first_view, s2.t2 AS first_click, s3.t3 AS first_purchase,
+  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id""",
+    // r26: r22's greedy chained mins with a 1-hour per-step
+    // conversion window; epoch-second integer bounds on both engines
+    "r26_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND epoch(e.ts) <= epoch(s1.t1) + 3600 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND epoch(e.ts) <= epoch(s2.t2) + 3600 GROUP BY 1),
 u AS (SELECT DISTINCT user_id FROM e)
 SELECT u.user_id, s1.t1 AS first_view, s2.t2 AS first_click, s3.t3 AS first_purchase,
   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2

@@ -700,6 +700,51 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** r26 — WINDOWED funnel: r24's greedy chained-min funnel with a
+    * per-step CONVERSION WINDOW (each step must follow the previous
+    * within 1 hour) — the product-analytics shape ("purchased within
+    * an hour of clicking"), where the unbounded r22/r24 funnel
+    * answers a different question ("ever purchased after clicking").
+    * Same greedy earliest-first semantics as the r22 family, same
+    * three map-side-combinable MINs on ONE reused user key — the
+    * window bound is a filter on the joined step row, so the skew
+    * story (a tracker-bot user costs partial-agg rows, never one
+    * task's memory) carries over unchanged. Timestamps compare in
+    * whole seconds (unix_timestamp), integer on both engines.
+    */
+  def funnelWindowed(s: SparkSession, dir: String,
+      windowSec: Long = 3600L): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("first_view") &&
+        unix_timestamp(col("ts")) <=
+          unix_timestamp(col("first_view")) + windowSec)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("first_click") &&
+        unix_timestamp(col("ts")) <=
+          unix_timestamp(col("first_click")) + windowSec)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    e.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), col("first_click")),
+        Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        expr("""CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+                          WHEN first_click IS NOT NULL THEN 2
+                          WHEN first_view IS NOT NULL THEN 1
+                          ELSE 0 END AS INT)""").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** r23 — weekly cohort retention: cohort = Monday-truncated week of
     * a user's first event; n_active = distinct users of cohort c with
     * any event in week c+k. Two shuffles that REUSE one key: min(wk)

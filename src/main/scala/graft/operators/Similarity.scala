@@ -282,6 +282,32 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s12 — FILTERED vector search (the metadata-predicate ANN every
+    * production vector store ships): top-3 cosine restricted to
+    * corpus vectors sharing the query's label — the PRE-FILTER
+    * strategy, where the predicate runs inside the scan before any
+    * scoring, so selectivity directly cuts the scored volume (the
+    * post-filter alternative scores first and risks k starvation when
+    * the filter is selective; pre-filter is exact at any
+    * selectivity). The label equality joins the broadcast query
+    * slice as a plain equi-key — unlike s01's all-pairs scan this
+    * plans a BroadcastHashJoin, strictly cheaper; at 100 TB the label
+    * becomes a partition key and the scan prunes to matching
+    * partitions before reading a byte.
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Vector.norm(col("embedding")).as("nrm"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val scored = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", pairCosine)
+    rankTopK(s, scored, 3)
+  }
+
   /** The lexical-recall candidate frame of s04 — factored out so the
     * scale harness can measure candidate volume directly. With the
     * fixed query set, candidates per query depend on shingle overlap

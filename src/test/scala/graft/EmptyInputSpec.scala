@@ -81,6 +81,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "t26" -> ((s, d) => operators.TextOps.chunkSplit(s, d)),
     "t27" -> ((s, d) => operators.TextOps.exactSample(s, d)),
     "c04" -> (operators.Curation.outlierScrub _),
+    "r26" -> ((s, d) => operators.Relational.funnelWindowed(s, d)),
+    "s12" -> (operators.Similarity.annFiltered _),
     // Spark grouping-sets aggregation emits NO rows on empty input
     // (DuckDB emits the () grand total — the oracle filters it with
     // WHERE n_docs > 0, a no-op on any non-empty corpus)

@@ -72,6 +72,34 @@ class FunnelSpec extends SparkSpecBase {
     assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
   }
 
+  test("r26 windowed funnel: in-window converts, out-of-window stalls") {
+    val dir = mkEvents(Seq(
+      // u1: click 5 min after view, purchase 30 min after click —
+      // fully inside the 60-min windows
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 35L, "purchase"),
+      // u2: click 90 min after view — outside the window; the later
+      // click can't rescue it (greedy measures from FIRST view)
+      (2L, 0L, "view"), (2L, 90L, "click"), (2L, 95L, "purchase"),
+      // u3: click in-window at +50, purchase 2h after click — stage 2
+      (3L, 0L, "view"), (3L, 50L, "click"), (3L, 170L, "purchase"),
+      // u4: click exactly AT the window edge (+60 min) — inclusive
+      (4L, 0L, "view"), (4L, 60L, "click")))
+    val out = operators.Relational.funnelWindowed(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 2), out.toString)
+    // window can only reduce progress vs the unbounded funnel, and
+    // where both reach a stage the timestamps agree (same greedy min)
+    val unb = operators.Relational.funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    operators.Relational.funnelWindowed(spark, dir).collect().foreach { r =>
+      val u = unb(r.getAs[Long]("user_id"))
+      assert(r.getAs[Int]("stage") <= u.getAs[Int]("stage"))
+      if (r.getAs[Int]("stage") >= 2)
+        assert(r.getAs[java.sql.Timestamp]("first_click") ==
+          u.getAs[java.sql.Timestamp]("first_click"))
+    }
+  }
+
   test("r23 retention: Monday cohorts and integer week offsets") {
     val day = 24L * 60L
     val dir = mkEvents(Seq(

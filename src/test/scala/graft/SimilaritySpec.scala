@@ -232,6 +232,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s12 filtered ANN: pre-filter restricts to the query's label, equi-join plan") {
+    val df = operators.Similarity.annFiltered(spark, dir)
+    // the label predicate joins as an EQUI key — a BroadcastHashJoin,
+    // strictly better than s01's allowlisted nested-loop scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val rows = df.collect()
+    val label = (id: Long) => (id / 40).toInt // fixture layout
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length == 3)
+      assert(rs.forall(r => label(r.getAs[Long]("neighbor_id")) == label(q)),
+        s"$q: ${rs.map(_.getAs[Long]("neighbor_id")).toSeq}")
+    }
+    // within the label slice the ranking is exactly brute force: the
+    // filtered top-3 must appear in the unfiltered top-5 of its label
+    val brute = operators.Similarity.annBruteForce(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val bruteSameLabel = brute(q)
+        .filter(r => label(r.getAs[Long]("neighbor_id")) == label(q))
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      val got = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(got.subsetOf(bruteSameLabel) || bruteSameLabel.size < 3,
+        s"$q: $got vs $bruteSameLabel")
+    }
+  }
+
   test("c04 outlier scrub: the planted far vector flags, tight-cluster members don't") {
     val d = Files.createTempDirectory("graft-c04").toString
     val dim = 64
