@@ -102,6 +102,7 @@ object SparkEntry {
     "s10_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "s11_mmr_rerank" -> (Similarity.mmrRerank _),
     "s12_filtered_ann" -> (Similarity.annFiltered _),
+    "s13_bm25" -> ((s, d) => Similarity.bm25Search(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -964,6 +965,25 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    // s13: integer-rational BM25 (k1=6/5, b=3/4 multiplied through;
+    // idf = t09's 1000·(N+1) DIV (df+1) surrogate)
+    "s13_bm25" ->
+      """WITH q(qid, term) AS (VALUES ('q1','hash'),('q1','join'),('q1','spark'),('q2','window'),('q2','agg'),('q2','stream'),('q3','fast'),('q3','vector'),('q3','scan')),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM tk),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(len) AS BIGINT) AS tt FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT q.qid, tf.doc_id,
+    CAST(sum((1000 * (tot.nn + 1) // (dft.df + 1)) * 44 * tf.tf * tot.tt
+      // (20 * tot.tt * tf.tf + 6 * tot.tt + 18 * dl.len * tot.nn)) AS BIGINT) AS score_milli
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY 1, 2),
+r AS (SELECT qid, doc_id, score_milli,
+    row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rn FROM sc)
+SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_milli FROM r WHERE rn <= 10 ORDER BY qid, rn""",
     "s02_ann_lsh" ->
       """WITH b AS (SELECT vec_id, embedding,
     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)

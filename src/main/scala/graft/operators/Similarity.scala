@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Vector
+import graft.functions.{Text, Vector}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -306,6 +306,73 @@ object Similarity {
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
     rankTopK(s, scored, 3)
+  }
+
+  /** s13's fixed keyword queries (qid, term) — the constant query
+    * set, matching the annQueryIds rule: total work O(corpus)·|Q|.
+    */
+  val bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "hash", "q1" -> "join", "q1" -> "spark",
+    "q2" -> "window", "q2" -> "agg", "q2" -> "stream",
+    "q3" -> "fast", "q3" -> "vector", "q3" -> "scan")
+
+  /** s13 — BM25 keyword retrieval (the Lucene/Elasticsearch scoring
+    * function, Robertson & Zaragoza 2009): the LEXICAL half of a
+    * hybrid RAG stack, top-10 docs per fixed keyword query. The whole
+    * score is INTEGER-RATIONAL so the oracle replays it exactly — no
+    * float ln/division anywhere: idf_milli = 1000·(N+1) DIV (df+1)
+    * (t09's surrogate-idf precedent), and with k1 = 6/5, b = 3/4 the
+    * term score multiplies through to
+    * idf_milli·44·tf·T DIV (20·T·tf + 6·T + 18·len·N), T = corpus
+    * token total, N = doc count (both from one map-combinable pass).
+    * Magnitude bound: the numerator stays < 2^63 while
+    * idf_milli·tf·T < 2^57 — at corpus sizes where T approaches 2^40,
+    * rescale T/N to kilo-token units first (documented knob).
+    *
+    * Scale shape: the corpus-sized work is ONE token-filter scan
+    * (term IN fixed-vocab pushes into the scan) + a (doc, term)
+    * map-combinable count — in production the tf frame IS the
+    * posting-list probe of a term-bucketed table (TableSink's
+    * bucketing story); df/totals are K-row/1-row broadcasts; the
+    * final rank is bounded TopKPerKey, never a corpus window.
+    */
+  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    import s.implicits._
+    val q = bm25Queries.toDF("qid", "term")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    // doc lengths feed the totals AND the score join — cache
+    val dl = docs.select(col("doc_id"), size(col("t")).cast("long").as("len"))
+      .cache()
+    val tot = dl.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("len")).cast("long").as("tt"))
+    val vocab = bm25Queries.map(_._2).distinct
+    // tf feeds the df aggregate AND the scoring join — cache
+    val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .cache()
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val scored = tf.join(broadcast(q), Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_milli",
+        expr("CAST(1000 * (nn + 1) DIV (df + 1) AS BIGINT)"))
+      .withColumn("term_score", expr(
+        "CAST(idf_milli * 44 * tf * tt DIV" +
+          " (20 * tt * tf + 6 * tt + 18 * len * nn) AS BIGINT)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("term_score")).cast("long").as("score_milli"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("qid")),
+        Seq(col("score_milli").desc, col("doc_id").asc), k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("qid"), col("rn"), col("doc_id"), col("score_milli"))
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** The lexical-recall candidate frame of s04 — factored out so the

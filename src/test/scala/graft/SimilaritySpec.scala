@@ -232,6 +232,27 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s13 BM25: coverage beats partial match, length normalization penalizes padding") {
+    val d = Files.createTempDirectory("graft-bm25").toString
+    val filler = (1 to 50).map(i => s"filler$i").mkString(" ")
+    Seq(
+      (0L, "hash join spark", "en"),                  // all 3 q1 terms, short
+      (1L, s"hash join spark $filler", "en"),         // all 3, padded long
+      (2L, "hash table probe lookup", "en"),          // 1 term only
+      (3L, filler, "en"))                             // no q1 terms
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val q1 = operators.Similarity.bm25Search(spark, d).collect()
+      .filter(_.getAs[String]("qid") == "q1")
+      .sortBy(_.getAs[Int]("rn"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli")))
+    // full coverage short > full coverage padded > single-term;
+    // the no-term doc never appears
+    assert(q1.map(_._1).toSeq == Seq(0L, 1L, 2L), q1.toSeq.toString)
+    assert(q1(0)._2 > q1(1)._2 && q1(1)._2 > q1(2)._2, q1.toSeq.toString)
+  }
+
   test("s12 filtered ANN: pre-filter restricts to the query's label, equi-join plan") {
     val df = operators.Similarity.annFiltered(spark, dir)
     // the label predicate joins as an EQUI key — a BroadcastHashJoin,
