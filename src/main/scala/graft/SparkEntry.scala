@@ -103,6 +103,7 @@ object SparkEntry {
     "s11_mmr_rerank" -> (Similarity.mmrRerank _),
     "s12_filtered_ann" -> (Similarity.annFiltered _),
     "s13_bm25" -> ((s, d) => Similarity.bm25Search(s, d)),
+    "s14_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -404,9 +405,33 @@ FROM x ORDER BY doc_id"""
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("s09_recall_audit" -> recallAuditSql) +
+      ("s14_rrf_fusion" -> rrfFusionSql) +
       // r24 computes r22's EXACT semantics by a different plan (chained
       // MINs vs one-shuffle array walk) — same oracle, stated once
       ("r24_funnel_chained" -> baseOracleSql("r22_funnel"))
+
+  /** s14's oracle, composed (the s09 trick): each fused family's
+    * ranked list is its OWN oracle SQL embedded as a derived table,
+    * so fusion and fused definitions cannot drift; rrf is integer
+    * from the first division.
+    */
+  private def rrfFusionSql: String =
+    s"""WITH a AS (SELECT query_id, neighbor_id, rn FROM (
+${baseOracleSql("s02_ann_lsh")}
+)),
+b AS (SELECT query_id, neighbor_id, rn FROM (
+${baseOracleSql("s03_ann_ivf")}
+)),
+f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+    coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+    CAST(coalesce(10000 // (60 + a.rn), 0)
+      + coalesce(10000 // (60 + b.rn), 0) AS BIGINT) AS rrf_milli
+  FROM a FULL JOIN b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+r AS (SELECT query_id, neighbor_id, rrf_milli,
+    row_number() OVER (PARTITION BY query_id ORDER BY rrf_milli DESC, neighbor_id) AS rn
+  FROM f)
+SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, rrf_milli
+FROM r WHERE rn <= 3 ORDER BY query_id, rn"""
 
   /** t24/t25 helper: one BPE merge round as DuckDB CTEs over an input
     * CTE `in` with (word, n, arr) — pair count, top pair (count DESC,

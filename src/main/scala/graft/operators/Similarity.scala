@@ -375,6 +375,42 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** s14 — Reciprocal Rank Fusion over two index families (Cormack
+    * et al. 2009; the fusion Elasticsearch/OpenSearch ship for hybrid
+    * search): fuse s02's (LSH) and s03's (IVF) ranked lists per query
+    * by rrf = Σ 10000 DIV (60 + rank) — the standard k=60 constant,
+    * integer from the first division, so the oracle replays exactly.
+    * A neighbor surfaced by BOTH indexes outranks one surfaced by
+    * either alone — the retriever-ensemble robustness trick: each
+    * index's blind spots (LSH bucket edges, IVF cell boundaries) are
+    * uncorrelated, so fusion recovers what one family drops.
+    *
+    * Scale shape: both inputs are already-bounded top-3 lists
+    * (≤ 3·|Q| rows each); the fusion is one full-outer key-equality
+    * join on (query, neighbor) + a bounded TopKPerKey — everything
+    * after the index scans is corpus-independent.
+    */
+  def rrfFusion(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val a = annLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rank_a"))
+    val b = annIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rank_b"))
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full")
+      .select(col("query_id"), col("neighbor_id"), expr(
+        "CAST(coalesce(10000 DIV (60 + rank_a), 0)" +
+          " + coalesce(10000 DIV (60 + rank_b), 0) AS BIGINT)")
+        .as("rrf_milli"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("neighbor_id"))
+    graft.plans.TopK.perKey(fused, Seq(col("query_id")),
+        Seq(col("rrf_milli").desc, col("neighbor_id").asc), k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("rrf_milli"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** The lexical-recall candidate frame of s04 — factored out so the
     * scale harness can measure candidate volume directly. With the
     * fixed query set, candidates per query depend on shingle overlap

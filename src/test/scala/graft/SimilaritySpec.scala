@@ -232,6 +232,33 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s14 RRF: consensus neighbors outrank single-index neighbors") {
+    val fused = operators.Similarity.rrfFusion(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val inA = operators.Similarity.annLsh(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val inB = operators.Similarity.annIvf(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(fused.nonEmpty)
+    fused.foreach { case (q, rs) =>
+      val both = inA(q) intersect inB(q)
+      val scores = rs.map(r =>
+        r.getAs[Long]("neighbor_id") -> r.getAs[Long]("rrf_milli")).toMap
+      // a neighbor both indexes surface scores two rrf terms; any
+      // single-index neighbor scores one — consensus must dominate
+      if (both.nonEmpty) {
+        val cons = scores.filterKeys(both.contains).values
+        val single = scores.filterKeys(n => !both.contains(n)).values
+        assert(single.isEmpty || cons.min > single.max,
+          s"$q: consensus $cons vs single $single")
+        val top1 = rs.minBy(_.getAs[Int]("rn")).getAs[Long]("neighbor_id")
+        assert(both.contains(top1), s"$q top1 $top1 not in $both")
+      }
+    }
+  }
+
   test("s13 BM25: coverage beats partial match, length normalization penalizes padding") {
     val d = Files.createTempDirectory("graft-bm25").toString
     val filler = (1 to 50).map(i => s"filler$i").mkString(" ")
