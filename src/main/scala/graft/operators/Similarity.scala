@@ -336,26 +336,27 @@ object Similarity {
     * bucketing story); df/totals are K-row/1-row broadcasts; the
     * final rank is bounded TopKPerKey, never a corpus window.
     */
-  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
-    import s.implicits._
-    val q = bm25Queries.toDF("qid", "term")
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-    // doc lengths feed the totals AND the score join — cache
-    val dl = docs.select(col("doc_id"), size(col("t")).cast("long").as("len"))
-      .cache()
-    val tot = dl.agg(count(lit(1)).cast("long").as("nn"),
-      sum(col("len")).cast("long").as("tt"))
+  /** s13's per-doc term frequencies over the fixed query vocab — the
+    * posting-list probe (the term filter pushes into the scan). */
+  private[graft] def bm25Tf(docsTokens: DataFrame): DataFrame = {
     val vocab = bm25Queries.map(_._2).distinct
-    // tf feeds the df aggregate AND the scoring join — cache
-    val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
+    docsTokens.select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .cache()
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-    val scored = tf.join(broadcast(q), Seq("term"))
+  }
+
+  /** s13's scoring stage, shared with the streaming percolator
+    * (streaming.PercolateStream scores arriving batches against
+    * FROZEN lake stats through this exact code path — parity by
+    * construction). Inputs: tf (doc, term, tf), dl (doc, len),
+    * dft (term, df), tot 1-row (nn, tt).
+    */
+  private[graft] def bm25ScoredPairs(s: SparkSession, tf: DataFrame,
+      dl: DataFrame, dft: DataFrame, tot: DataFrame): DataFrame = {
+    import s.implicits._
+    val q = bm25Queries.toDF("qid", "term")
+    tf.join(broadcast(q), Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))
@@ -366,6 +367,21 @@ object Similarity {
           " (20 * tt * tf + 6 * tt + 18 * len * nn) AS BIGINT)"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("term_score")).cast("long").as("score_milli"))
+  }
+
+  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    // doc lengths feed the totals AND the score join — cache
+    val dl = docs.select(col("doc_id"), size(col("t")).cast("long").as("len"))
+      .cache()
+    val tot = dl.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("len")).cast("long").as("tt"))
+    // tf feeds the df aggregate AND the scoring join — cache
+    val tf = bm25Tf(docs).cache()
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val scored = bm25ScoredPairs(s, tf, dl, dft, tot)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_milli").desc, col("doc_id"))
     graft.plans.TopK.perKey(scored, Seq(col("qid")),

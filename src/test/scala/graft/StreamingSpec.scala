@@ -617,6 +617,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(outDir2).count() == 3)
   }
 
+  test("percolate stream: standing queries match arriving docs, frozen stats") {
+    import graft.streaming.PercolateStream
+    val dir = Files.createTempDirectory("graft-perc-lake").toString
+    val inDir = Files.createTempDirectory("graft-perc-in").toString
+    val outDir = Files.createTempDirectory("graft-perc-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-perc-ck").toString
+    // lake: docs carrying the standing vocab with varying df
+    val lake = (0L until 20L).map { i =>
+      val t = if (i % 2 == 0) "hash join spark pipeline words here"
+              else "window agg stream other words here"
+      (i, t, "en", "src0", t.length.toLong)
+    }
+    lake.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // deltas: q1-matching doc / q2-matching doc / no standing term
+    val delta = Seq(
+      (100L, "hash hash join spark query", "en", "src5", 26L),
+      (101L, "stream window agg burst", "en", "src5", 23L),
+      (102L, "nothing relevant at all", "en", "src5", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    delta.filter($"doc_id" < 102).write.mode(SaveMode.Append).parquet(inDir)
+    delta.filter($"doc_id" === 102).write.mode(SaveMode.Append).parquet(inDir)
+    val q = PercolateStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("qid"),
+        r.getAs[Long]("score_milli"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    // parity: the stream equals the batch scorer under the same stats
+    val (dft, tot) = PercolateStream.lakeStats(spark, dir)
+    val batch = asSet(PercolateStream.scoreBatch(
+      spark.read.parquet(inDir), dft, tot))
+    assert(streamed == batch, s"diverged: ${(batch -- streamed).take(3)}" +
+      s" / ${(streamed -- batch).take(3)}")
+    // percolation semantics: matched docs alert on their query only,
+    // the no-term doc produces NO row at all
+    val byDocQ = streamed.groupBy(_._1).map { case (d, s) =>
+      d -> s.map(_._2) }
+    assert(byDocQ(100L) == Set("q1") && byDocQ(101L) == Set("q2"))
+    assert(!byDocQ.contains(102L))
+    assert(streamed.forall(_._3 > 0L))
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-perc-out2").toString + "/out"
+    PercolateStream.writeBatch(spark.read.parquet(inDir), dft, tot, outDir2, 0L)
+    PercolateStream.writeBatch(spark.read.parquet(inDir), dft, tot, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == streamed.size)
+  }
+
   test("BPE apply stream: frozen tokenizer, OOV falls back to merge rules") {
     import graft.streaming.BpeApplyStream
     val dir = Files.createTempDirectory("graft-bpes-lake").toString
