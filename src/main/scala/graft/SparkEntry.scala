@@ -132,6 +132,7 @@ object SparkEntry {
     "t25_bpe_apply" -> ((s, d) => Bpe.bpeApply(s, d)),
     "t26_chunk_split" -> ((s, d) => TextOps.chunkSplit(s, d)),
     "t27_exact_sample" -> ((s, d) => TextOps.exactSample(s, d)),
+    "t28_source_drift" -> ((s, d) => TextOps.sourceDrift(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -1753,6 +1754,22 @@ FROM c ORDER BY doc_id, chunk_id""",
       """WITH r AS (SELECT lang, doc_id, md5('t27|' || CAST(doc_id AS VARCHAR)) AS r FROM documents),
 q AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rn FROM r)
 SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM q WHERE rn <= 25 ORDER BY lang, rn""",
+    "t28_source_drift" ->
+      """WITH tk AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+sc AS (SELECT source, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 10000 AS b,
+    CAST(count(*) AS BIGINT) AS k
+  FROM tk WHERE w <> '' GROUP BY 1, 2),
+al AS (SELECT b, CAST(sum(k) AS BIGINT) AS kall FROM sc GROUP BY 1),
+ts AS (SELECT source, CAST(sum(k) AS BIGINT) AS ts FROM sc GROUP BY 1),
+ta AS (SELECT CAST(sum(k) AS BIGINT) AS ta FROM sc),
+u AS (SELECT sc.source, sc.k, ts.ts,
+    ((length(bin(sc.k + 1)) - 1) - (length(bin(ts.ts + 1)) - 1))
+      - ((length(bin(al.kall + 1)) - 1) - (length(bin(ta.ta + 1)) - 1)) AS u
+  FROM sc JOIN al USING (b) JOIN ts USING (source) CROSS JOIN ta)
+SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+  CAST(sum(k * u) AS BIGINT) AS drift_units,
+  CAST(CAST(sum(k * u) AS BIGINT) * 100 // greatest(max(ts), 1) AS BIGINT) AS mean_centibits
+FROM u GROUP BY source ORDER BY source""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

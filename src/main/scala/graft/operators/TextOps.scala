@@ -742,6 +742,51 @@ object TextOps {
         sum(when(col("source") =!= "src0", col("k")).otherwise(lit(0L)))
           .cast("long").as("cr"))
 
+  /** t28 — per-SOURCE distribution drift (the ingest-drift monitor a
+    * corpus build runs per source per ingest: a source whose token
+    * distribution drifts from the corpus — scraper broke, content
+    * farm took over a domain, encoding went bad — fires here before
+    * it poisons the mix). KL-divergence shape in t21/t22's integer
+    * floor-log2 units: hashed-unigram model per source vs the whole
+    * corpus, u(b) = (⌊log2(k+1)⌋ − ⌊log2(ts+1)⌋) − (⌊log2(kall+1)⌋
+    * − ⌊log2(ta+1)⌋), drift_units = Σ k·u, mean_centibits =
+    * 100·drift DIV ts — exact cross-engine, no float log.
+    *
+    * Scale shape: ONE corpus token scan + one (source, bucket)
+    * map-combinable agg; everything downstream operates on frames
+    * CAPACITY-BOUNDED at |sources|·10k rows (the hashed-features
+    * contract, t22's documented broadcast-safety argument): the
+    * corpus model re-aggregates that frame by bucket (reusing its
+    * exchange), totals are |sources|-row / 1-row broadcasts, the
+    * drift join is key-equality on bucket.
+    */
+  def sourceDrift(s: SparkSession, dir: String, buckets: Int = 10000): DataFrame = {
+    def flog2(c: Column) = length(bin(c)) - 1
+    val sc = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"),
+        (Text.tokenHash(col("w")) % buckets).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).cast("long").as("k"))
+      .cache() // capacity-bounded; feeds corpus model, totals, drift
+    val all = sc.groupBy(col("b")).agg(sum(col("k")).cast("long").as("kall"))
+    val ts = sc.groupBy(col("source")).agg(sum(col("k")).cast("long").as("ts"))
+    val ta = sc.agg(sum(col("k")).cast("long").as("ta"))
+    sc.join(all, Seq("b"))
+      .join(ts, Seq("source"))
+      .crossJoin(broadcast(ta))
+      .select(col("source"), col("k"), col("ts"),
+        ((flog2(col("k") + 1) - flog2(col("ts") + 1))
+          - (flog2(col("kall") + 1) - flog2(col("ta") + 1))).as("u"))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        sum(col("k") * col("u")).cast("long").as("drift_units"))
+      .withColumn("mean_centibits", expr(
+        "CAST(drift_units * 100 DIV greatest(n_tokens, 1) AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
   /** t23 — hashed linear quality classifier (the fastText-style
     * filter shape of CCNet/GPT-3-era pipelines): score = Σ over
     * tokens of a fixed integer weight keyed by the token's hash

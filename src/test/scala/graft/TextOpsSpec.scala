@@ -271,6 +271,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[String]("chunk_hash")).distinct.length == rows.length)
   }
 
+  test("t28 source drift: the off-distribution source scores highest") {
+    val d = Files.createTempDirectory("graft-t28").toString
+    val typical = (1 to 40).map(i => s"tok${i % 12}").mkString(" ")
+    val alien = (1 to 40).map(i => s"zz${i % 12}").mkString(" ")
+    (Seq.tabulate(9) { i =>
+      (i.toLong, typical, "en", s"src${i % 3}", typical.length.toLong)
+    } :+ ((9L, alien, "en", "srcX", alien.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.TextOps.sourceDrift(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("mean_centibits")).toMap
+    // srcX's vocabulary is disjoint from the corpus bulk — its
+    // per-token log-ratio must dominate every conforming source
+    assert(Seq("src0", "src1", "src2").forall(s => rows("srcX") > rows(s)),
+      rows.toString)
+  }
+
   test("t27 exact sample: exactly min(k, n) rows per stratum, deterministic") {
     val dir = mkDocs(
       (0L until 60L).map(i => (i, s"doc $i", "en")) ++  // 60 > k=25
