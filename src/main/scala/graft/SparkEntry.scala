@@ -69,6 +69,7 @@ object SparkEntry {
     "r24_funnel_chained" -> (Relational.funnelChained _),
     "r25_pagerank" -> (Relational.purchasePagerank _),
     "r26_funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
+    "r27_gapfill" -> (Relational.gapFill _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -104,6 +105,7 @@ object SparkEntry {
     "s12_filtered_ann" -> (Similarity.annFiltered _),
     "s13_bm25" -> ((s, d) => Similarity.bm25Search(s, d)),
     "s14_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
+    "s15_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -133,6 +135,7 @@ object SparkEntry {
     "t26_chunk_split" -> ((s, d) => TextOps.chunkSplit(s, d)),
     "t27_exact_sample" -> ((s, d) => TextOps.exactSample(s, d)),
     "t28_source_drift" -> ((s, d) => TextOps.sourceDrift(s, d)),
+    "t29_perplexity_buckets" -> (TextOps.perplexityBuckets _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -145,7 +148,8 @@ object SparkEntry {
     "c01_curation" -> ((s, d) => Curation.curate(s, d)),
     "c02_cluster_sample" -> (Curation.clusterSample _),
     "c03_corpus_card" -> (Curation.corpusCard _),
-    "c04_outlier_scrub" -> (Curation.outlierScrub _))
+    "c04_outlier_scrub" -> (Curation.outlierScrub _),
+    "c05_dq_suite" -> (Curation.dqSuite _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -924,6 +928,35 @@ SELECT c.vec_a, c.vec_b,
 FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
 WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 10000) >= 9000
 ORDER BY vec_a, vec_b""",
+    // s15: d05's adaptive band layout over the RAW corpus (no gate
+    // plants, no threshold), DIRECTED candidates, top-3 per source
+    "s15_knn_graph" ->
+      """WITH p AS (SELECT greatest(3, length(bin(count(*) - 1)) - 3) AS bits FROM embeddings),
+p2 AS (SELECT bits, least(64 // bits, bits + 1) AS nb FROM p),
+bd AS (SELECT unnest(range(nb)) AS band, bits FROM p2),
+b AS (SELECT e.vec_id, bd.band,
+    list_sum(list_transform(range(bd.bits),
+      r -> CASE WHEN e.embedding[CAST(bd.band * bd.bits + r + 1 AS INT)] >= 0
+           THEN 1 << r ELSE 0 END)) AS bucket
+  FROM embeddings e CROSS JOIN bd),
+cand AS (SELECT DISTINCT a.vec_id AS src, bb.vec_id AS dst
+  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+eq AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mq
+  FROM embeddings),
+e3 AS (SELECT vec_id, mq,
+    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nq FROM eq),
+sc AS (SELECT c.src, c.dst,
+    CAST(CAST(list_sum(list_transform(range(1, len(a.mq) + 1),
+        i -> a.mq[i] * b.mq[i])) AS BIGINT) AS DOUBLE)
+      / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cos
+  FROM cand c JOIN e3 a ON a.vec_id = c.src
+    JOIN e3 b ON b.vec_id = c.dst),
+r AS (SELECT src, dst, cos,
+    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc)
+SELECT src AS vec_id, rn, dst AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
 
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
@@ -1365,6 +1398,22 @@ a AS (SELECT DISTINCT f.cohort_week, e.user_id,
   FROM e JOIN f USING (user_id))
 SELECT cohort_week, week_offset, count(*) AS n_active
 FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // r27: per-event floor-cents BEFORE the sum (integer fill values,
+    // order-independent); hour_id = floor(epoch/3600) both engines
+    "r27_gapfill" ->
+      """WITH e AS (SELECT user_id,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+h AS (SELECT user_id, hour_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(cents) AS BIGINT) AS hour_cents FROM e GROUP BY 1, 2),
+sp AS (SELECT user_id, min(hour_id) AS h0, max(hour_id) AS h1 FROM h GROUP BY 1),
+g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour_id FROM sp),
+f AS (SELECT g.user_id, g.hour_id, coalesce(h.n_events, 0) AS n_events, h.hour_cents
+  FROM g LEFT JOIN h USING (user_id, hour_id))
+SELECT user_id, hour_id, CAST(n_events AS BIGINT) AS n_events,
+  CAST(last_value(hour_cents IGNORE NULLS) OVER (PARTITION BY user_id
+    ORDER BY hour_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
+FROM f ORDER BY user_id, hour_id""",
     "r25_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -1535,6 +1584,24 @@ SELECT coalesce(source, 'ALL') AS source, n_docs, n_langs, n_tokens,
   CAST(n_dup_docs * 10000 // n_docs AS BIGINT) AS dup_bp,
   CAST(n_chars // n_docs AS BIGINT) AS mean_chars
 FROM r WHERE n_docs > 0 ORDER BY source""",
+    "c05_dq_suite" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(count(o_custkey) AS BIGINT) AS n_custkey,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_key,
+    CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS n_status_ok,
+    CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice < 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_ok
+  FROM orders),
+orph AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+x AS (SELECT * FROM m CROSS JOIN orph)
+SELECT check_name, CAST(metric_bp AS BIGINT) AS metric_bp, passed FROM (
+  SELECT 'row_count' AS check_name, n AS metric_bp, n > 0 AS passed FROM x
+  UNION ALL SELECT 'completeness_custkey', n_custkey * 10000 // greatest(n, 1), n_custkey = n FROM x
+  UNION ALL SELECT 'uniqueness_orderkey', n_key * 10000 // greatest(n, 1), n_key = n FROM x
+  UNION ALL SELECT 'accepted_status', n_status_ok * 10000 // greatest(n, 1), n_status_ok = n FROM x
+  UNION ALL SELECT 'price_in_range', n_price_ok * 10000 // greatest(n, 1), n_price_ok = n FROM x
+  UNION ALL SELECT 'ref_integrity_customer', (n - n_orphan) * 10000 // greatest(n, 1), n_orphan = 0 FROM x)
+ORDER BY check_name""",
     "d13_multiblock_simhash" -> multiblockSimhashSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -1770,6 +1837,33 @@ SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
   CAST(sum(k * u) AS BIGINT) AS drift_units,
   CAST(CAST(sum(k * u) AS BIGINT) * 100 // greatest(max(ts), 1) AS BIGINT) AS mean_centibits
 FROM u GROUP BY source ORDER BY source""",
+    // t29: t21's scorer CTE-for-CTE, then the value-histogram tercile
+    // rule bucket(v) = floor(3·c_lt/n) — never an ntile over a global
+    // rank window; equal scores share a bucket by construction
+    "t29_perplexity_buckets" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2),
+dbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+sc AS (SELECT dbg.doc_id,
+    CAST(sum(dbg.k) AS BIGINT) AS n_bigrams,
+    CAST(sum(dbg.k * ((length(bin(c1.c1)) - 1) - (length(bin(c12.c12)) - 1))) AS BIGINT) AS surprisal_units
+  FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
+ds AS (SELECT d.doc_id,
+    CAST(coalesce(sc.surprisal_units, 0) * 100 // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS mean_centibits
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+hist AS (SELECT mean_centibits, CAST(count(*) AS BIGINT) AS cnt FROM ds GROUP BY 1),
+b AS (SELECT mean_centibits,
+    coalesce(sum(cnt) OVER (ORDER BY mean_centibits
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+    sum(cnt) OVER () AS n_docs
+  FROM hist),
+b2 AS (SELECT mean_centibits, CAST(3 * c_lt // n_docs AS INT) AS tercile FROM b)
+SELECT ds.doc_id, ds.mean_centibits, b2.tercile,
+  CASE b2.tercile WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ds JOIN b2 USING (mean_centibits) ORDER BY ds.doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

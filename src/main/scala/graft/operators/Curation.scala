@@ -172,4 +172,54 @@ object Curation {
       .withColumn("mean_chars", expr("CAST(n_chars DIV n_docs AS BIGINT)"))
       .orderBy(col("source"))
   }
+
+  /** c05 — declarative DATA-QUALITY expectation suite (the
+    * Deequ/Great-Expectations shape): a fixed battery of checks over
+    * the orders table — row count, completeness(o_custkey),
+    * uniqueness(o_orderkey), accepted-values(o_orderstatus),
+    * numeric range(o_totalprice), referential
+    * integrity(o_custkey → customer) — evaluated as ONE Spark job
+    * emitting one row per check with its observed metric (integer
+    * basis points) and pass verdict. This is the ingest gate a lake
+    * runs before publishing a partition; the reference pipeline's
+    * scattered per-field null checks are this, systematized.
+    *
+    * Scale shape: the five single-table metrics come from ONE scan
+    * (a single aggregate — count/conditional-count/count-distinct
+    * partials all map-side-combinable; the count-distinct is the one
+    * Expand, r18's documented profile shape — swap to HLL++ at 100 TB
+    * for a bp-tolerant uniqueness check). Referential integrity is
+    * one left-anti-shaped broadcast join aggregated to a count. The
+    * final per-check rows are a row-local stack over the two 1-row
+    * frames — no further shuffle. Thresholds are integers; verdicts
+    * can't straddle a float ulp.
+    */
+  def dqSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val m = o.agg(
+      count(lit(1)).cast("long").as("n"),
+      count(col("o_custkey")).cast("long").as("n_custkey"),
+      countDistinct(col("o_orderkey")).cast("long").as("n_key"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .cast("long").as("n_status_ok"),
+      sum(when(col("o_totalprice") >= 0 && col("o_totalprice") < 10000000, 1L)
+        .otherwise(0L)).cast("long").as("n_price_ok"))
+    val orphans = o.join(
+        Tables.customer(s, dir).select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_orphan"))
+    m.crossJoin(orphans)
+      .select(expr(
+        """stack(6,
+          'row_count',            n,                                  n > 0,
+          'completeness_custkey', n_custkey * 10000 DIV greatest(n, 1),        n_custkey = n,
+          'uniqueness_orderkey',  n_key * 10000 DIV greatest(n, 1),            n_key = n,
+          'accepted_status',      n_status_ok * 10000 DIV greatest(n, 1),      n_status_ok = n,
+          'price_in_range',       n_price_ok * 10000 DIV greatest(n, 1),       n_price_ok = n,
+          'ref_integrity_customer', (n - n_orphan) * 10000 DIV greatest(n, 1), n_orphan = 0
+        ) AS (check_name, metric_bp, passed)"""))
+      .select(col("check_name"), col("metric_bp").cast("long").as("metric_bp"),
+        col("passed"))
+      .orderBy(col("check_name"))
+  }
 }

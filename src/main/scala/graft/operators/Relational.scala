@@ -816,4 +816,46 @@ object Relational {
         col("deg").cast("long").as("n_customers"), col("rank_milli"))
       .orderBy(col("rank_milli").desc, col("s_suppkey"))
   }
+
+  /** r27 — time-series GAP-FILL + forward fill: the dense per-user
+    * hourly activity timeline (every hour between a user's first and
+    * last event, zero-activity hours materialized, the last observed
+    * hourly spend carried forward) — the densification every
+    * monitoring/feature-store pipeline runs before charting or
+    * windowed feature extraction, and a shape the sparse event table
+    * can't answer with any plain aggregate.
+    *
+    * Scale shape: events collapse to (user, hour) partials in ONE
+    * map-side-combinable agg (that frame is cached — it feeds the
+    * per-user span AND the grid probe of one plan); the grid is a
+    * row-local sequence() explode off the |users|-row span frame,
+    * bounded by the observation window (≤ 8,760 rows/user·year —
+    * never corpus-sized); the forward-fill window is per-user ordered
+    * (r09's documented skew class: a hot user costs one task's sort,
+    * the r20 chunk-merge mitigation applies if needed). Money is
+    * per-event floor-cents BIGINT before any sum, so fill values are
+    * order-independent integers.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) DIV 3600").as("hour_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("cents")).cast("long").as("hour_cents"))
+      .cache() // feeds the span agg AND the grid probe in one plan
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour_id")).as("h0"), max(col("hour_id")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour_id"), "left")
+      .select(col("user_id"), col("hour_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("hour_cents"), ignoreNulls = true).over(byUser)
+          .as("filled_cents"))
+      .orderBy(col("user_id"), col("hour_id"))
+  }
 }

@@ -760,6 +760,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s15 — k-NN GRAPH construction over the corpus: every vector's
+    * top-3 nearest neighbors among its sign-LSH candidates — the
+    * index-build primitive under HNSW/NN-descent graphs and the
+    * neighbor structure SemDeDup-style curation walks. Unlike the
+    * s01–s14 queries (a fixed ≤9-id query set), this is the
+    * ALL-vectors job — so the candidate stage must stay linear:
+    * candidates come from d05's corpus-adaptive sign-LSH layout
+    * ([[graft.operators.Dedup.adaptiveBands]] — bits grow with
+    * ⌈log₂ n⌉, ScaleSpec-measured ~linear), generated DIRECTED in one
+    * self-join (vec_a ≠ vec_b, both directions from the same
+    * key-equality join — no union re-reference of the candidate
+    * frame). Exact cosine ranks each vector's candidate list through
+    * the bounded TopKPerKey (≤k rows per vector per partition cross
+    * the shuffle). A vector whose buckets are all singletons emits no
+    * rows (an isolated node — production runs an NN-descent round to
+    * densify; the graph build cost is the artifact here). At 100 TB:
+    * two embedding-table probes by key plus one bucket-keyed shuffle,
+    * work ∝ candidates ∝ n·bands.
+    *
+    * Determinism contract: scores are cosines over MILLI-QUANTIZED
+    * vectors (per-component floor(x·1000) BIGINT — the pqCodebook
+    * float-pinning recipe): integer dot product and squared norms are
+    * order-independent exact sums, and the final double division/sqrt
+    * runs on identical integers in both engines, so ranks can never
+    * straddle a float ulp (raw float cosine measurably flips a
+    * floor(cos·10⁴) boundary on ~1 in 10⁴ candidate pairs). The
+    * quantization error (~1e-3 per component) is far below any
+    * meaningful neighbor gap; production graphs quantize harder than
+    * this (SQ8/PQ) for memory alone.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val bands = Dedup.adaptiveBands(emb.count())
+    // directed candidate pairs in ONE self-join (no half-pair union)
+    val bandStructs = bands.zipWithIndex.map { case (dims, j) =>
+      struct(lit(j).as("band"),
+        Vector.signBucket(col("embedding"), dims).as("bucket"))
+    }
+    val keyed = emb
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+    val cand = keyed.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(keyed.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("mq"))
+      .withColumn("nq", expr("aggregate(mq, 0L, (a, x) -> a + x * x)"))
+    val es = e.select(col("vec_id").as("src"), col("mq").as("sm"),
+      col("nq").as("sn"))
+    val ed = e.select(col("vec_id").as("dst"), col("mq").as("dm"),
+      col("nq").as("dn"))
+    val scored = cand.join(es, "src").join(ed, "dst")
+      .withColumn("cos",
+        expr("aggregate(zip_with(sm, dm, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          .cast("double") / sqrt((col("sn") * col("dn")).cast("double")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    graft.plans.TopK.perKey(scored, Seq(col("src")),
+        Seq(col("cos").desc, col("dst").asc), k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("src").as("vec_id"), col("rn"),
+        col("dst").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val asg = cellAssignments(s, dir)
     val cells = asg.filter(col("rr") === 1)

@@ -623,7 +623,14 @@ object TextOps {
     * of a corpus-derived frame — the s04 lesson). Linear in corpus
     * tokens; model size is O(distinct bigrams), Zipf-concentrated.
     */
-  def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame =
+    surprisalScores(s, dir).orderBy(col("doc_id"))
+
+  /** t21's unsorted scoring body — factored so t29's bucketing reuses
+    * the identical score definition (drift between the scorer and the
+    * bucketer would silently re-rank the terciles).
+    */
+  private[graft] def surprisalScores(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val dbg = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
@@ -651,6 +658,52 @@ object TextOps {
         coalesce(col("surprisal_units"), lit(0L)).as("surprisal_units"))
       .withColumn("mean_centibits",
         expr("CAST((surprisal_units * 100) DIV greatest(n_bigrams, 1) AS BIGINT)"))
+  }
+
+  /** t29 — perplexity-tercile bucketing (the CCNet head/middle/tail
+    * split): docs partitioned into three equal-population buckets by
+    * t21's surprisal score — CCNet keeps "head" (lowest perplexity,
+    * cleanest) wholesale, samples "middle", culls "tail"; the mix
+    * decision every LM corpus build makes after the scorer runs.
+    *
+    * The naive formulation is ntile() over a GLOBAL rank window — a
+    * total-order exchange of the corpus, the one shuffle shape this
+    * engine bans. Instead the tercile is derived from the VALUE
+    * HISTOGRAM: bucket(v) = ⌊3·c_lt(v) / n⌋ with c_lt the count of
+    * docs scoring strictly below v — integer arithmetic both engines
+    * replay, docs with equal scores land in the same bucket by
+    * construction (ntile would split ties arbitrarily), and the
+    * histogram frame is CAPACITY-BOUNDED at the distinct
+    * mean_centibits values (≤ ~100·64 by construction of the score),
+    * so its single-partition window and the broadcast probe join are
+    * scale-free. The per-doc score frame is cached — it feeds the
+    * histogram AND the probe side of one plan (the re-execution
+    * rule); at 100 TB it is the 16-byte/doc artifact a production
+    * pipeline would materialize anyway.
+    */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sc = surprisalScores(s, dir)
+      .select(col("doc_id"), col("mean_centibits"))
+      .cache()
+    val hist = sc.groupBy(col("mean_centibits"))
+      .agg(count(lit(1)).as("cnt"))
+    val wLt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_centibits"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_centibits"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val terciles = hist.select(col("mean_centibits"),
+        coalesce(sum(col("cnt")).over(wLt), lit(0L)).as("c_lt"),
+        sum(col("cnt")).over(wAll).as("n_docs"))
+      .withColumn("tercile", expr("CAST(3 * c_lt DIV n_docs AS INT)"))
+      .select(col("mean_centibits"), col("tercile"))
+    sc.join(broadcast(terciles), Seq("mean_centibits"))
+      .select(col("doc_id"), col("mean_centibits"), col("tercile"),
+        when(col("tercile") === 0, lit("head"))
+          .when(col("tercile") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+
+/** c05 data-quality suite: each check is violated by exactly one
+  * planted defect on a 10-row orders table, so every metric value is
+  * hand-computable and every verdict flips for a known reason.
+  */
+class DqSuiteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dq").toString
+    // 10 rows; defects: one duplicate key (1), one null custkey (row 9),
+    // one orphan custkey 99 (row 10), one bad status (row 5), one
+    // negative price (row 6)
+    val orders = Seq(
+      (1L, Option(1L), "O", 10.0),
+      (1L, Option(2L), "F", 20.0), // duplicate o_orderkey
+      (3L, Option(3L), "P", 30.0),
+      (4L, Option(4L), "O", 40.0),
+      (5L, Option(5L), "X", 50.0), // bad status
+      (6L, Option(6L), "F", -5.0), // out-of-range price
+      (7L, Option(7L), "O", 70.0),
+      (8L, Option(8L), "F", 80.0),
+      (9L, None, "O", 90.0),       // null custkey (also an RI orphan)
+      (10L, Option(99L), "F", 99.0)) // orphan custkey
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/orders.parquet")
+    (1L to 8L).map(k => (k, s"Customer#$k")).toDF("c_custkey", "c_name")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/customer.parquet")
+    d
+  }
+
+  test("c05: every planted defect surfaces in its check's metric") {
+    val out = operators.Curation.dqSuite(spark, dir).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("metric_bp"), r.getAs[Boolean]("passed")))).toMap
+    assert(out.size == 6)
+    assert(out("row_count") == ((10L, true)))
+    assert(out("completeness_custkey") == ((9000L, false)))
+    assert(out("uniqueness_orderkey") == ((9000L, false)))
+    assert(out("accepted_status") == ((9000L, false)))
+    assert(out("price_in_range") == ((9000L, false)))
+    // orphans: the null custkey and custkey 99 → (10-2)/10
+    assert(out("ref_integrity_customer") == ((8000L, false)))
+  }
+
+  test("c05 passes wholesale on the clean generated testdata") {
+    val out = operators.Curation.dqSuite(spark, sf0001).collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getAs[Boolean]("passed")),
+      out.map(r => r.getAs[String]("check_name") + "=" +
+        r.getAs[Long]("metric_bp")).mkString(", "))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+
+/** r27 gap-fill: hand-walked dense-timeline semantics — zero-activity
+  * hours materialize with n_events = 0, the forward fill carries the
+  * LAST observed hourly spend (not a sum), per-event floor-cents
+  * before any aggregation, and the grid is bounded by each user's own
+  * [first, last] hour (no leading/trailing extrapolation).
+  */
+class GapFillSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val baseNs = 1704067200L * 1000000000L // 2024-01-01 00:00 UTC
+  private val h0 = 1704067200L / 3600L           // its epoch-hour id
+  private def tsNs(min: Long): Long = baseNs + min * 60L * 1000000000L
+
+  private def mkEvents(rows: Seq[(Long, Long, Double)]): String = {
+    val d = Files.createTempDirectory("graft-gapfill").toString
+    rows.zipWithIndex.map { case ((uid, m, v), i) =>
+      (i.toLong, tsNs(m), uid, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("r27 gap-fill: dense grid, zero hours, forward-filled cents") {
+    val dir = mkEvents(Seq(
+      // u1: hours 0, 1, 1, 4 — hours 2 and 3 are gaps
+      (1L, 10L, 1.25),   // hour 0 → 125 cents
+      (1L, 70L, 2.50),   // hour 1 → 250
+      (1L, 75L, 0.999),  // hour 1 → floor(99.9) = 99
+      (1L, 250L, 3.00),  // hour 4 → 300
+      // u2: a single event — a one-row timeline, no gaps
+      (2L, 130L, 0.01))) // hour 2 → 1 cent
+    val out = operators.Relational.gapFill(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hour_id")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("filled_cents")))).toMap
+    assert(out.size == 6, out.keySet.toString) // u1 hours 0..4 + u2 hour 2
+    assert(out((1L, h0 + 0)) == ((1L, 125L)))
+    assert(out((1L, h0 + 1)) == ((2L, 349L))) // 250 + 99, per-row floors
+    assert(out((1L, h0 + 2)) == ((0L, 349L))) // gap: carried forward
+    assert(out((1L, h0 + 3)) == ((0L, 349L)))
+    assert(out((1L, h0 + 4)) == ((1L, 300L))) // new observation replaces
+    assert(out((2L, h0 + 2)) == ((1L, 1L)))
+  }
+
+  test("r27 emits nothing for an empty events table") {
+    val dir = mkEvents(Seq.empty)
+    assert(operators.Relational.gapFill(spark, dir).count() == 0L)
+  }
+}

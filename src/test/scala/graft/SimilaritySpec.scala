@@ -363,4 +363,24 @@ class SimilaritySpec extends SparkSpecBase {
         s"$q mmr2 < mmr3")
     }
   }
+
+  test("s15 kNN graph: full coverage, same-cluster neighbors, ranked") {
+    // every cluster member shares sign buckets with its 39 siblings
+    // (components bounded 0.2 from zero, 0.001 perturbations), so all
+    // 120 nodes have candidates and in-cluster cosine ≈ 1 dominates
+    // any cross-cluster bucket coincidence → 3 same-cluster rows/node
+    val g = operators.Similarity.knnGraph(spark, dir).collect()
+    assert(g.length == 360, s"got ${g.length}")
+    val byV = g.groupBy(_.getAs[Long]("vec_id"))
+    assert(byV.size == 120)
+    byV.foreach { case (v, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == Seq(1, 2, 3), s"$v")
+      rs.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb != v && cluster(nb) == cluster(v), s"$v -> $nb")
+      }
+      val ranked = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("cos_bp"))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b }, s"$v")
+    }
+  }
 }

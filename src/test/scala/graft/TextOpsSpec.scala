@@ -304,4 +304,32 @@ class TextOpsSpec extends SparkSpecBase {
     assert(again == rows.map(r => (r.getAs[String]("lang"),
       r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSet)
   }
+
+  test("t29 perplexity terciles: value-consistent, monotone, exact rule") {
+    val rows = operators.TextOps.perplexityBuckets(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byVal = rows.groupBy(_.getAs[Long]("mean_centibits"))
+    // equal scores always share a bucket (the property ntile breaks)
+    byVal.foreach { case (v, rs) =>
+      assert(rs.map(_.getAs[Int]("tercile")).toSet.size == 1, s"value $v") }
+    // bucket name matches the tercile index
+    rows.foreach { r =>
+      assert(Seq("head", "middle", "tail")(r.getAs[Int]("tercile")) ==
+        r.getAs[String]("bucket")) }
+    // the exact histogram rule: tercile(v) = floor(3 * c_lt / n),
+    // recomputed independently from the output itself
+    val n = rows.length
+    val vt = byVal.toSeq.sortBy(_._1)
+    var cum = 0L
+    vt.foreach { case (v, rs) =>
+      assert(rs.head.getAs[Int]("tercile") == (3 * cum / n).toInt,
+        s"value $v at c_lt=$cum")
+      cum += rs.size
+    }
+    // monotone: higher surprisal can never land in an earlier bucket
+    val ts = vt.map(_._2.head.getAs[Int]("tercile"))
+    assert(ts == ts.sorted)
+    // all three buckets populated on the real corpus (score spread)
+    assert(rows.map(_.getAs[Int]("tercile")).toSet == Set(0, 1, 2))
+  }
 }
