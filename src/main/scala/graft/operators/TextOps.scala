@@ -814,30 +814,53 @@ object TextOps {
     * drift join is key-equality on bucket.
     */
   def sourceDrift(s: SparkSession, dir: String, buckets: Int = 10000): DataFrame = {
-    def flog2(c: Column) = length(bin(c)) - 1
-    val sc = Tables.documents(s, dir)
+    val sc = driftCounts(Tables.documents(s, dir), buckets)
+      .cache() // capacity-bounded; feeds corpus model, totals, drift
+    val all = sc.groupBy(col("b")).agg(sum(col("k")).cast("long").as("kall"))
+    val ta = sc.agg(sum(col("k")).cast("long").as("ta"))
+    driftScore(sc, all, ta).orderBy(col("source"))
+  }
+
+  /** t28's per-(source, bucket) hashed-unigram counts — row-local
+    * hashing then ONE map-combinable agg; capacity-bounded at
+    * |sources|·buckets rows. Shared with streaming.DriftStream, which
+    * counts each arriving micro-batch through this exact path.
+    */
+  private[graft] def driftCounts(docs: DataFrame, buckets: Int): DataFrame =
+    docs
       .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("source"),
         (Text.tokenHash(col("w")) % buckets).as("b"))
       .groupBy(col("source"), col("b"))
       .agg(count(lit(1)).cast("long").as("k"))
-      .cache() // capacity-bounded; feeds corpus model, totals, drift
-    val all = sc.groupBy(col("b")).agg(sum(col("k")).cast("long").as("kall"))
+
+  /** t28's scoring stage against an explicit corpus model (per-bucket
+    * `kall` + 1-row total `ta`) — shared with the streaming twin,
+    * which freezes the model from the lake. The model probe is a LEFT
+    * join: in the batch operator every counted bucket exists in the
+    * model by construction (left ≡ inner); at ingest an arriving
+    * batch can hash into buckets the lake never saw — those score
+    * with kall = 0, i.e. maximal per-token divergence, which is
+    * exactly the alarm behavior an off-distribution delivery should
+    * trigger (the dsirScore OOV seam, drift-flavored).
+    */
+  private[graft] def driftScore(sc: DataFrame, all: DataFrame,
+      ta: DataFrame): DataFrame = {
+    def flog2(c: Column) = length(bin(c)) - 1
     val ts = sc.groupBy(col("source")).agg(sum(col("k")).cast("long").as("ts"))
-    val ta = sc.agg(sum(col("k")).cast("long").as("ta"))
-    sc.join(all, Seq("b"))
+    sc.join(all, Seq("b"), "left")
       .join(ts, Seq("source"))
       .crossJoin(broadcast(ta))
       .select(col("source"), col("k"), col("ts"),
         ((flog2(col("k") + 1) - flog2(col("ts") + 1))
-          - (flog2(col("kall") + 1) - flog2(col("ta") + 1))).as("u"))
+          - (flog2(coalesce(col("kall"), lit(0L)) + 1) - flog2(col("ta") + 1)))
+          .as("u"))
       .groupBy(col("source"))
       .agg(max(col("ts")).as("n_tokens"),
         sum(col("k") * col("u")).cast("long").as("drift_units"))
       .withColumn("mean_centibits", expr(
         "CAST(drift_units * 100 DIV greatest(n_tokens, 1) AS BIGINT)"))
-      .orderBy(col("source"))
   }
 
   /** t23 — hashed linear quality classifier (the fastText-style

@@ -617,6 +617,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(outDir2).count() == 3)
   }
 
+  test("drift stream: arriving deliveries scored against the frozen lake model") {
+    import graft.streaming.DriftStream
+    val dir = Files.createTempDirectory("graft-drift-lake").toString
+    val inDir = Files.createTempDirectory("graft-drift-in").toString
+    val outDir = Files.createTempDirectory("graft-drift-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-drift-ck").toString
+    val lakeText = (1 to 40).map(i => s"alpha${i % 7}").mkString(" ")
+    val oovText = (1 to 40).map(i => s"omega$i").mkString(" ")
+    // lake (id % 10 != 0): two conforming sources sharing a vocabulary;
+    // deltas (id % 10 == 0): a conforming src0 delivery and a broken
+    // srcX delivery whose vocabulary the lake has NEVER seen
+    val rows =
+      (1L to 4L).map(i => (i, lakeText, "src0")) ++
+      (11L to 14L).map(i => (i, lakeText, "src1")) ++
+      Seq((0L, lakeText, "src0"), (10L, oovText, "srcX"))
+    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // one delta file → one micro-batch (drift is a PER-DELIVERY stat)
+    df.filter($"doc_id" % 10 === 0).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = DriftStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("drift_units"), r.getAs[Long]("mean_centibits"))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    // parity: the stream equals the batch scorer under the same model
+    val (all, ta) = DriftStream.lakeModel(spark, dir)
+    val batch = asSet(DriftStream.scoreBatch(
+      spark.read.parquet(inDir), all, ta))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    val byS = streamed.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(byS.keySet == Set("src0", "srcX"))
+    // the never-seen-vocabulary delivery fires the alarm: its buckets
+    // probe kall = 0 (the left-join OOV seam) → maximal divergence
+    assert(byS("srcX")._3 > byS("src0")._3,
+      s"srcX ${byS("srcX")} vs src0 ${byS("src0")}")
+    assert(byS("srcX")._2 > 0L)
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-drift-out2").toString + "/out"
+    DriftStream.writeBatch(spark.read.parquet(inDir), all, ta, outDir2, 0L)
+    DriftStream.writeBatch(spark.read.parquet(inDir), all, ta, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 2)
+  }
+
   test("percolate stream: standing queries match arriving docs, frozen stats") {
     import graft.streaming.PercolateStream
     val dir = Files.createTempDirectory("graft-perc-lake").toString
