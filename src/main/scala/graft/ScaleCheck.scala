@@ -261,7 +261,31 @@ object ScaleCheck {
       // already-matched intervals would not move the aggregated count
       Growth("r17_matches",
         cand(baseDir, operators.Relational.rangeJoinMatches),
-        cand(bigDir, operators.Relational.rangeJoinMatches)))
+        cand(bigDir, operators.Relational.rangeJoinMatches)),
+      // s15's kNN graph: ≤ k rows per node BY CONSTRUCTION (TopKPerKey
+      // caps each node's out-degree) — the output bound that keeps the
+      // graph artifact ∝ corpus however dense the LSH buckets get; the
+      // candidate stage itself is the d05_cand_autobit row above
+      Growth("s15_edges",
+        cand(baseDir, (s2, d) => operators.Similarity.knnGraph(s2, d)),
+        cand(bigDir, (s2, d) => operators.Similarity.knnGraph(s2, d))),
+      // t29's tercile histogram: distinct mean_centibits values —
+      // content-disjoint copies reproduce the base score distribution
+      // EXACTLY (cross-copy bigrams never collide, so every copy's
+      // c12/c1 counts equal the base's), and the value domain is
+      // capacity-bounded by the score definition (≤ ~100·64) — the
+      // property that keeps the bucketing window scale-free
+      Growth("t29_hist_values",
+        cand(baseDir, (s2, d) => operators.TextOps.surprisalScores(s2, d)
+          .select(col("mean_centibits")).distinct()),
+        cand(bigDir, (s2, d) => operators.TextOps.surprisalScores(s2, d)
+          .select(col("mean_centibits")).distinct())),
+      // r27's dense grid: user-disjoint copies carry identical spans ⇒
+      // grid rows replicate EXACTLY ×factor — anything else means the
+      // span derivation leaked hours across copies
+      Growth("r27_grid",
+        cand(baseDir, operators.Relational.gapFill),
+        cand(bigDir, operators.Relational.gapFill)))
     (growths, (trimBp(baseDir), trimBp(bigDir)))
   }
 

@@ -175,6 +175,35 @@ class ScaleSpec extends SparkSpecBase {
       s"r17 matches ${g.base} -> ${g.inflated}: expected exactly 10x")
   }
 
+  test("s15 kNN graph rows stay ≤ 3 per node as the corpus inflates") {
+    val g = growth("s15_edges")
+    // TopKPerKey caps out-degree at k=3 BY CONSTRUCTION — the graph
+    // artifact is ∝ corpus however dense the LSH buckets get
+    assert(g.base > 0 && g.base <= 3 * baseN &&
+      g.inflated <= 3 * factor * baseN,
+      s"s15 edges ${g.base} -> ${g.inflated} exceed the k·n bound")
+    assert(g.inflated >= g.base, s"s15 edges shrank: ${g.base} -> ${g.inflated}")
+  }
+
+  test("t29 score histogram is EXACTLY copy-invariant under inflation") {
+    val g = growth("t29_hist_values")
+    // content-disjoint copies reproduce the base score distribution
+    // exactly (cross-copy bigrams never collide ⇒ per-copy c12/c1
+    // counts equal the base's) — any new value means the model side
+    // leaked counts across copies; this is what keeps the bucketing
+    // histogram capacity-bounded at any corpus size
+    assert(g.base > 0 && g.inflated == g.base,
+      s"t29 distinct scores ${g.base} -> ${g.inflated}: copies leaked")
+  }
+
+  test("r27 gap-fill grid replicates EXACTLY linearly on user-disjoint copies") {
+    val g = growth("r27_grid")
+    // copies are user-disjoint with identical timestamps ⇒ identical
+    // per-user spans ⇒ exactly ×factor grid rows
+    assert(g.base > 0 && g.inflated == factor * g.base,
+      s"r27 grid ${g.base} -> ${g.inflated}: expected exactly ${factor}x")
+  }
+
   test("t09 TopK partial trim ratio is scale-invariant") {
     val (base, big) = trim
     assert(base > 0 && big > 0, s"trim metrics missing: $base, $big")
