@@ -106,6 +106,7 @@ object SparkEntry {
     "s13_bm25" -> ((s, d) => Similarity.bm25Search(s, d)),
     "s14_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "s15_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "s16_graph_search" -> ((s, d) => Similarity.graphExpandSearch(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -411,6 +412,7 @@ FROM x ORDER BY doc_id"""
     baseOracleSql +
       ("s09_recall_audit" -> recallAuditSql) +
       ("s14_rrf_fusion" -> rrfFusionSql) +
+      ("s16_graph_search" -> graphExpandSql) +
       // r24 computes r22's EXACT semantics by a different plan (chained
       // MINs vs one-shuffle array walk) — same oracle, stated once
       ("r24_funnel_chained" -> baseOracleSql("r22_funnel"))
@@ -437,6 +439,39 @@ r AS (SELECT query_id, neighbor_id, rrf_milli,
   FROM f)
 SELECT query_id, CAST(rn AS INT) AS rn, neighbor_id, rrf_milli
 FROM r WHERE rn <= 3 ORDER BY query_id, rn"""
+
+  /** s16's oracle, composed (the s09 trick): seeds are s02's OWN
+    * oracle and edges are s15's OWN oracle, embedded as derived
+    * tables — the search and its two index definitions cannot drift;
+    * the re-rank replays s15's milli-quantized score space.
+    */
+  private def graphExpandSql: String =
+    s"""WITH seeds AS (SELECT query_id, neighbor_id FROM (
+${baseOracleSql("s02_ann_lsh")}
+)),
+g AS (SELECT vec_id, neighbor_id AS hop_id FROM (
+${baseOracleSql("s15_knn_graph")}
+)),
+pool AS (SELECT DISTINCT query_id, cid FROM (
+    SELECT query_id, neighbor_id AS cid FROM seeds
+    UNION ALL
+    SELECT s.query_id, g.hop_id AS cid FROM seeds s JOIN g ON g.vec_id = s.neighbor_id)
+  WHERE cid <> query_id),
+eq2 AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mq
+  FROM embeddings),
+e4 AS (SELECT vec_id, mq,
+    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nq FROM eq2),
+sc2 AS (SELECT p.query_id, p.cid,
+    CAST(CAST(list_sum(list_transform(range(1, len(a.mq) + 1),
+        i -> a.mq[i] * b.mq[i])) AS BIGINT) AS DOUBLE)
+      / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cos
+  FROM pool p JOIN e4 a ON a.vec_id = p.query_id JOIN e4 b ON b.vec_id = p.cid),
+rr AS (SELECT query_id, cid, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rn FROM sc2)
+SELECT query_id, rn, cid AS neighbor_id,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM rr WHERE rn <= 3 ORDER BY query_id, rn"""
 
   /** t24/t25 helper: one BPE merge round as DuckDB CTEs over an input
     * CTE `in` with (word, n, arr) — pair count, top pair (count DESC,

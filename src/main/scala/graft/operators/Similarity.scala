@@ -808,11 +808,7 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("mq"))
-      .withColumn("nq", expr("aggregate(mq, 0L, (a, x) -> a + x * x)"))
+    val e = milliQuantized(Tables.embeddings(s, dir))
     val es = e.select(col("vec_id").as("src"), col("mq").as("sm"),
       col("nq").as("sn"))
     val ed = e.select(col("vec_id").as("dst"), col("mq").as("dm"),
@@ -830,6 +826,68 @@ object Similarity {
         col("dst").as("neighbor_id"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** (vec_id, mq, nq): per-component floor(x·1000) BIGINT vectors plus
+    * their integer squared norm — the deterministic score space s15
+    * and s16 rank in (integer sums are order-independent; the final
+    * double division runs on identical integers in both engines).
+    */
+  private def milliQuantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("mq"))
+      .withColumn("nq", expr("aggregate(mq, 0L, (a, x) -> a + x * x)"))
+
+  /** s16 — GRAPH-EXPANDED search (the graph-based ANN retrieval step
+    * of HNSW/NSG-family indexes, one hop deep): seed each fixed query
+    * with its s02 LSH results, expand every seed through the s15 kNN
+    * graph (seed's neighbors join in), exact-re-rank the expanded
+    * pool to top-3. This is THE recall-repair move when bucketed
+    * indexes miss: a true neighbor absent from the query's LSH bucket
+    * is still reachable if any seed links to it — retrieval quality
+    * improves without touching the corpus scan.
+    *
+    * Scale shape: the pool is ≤ |seeds|·(1+k) rows per query BY
+    * CONSTRUCTION (≤12 here) — everything after the two index probes
+    * is corpus-independent; the graph probe is a key-equality join
+    * into the (stored, bucketed) s15 artifact — rebuilt inline here
+    * only because the gate recomputes artifacts per query (the
+    * pqCodebook convention); production reads the persisted graph.
+    * Scores rank in the s15 milli-quantized space (same determinism
+    * contract), so the re-rank can never straddle a float ulp.
+    */
+  def graphExpandSearch(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val seeds = annLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .cache() // feeds the direct leg AND the hop join of one plan
+    val graph = knnGraph(s, dir)
+      .select(col("vec_id"), col("neighbor_id").as("hop_id"))
+    val pool = seeds.select(col("query_id"), col("neighbor_id").as("cid"))
+      .union(seeds.join(graph, seeds("neighbor_id") === graph("vec_id"))
+        .select(col("query_id"), col("hop_id").as("cid")))
+      .filter(col("cid") =!= col("query_id"))
+      .distinct()
+    val e = milliQuantized(Tables.embeddings(s, dir))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("mq").as("qm"),
+        col("nq").as("qn"))
+    val scored = pool
+      .join(e.select(col("vec_id").as("cid"), col("mq").as("cm"),
+        col("nq").as("cn")), "cid")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos",
+        expr("aggregate(zip_with(qm, cm, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          .cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cid").asc), k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("cid").as("neighbor_id"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {

@@ -364,6 +364,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s16 graph-expanded search: recall >= seeds, in-cluster, ranked") {
+    val bf = top3(operators.Similarity.annBruteForce(spark, dir))
+    val lsh = top3(operators.Similarity.annLsh(spark, dir))
+    val gs = operators.Similarity.graphExpandSearch(spark, dir).collect()
+    val byQ = gs.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 100L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == Seq(1, 2, 3), s"$q")
+      rs.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb != q && cluster(nb) == cluster(q), s"$q -> $nb")
+      }
+      val ranked = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("cos_bp"))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b }, s"$q")
+      // cluster-granularity recall (the s08 convention — the re-rank
+      // runs in the quantized space, so within-cluster order may
+      // legitimately differ from the float brute ranking by an
+      // epsilon swap): retrieval must land in the same cluster the
+      // brute truth and the seeds land in
+      val got = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(got.map(cluster) == bf(q).map(cluster), s"$q: $got vs ${bf(q)}")
+      assert(lsh.getOrElse(q, Set.empty).map(cluster) == got.map(cluster))
+    }
+  }
+
   test("s15 kNN graph: full coverage, same-cluster neighbors, ranked") {
     // every cluster member shares sign buckets with its 39 siblings
     // (components bounded 0.2 from zero, 0.001 perturbations), so all
