@@ -150,7 +150,8 @@ object SparkEntry {
     "c02_cluster_sample" -> (Curation.clusterSample _),
     "c03_corpus_card" -> (Curation.corpusCard _),
     "c04_outlier_scrub" -> (Curation.outlierScrub _),
-    "c05_dq_suite" -> (Curation.dqSuite _))
+    "c05_dq_suite" -> (Curation.dqSuite _),
+    "c06_mix_plan" -> (Curation.mixPlan _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -472,6 +473,32 @@ rr AS (SELECT query_id, cid, cos,
 SELECT query_id, rn, cid AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM rr WHERE rn <= 3 ORDER BY query_id, rn"""
+
+  /** t29's scorer + tercile CTE chain (t21's scorer CTE-for-CTE, then
+    * the value-histogram rule) — shared verbatim by the t29 oracle and
+    * c06's composed mix-plan oracle so the two cannot drift.
+    */
+  private def tercileCtes: String =
+    """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2),
+dbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+sc AS (SELECT dbg.doc_id,
+    CAST(sum(dbg.k) AS BIGINT) AS n_bigrams,
+    CAST(sum(dbg.k * ((length(bin(c1.c1)) - 1) - (length(bin(c12.c12)) - 1))) AS BIGINT) AS surprisal_units
+  FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
+ds AS (SELECT d.doc_id,
+    CAST(coalesce(sc.surprisal_units, 0) * 100 // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS mean_centibits
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+hist AS (SELECT mean_centibits, CAST(count(*) AS BIGINT) AS cnt FROM ds GROUP BY 1),
+b AS (SELECT mean_centibits,
+    coalesce(sum(cnt) OVER (ORDER BY mean_centibits
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+    sum(cnt) OVER () AS n_docs
+  FROM hist),
+b2 AS (SELECT mean_centibits, CAST(3 * c_lt // n_docs AS INT) AS tercile FROM b)"""
 
   /** t24/t25 helper: one BPE merge round as DuckDB CTEs over an input
     * CTE `in` with (word, n, arr) — pair count, top pair (count DESC,
@@ -1637,6 +1664,32 @@ SELECT check_name, CAST(metric_bp AS BIGINT) AS metric_bp, passed FROM (
   UNION ALL SELECT 'price_in_range', n_price_ok * 10000 // greatest(n, 1), n_price_ok = n FROM x
   UNION ALL SELECT 'ref_integrity_customer', (n - n_orphan) * 10000 // greatest(n, 1), n_orphan = 0 FROM x)
 ORDER BY check_name""",
+    // c06: t29's tercile chain verbatim (shared CTEs) + t23's hashed
+    // classifier + t14's capped weight + the salted hash-Bernoulli
+    "c06_mix_plan" ->
+      s"""WITH $tercileCtes,
+q AS (SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(t,
+      w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 10000 % 17 - 8)), 0) AS BIGINT) > 0 AS quality_ok
+  FROM tk),
+lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+lt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM lc),
+wt AS (SELECT lang,
+    least(CAST((CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) * total_docs // n_docs AS BIGINT), 10000) AS keep_bp
+  FROM lc, lt),
+mx AS (SELECT d.doc_id, d.lang, b2.tercile, q.quality_ok, wt.keep_bp,
+    CAST('0x' || substr(md5('c06' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+  FROM documents d JOIN ds USING (doc_id) JOIN b2 USING (mean_centibits)
+    JOIN q USING (doc_id) JOIN wt USING (lang)),
+dec AS (SELECT *,
+    CASE WHEN NOT quality_ok THEN 'drop_quality'
+         WHEN tercile = 2 THEN 'drop_tail'
+         WHEN bucket < keep_bp THEN 'keep'
+         ELSE 'drop_sampled' END AS decision
+  FROM mx)
+SELECT doc_id, lang, tercile, quality_ok, keep_bp, bucket, decision,
+  decision = 'keep' AS kept
+FROM dec ORDER BY doc_id""",
     "d13_multiblock_simhash" -> multiblockSimhashSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -1876,26 +1929,7 @@ FROM u GROUP BY source ORDER BY source""",
     // rule bucket(v) = floor(3·c_lt/n) — never an ntile over a global
     // rank window; equal scores share a bucket by construction
     "t29_perplexity_buckets" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2),
-dbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
-c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
-c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-sc AS (SELECT dbg.doc_id,
-    CAST(sum(dbg.k) AS BIGINT) AS n_bigrams,
-    CAST(sum(dbg.k * ((length(bin(c1.c1)) - 1) - (length(bin(c12.c12)) - 1))) AS BIGINT) AS surprisal_units
-  FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
-ds AS (SELECT d.doc_id,
-    CAST(coalesce(sc.surprisal_units, 0) * 100 // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS mean_centibits
-  FROM documents d LEFT JOIN sc USING (doc_id)),
-hist AS (SELECT mean_centibits, CAST(count(*) AS BIGINT) AS cnt FROM ds GROUP BY 1),
-b AS (SELECT mean_centibits,
-    coalesce(sum(cnt) OVER (ORDER BY mean_centibits
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
-    sum(cnt) OVER () AS n_docs
-  FROM hist),
-b2 AS (SELECT mean_centibits, CAST(3 * c_lt // n_docs AS INT) AS tercile FROM b)
+      s"""WITH $tercileCtes
 SELECT ds.doc_id, ds.mean_centibits, b2.tercile,
   CASE b2.tercile WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ds JOIN b2 USING (mean_centibits) ORDER BY ds.doc_id""",

@@ -222,4 +222,54 @@ object Curation {
         col("passed"))
       .orderBy(col("check_name"))
   }
+
+  /** c06 — the training-MIX PLAN: one decision row per document,
+    * composing the engine's scoring operators into the keep/drop
+    * table a corpus build actually materializes before tokenizing —
+    * precedence: quality gate (t23's classifier) → perplexity tail
+    * cull (t29's tercile, the CCNet "discard tail" move) → language
+    * rebalancing sample (t14's target-mix weight capped at 10⁴ bp,
+    * applied via the t11/t15 salted hash-Bernoulli — deterministic,
+    * replayable, no RNG). Every decision carries its reason
+    * ('drop_quality' / 'drop_tail' / 'drop_sampled' / 'keep'), which
+    * is what makes the table auditable — a governance requirement,
+    * not a nicety, once the corpus ships.
+    *
+    * Scale shape: t23 is a pure projection; t29's tercile frame joins
+    * back on doc_id (its histogram is capacity-bounded, §2.6); the
+    * language weights are a |langs|-row broadcast; the sampling
+    * decision is row-local hashing. Two doc-keyed key-equality joins
+    * total — linear at any corpus size, and each input operator keeps
+    * its own documented scale story.
+    */
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val terc = TextOps.perplexityTerciles(s, dir)
+      .select(col("doc_id"), col("tercile"))
+    val qual = TextOps.qualityClassifier(s, dir)
+      .select(col("doc_id"), col("label").as("quality_ok"))
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total_docs"))
+    val weights = counts.join(broadcast(total), lit(true))
+      .select(col("lang"),
+        least(expr("CAST(CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END" +
+          " * total_docs DIV n_docs AS BIGINT)"), lit(10000L)).as("keep_bp"))
+    val bucket = pmod(conv(substring(
+      md5(concat(lit("c06"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(10000L))
+    docs.join(terc, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("bucket", bucket)
+      .withColumn("decision",
+        when(!col("quality_ok"), lit("drop_quality"))
+          .when(col("tercile") === 2, lit("drop_tail"))
+          .when(col("bucket") < col("keep_bp"), lit("keep"))
+          .otherwise(lit("drop_sampled")))
+      .select(col("doc_id"), col("lang"), col("tercile"), col("quality_ok"),
+        col("keep_bp"), col("bucket"), col("decision"),
+        (col("decision") === "keep").as("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

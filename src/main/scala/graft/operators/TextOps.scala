@@ -681,7 +681,12 @@ object TextOps {
     * rule); at 100 TB it is the 16-byte/doc artifact a production
     * pipeline would materialize anyway.
     */
-  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    perplexityTerciles(s, dir).orderBy(col("doc_id"))
+
+  /** t29's unsorted body — factored so c06's mix plan consumes the
+    * identical tercile definition. */
+  private[graft] def perplexityTerciles(s: SparkSession, dir: String): DataFrame = {
     val sc = surprisalScores(s, dir)
       .select(col("doc_id"), col("mean_centibits"))
       .cache()
@@ -704,7 +709,6 @@ object TextOps {
         when(col("tercile") === 0, lit("head"))
           .when(col("tercile") === 1, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** t22 — DSIR importance weights (Xie et al. 2023, "Data Selection

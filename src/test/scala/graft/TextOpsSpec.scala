@@ -305,6 +305,29 @@ class TextOpsSpec extends SparkSpecBase {
       r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSet)
   }
 
+  test("c06 mix plan: decision precedence recomputes from each row's own fields") {
+    val rows = operators.Curation.mixPlan(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect =
+        if (!r.getAs[Boolean]("quality_ok")) "drop_quality"
+        else if (r.getAs[Int]("tercile") == 2) "drop_tail"
+        else if (r.getAs[Long]("bucket") < r.getAs[Long]("keep_bp")) "keep"
+        else "drop_sampled"
+      assert(r.getAs[String]("decision") == expect, r.toString)
+      assert(r.getAs[Boolean]("kept") == (expect == "keep"), r.toString)
+      assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 10000)
+      assert(r.getAs[Long]("keep_bp") <= 10000)
+    }
+    // the plan actually exercises multiple decision paths on real data
+    assert(rows.map(_.getAs[String]("decision")).toSet.size >= 2)
+    // tercile agrees with the t29 operator (shared body — spot-check)
+    val t29 = operators.TextOps.perplexityBuckets(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("tercile")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Int]("tercile") == t29(r.getAs[Long]("doc_id"))))
+  }
+
   test("t29 perplexity terciles: value-consistent, monotone, exact rule") {
     val rows = operators.TextOps.perplexityBuckets(spark, sf0001).collect()
     assert(rows.nonEmpty)
