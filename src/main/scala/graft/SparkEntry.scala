@@ -107,6 +107,7 @@ object SparkEntry {
     "s14_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "s15_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "s16_graph_search" -> ((s, d) => Similarity.graphExpandSearch(s, d)),
+    "s17_impact_index" -> ((s, d) => Similarity.impactIndex(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -1019,6 +1020,15 @@ r AS (SELECT src, dst, cos,
 SELECT src AS vec_id, rn, dst AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+    "s17_impact_index" ->
+      """WITH tkn AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tkn
+  WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+r AS (SELECT term, doc_id, tf,
+    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tf)
+SELECT r.term, df.df, r.rn, r.doc_id, r.tf
+FROM r JOIN df USING (term) WHERE r.rn <= 20 ORDER BY term, rn""",
 
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),

@@ -839,6 +839,43 @@ object Similarity {
           .as("mq"))
       .withColumn("nq", expr("aggregate(mq, 0L, (a, x) -> a + x * x)"))
 
+  /** s17 — impact-ordered POSTING-LIST index build: the materialized
+    * lexical index s13's BM25 scoring presumes ("in production the tf
+    * frame is a posting-list probe of a term-bucketed table") — per
+    * term: document frequency + the top-20 postings by impact
+    * (tf DESC, doc_id tie-break), which is exactly the impact-ordered,
+    * score-capped layout WAND/MaxScore-style engines store so query
+    * evaluation can early-terminate without scanning a term's full
+    * posting list.
+    *
+    * Scale shape: ONE token scan → a (term, doc) map-combinable count
+    * (cached — it feeds the df aggregate AND the ranked probe of one
+    * plan) → df re-aggregates that frame reusing its exchange →
+    * TopKPerKey caps each term's postings at 20 BEFORE the rank
+    * shuffle (≤20 rows/term/partition cross). Index size is bounded
+    * at |vocab|·20 rows however large the corpus; at 100 TB the term
+    * is the bucket/partition key and s13's probe prunes to its query
+    * terms' buckets.
+    */
+  def impactIndex(s: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .cache() // feeds the df aggregate AND the ranked probe
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    graft.plans.TopK.perKey(tf, Seq(col("term")),
+        Seq(col("tf").desc, col("doc_id").asc), cap)
+      .withColumn("rn", row_number().over(w))
+      .join(df, Seq("term"))
+      .select(col("term"), col("df"), col("rn"), col("doc_id"), col("tf"))
+      .orderBy(col("term"), col("rn"))
+  }
+
   /** s16 — GRAPH-EXPANDED search (the graph-based ANN retrieval step
     * of HNSW/NSG-family indexes, one hop deep): seed each fixed query
     * with its s02 LSH results, expand every seed through the s15 kNN

@@ -305,6 +305,29 @@ class TextOpsSpec extends SparkSpecBase {
       r.getAs[Int]("rn"), r.getAs[Long]("doc_id"))).toSet)
   }
 
+  test("s17 impact index: per-term cap, impact order, exact df") {
+    // term 'hot' appears in 25 docs with tf = doc_id (distinct
+    // impacts); the cap must keep the 20 HIGHEST-tf docs; 'cold'
+    // appears in 2 docs and survives whole
+    val dir = mkDocs(
+      (1L to 25L).map(i => (i, Seq.fill(i.toInt)("hot").mkString(" "), "en")) ++
+        Seq((30L, "cold other", "en"), (31L, "cold", "en")))
+    val rows = operators.Similarity.impactIndex(spark, dir).collect()
+    val hot = rows.filter(_.getAs[String]("term") == "hot")
+      .sortBy(_.getAs[Int]("rn"))
+    assert(hot.length == 20)
+    assert(hot.forall(_.getAs[Long]("df") == 25L))
+    // impact order: tf 25, 24, ..., 6 — doc_ids 25 down to 6
+    assert(hot.map(_.getAs[Long]("tf")).toSeq == (25L to 6L by -1L))
+    assert(hot.map(_.getAs[Long]("doc_id")).toSeq == (25L to 6L by -1L))
+    assert(hot.map(_.getAs[Int]("rn")).toSeq == (1 to 20))
+    val cold = rows.filter(_.getAs[String]("term") == "cold")
+    assert(cold.length == 2 && cold.forall(_.getAs[Long]("df") == 2L))
+    // tf ties rank by doc_id ascending
+    assert(cold.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("doc_id")).toSeq
+      == Seq(30L, 31L))
+  }
+
   test("c06 mix plan: decision precedence recomputes from each row's own fields") {
     val rows = operators.Curation.mixPlan(spark, sf0001).collect()
     assert(rows.nonEmpty)
