@@ -70,6 +70,7 @@ object SparkEntry {
     "r25_pagerank" -> (Relational.purchasePagerank _),
     "r26_funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
     "r27_gapfill" -> (Relational.gapFill _),
+    "r28_spend_deciles" -> (Relational.spendDeciles _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -1486,6 +1487,26 @@ SELECT user_id, hour_id, CAST(n_events AS BIGINT) AS n_events,
   CAST(last_value(hour_cents IGNORE NULLS) OVER (PARTITION BY user_id
     ORDER BY hour_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
 FROM f ORDER BY user_id, hour_id""",
+    // r28: $100 spend bands (capacity-bounded histogram), banded
+    // decile rule floor(10*c_lt/n) — never a global ntile
+    "r28_spend_deciles" ->
+      """WITH sp AS (SELECT o_custkey,
+    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+sb AS (SELECT o_custkey, cents, cents // 10000 AS band FROM sp),
+h AS (SELECT band, CAST(count(*) AS BIGINT) AS cnt FROM sb GROUP BY 1),
+d AS (SELECT band,
+    coalesce(sum(cnt) OVER (ORDER BY band
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt,
+    sum(cnt) OVER () AS n_cust
+  FROM h),
+d2 AS (SELECT band, CAST(10 * c_lt // n_cust AS INT) AS decile FROM d)
+SELECT d2.decile,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(sb.cents) AS BIGINT) AS total_cents,
+  CAST(min(sb.band) AS BIGINT) AS min_band,
+  CAST(max(sb.band) AS BIGINT) AS max_band
+FROM sb JOIN d2 USING (band) GROUP BY 1 ORDER BY decile""",
     "r25_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

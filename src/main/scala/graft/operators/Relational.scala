@@ -858,4 +858,49 @@ object Relational {
           .as("filled_cents"))
       .orderBy(col("user_id"), col("hour_id"))
   }
+
+  /** r28 — customer SPEND-DECILE report (the RFM/LTV banding staple):
+    * customers bucketed into ten equal-population spend bands, one
+    * report row per decile with population, total and band range —
+    * "what does our top decile spend?".
+    *
+    * The naive decile is ntile() over a GLOBAL spend ordering — a
+    * total-order exchange of every customer. Near-unique money values
+    * also defeat t29's raw value-histogram trick (the histogram would
+    * be corpus-sized). The scale answer is BANDED deciles: spend
+    * quantizes to $100 bands first (integer cents DIV 10000), the
+    * band histogram is CAPACITY-BOUNDED by the spend range (~5k rows
+    * for TPC-H's $0–$500k, at ANY corpus size), and the decile rule
+    * floor(10·c_lt/n) assigns whole bands (band ties share a decile —
+    * populations are equal to within the largest band, the stated
+    * reporting resolution; exact-rank deciles at 100 TB would need
+    * the r12 sketch path instead). Money is per-row floor-cents
+    * BIGINT before any sum — order-independent integers throughout.
+    */
+  def spendDeciles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+      .withColumn("band", expr("cents DIV 10000"))
+    val sp = spend.cache() // feeds the band histogram AND the probe
+    val hist = sp.groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+    val wLt = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val deciles = hist.select(col("band"),
+        coalesce(sum(col("cnt")).over(wLt), lit(0L)).as("c_lt"),
+        sum(col("cnt")).over(wAll).as("n_cust"))
+      .withColumn("decile", expr("CAST(10 * c_lt DIV n_cust AS INT)"))
+      .select(col("band"), col("decile"))
+    sp.join(broadcast(deciles), Seq("band"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("cents")).cast("long").as("total_cents"),
+        min(col("band")).cast("long").as("min_band"),
+        max(col("band")).cast("long").as("max_band"))
+      .orderBy(col("decile"))
+  }
 }

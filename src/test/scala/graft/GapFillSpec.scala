@@ -50,4 +50,26 @@ class GapFillSpec extends SparkSpecBase {
     val dir = mkEvents(Seq.empty)
     assert(operators.Relational.gapFill(spark, dir).count() == 0L)
   }
+
+  test("r28 spend deciles: contiguous ordered bands, population adds up") {
+    val rows = operators.Relational.spendDeciles(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (0 to 9),
+      rows.map(_.getAs[Int]("decile")).mkString(","))
+    // band ranges are disjoint and ordered across deciles
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_band") < b.getAs[Long]("min_band"),
+        s"${a.getAs[Int]("decile")} overlaps ${b.getAs[Int]("decile")}")
+    }
+    // every customer lands in exactly one decile
+    val nCust = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // populations are ~n/10 to within the stated banding resolution
+    val n = nCust.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_customers") - n / 10) <= n / 5,
+        s"decile ${r.getAs[Int]("decile")}: ${r.getAs[Long]("n_customers")}")
+    }
+  }
 }
