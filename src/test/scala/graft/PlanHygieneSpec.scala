@@ -31,6 +31,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s14_rrf_fusion" -> "inputs are s02's broadcast-query bucket scan + s03's broadcast-centroid scan (both allowlisted); the fusion join is key-equality on (query, neighbor)",
     "t09_tfidf" -> "1-row corpus-count broadcast",
     "t14_domain_mix" -> "1-row corpus-total broadcast",
+    "c05_dq_suite" -> "two 1-row metric frames cross-joined (bounded 1×1 — the final stack input); all corpus-sized work is one scan-aggregate + one left-anti broadcast join",
+    "c06_mix_plan" -> "t14's 1-row corpus-total broadcast inside the |langs|-row weight frame; every doc-keyed join is key-equality",
     "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)")
 
   for ((name, fn) <- SparkEntry.queries) {
