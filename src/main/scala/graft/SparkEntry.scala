@@ -139,6 +139,7 @@ object SparkEntry {
     "t27_exact_sample" -> ((s, d) => TextOps.exactSample(s, d)),
     "t28_source_drift" -> ((s, d) => TextOps.sourceDrift(s, d)),
     "t29_perplexity_buckets" -> (TextOps.perplexityBuckets _),
+    "t30_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -1964,6 +1965,20 @@ FROM u GROUP BY source ORDER BY source""",
 SELECT ds.doc_id, ds.mean_centibits, b2.tercile,
   CASE b2.tercile WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ds JOIN b2 USING (mean_centibits) ORDER BY ds.doc_id""",
+    "t30_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS sh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-6)) AS i) WHERE len(t) >= 8),
+w AS (SELECT DISTINCT doc_id, sh FROM g),
+nd AS (SELECT sh, CAST(count(*) AS BIGINT) AS nd FROM w GROUP BY 1),
+st AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(sum(CASE WHEN nd.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM w JOIN nd USING (sh) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(st.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel,
+  CAST(coalesce(st.n_novel, 0) * 10000 // greatest(coalesce(st.n_windows, 0), 1) AS BIGINT) AS novelty_bp
+FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -605,6 +605,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t30 — per-doc n-gram NOVELTY score: the share of a document's
+    * distinct n-token windows that appear in NO other document —
+    * the information-density signal that separates original content
+    * from boilerplate/mirrored text (a doc whose windows all recur
+    * elsewhere adds nothing to a training mix; SlimPajama-style
+    * builds cut exactly this tail). The inverse view of t19: t19
+    * removes repeated spans, t30 SCORES each doc by how much of it
+    * is unshared. Within-doc repetition is deliberately not counted
+    * (distinct windows per doc) — that is t13's repetition signal.
+    *
+    * Scale shape: reuses t19's window fingerprints (md5 — narrow
+    * shuffle keys); the distinct (doc, sh) frame is cached (it feeds
+    * the sharing-count aggregate AND the per-doc probe of one plan —
+    * the re-execution rule); sharing counts are one sh-keyed
+    * map-combinable agg, the probe one key-equality join. Linear in
+    * corpus tokens, no similarity join anywhere. The final all-docs
+    * left join emits len<n docs with zero windows (the t20 edge
+    * convention).
+    */
+  def ngramNovelty(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val wins = windowFingerprints(tk, n)
+      .select(col("doc_id"), col("sh")).distinct()
+      .cache() // feeds the sharing count AND the per-doc probe
+    val nd = wins.groupBy(col("sh"))
+      .agg(count(lit(1)).cast("long").as("nd"))
+    val st = wins.join(nd, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("nd") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        expr("CAST((n_novel * 10000) DIV greatest(n_windows, 1) AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t21 — bigram-LM surprisal scoring (the CCNet/KenLM perplexity
     * filter re-expressed oracle-exact): train an MLE bigram model on
     * the corpus itself and score every doc by its mean next-token

@@ -120,6 +120,28 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(50L) == ((1L, 0L, 0L)), rows(50L).toString)
   }
 
+  test("t30 ngram novelty scores unshared windows, distinct per doc") {
+    val unique = (1 to 12).map(i => s"a$i").mkString(" ")   // 5 windows, all own
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")    // 1 window
+    val partly = "x y " + shared                            // 3 windows, 1 shared
+    val rep = ((1 to 8) ++ (1 to 8)).map(i => s"r$i").mkString(" ")
+    val dir = mkDocs(Seq(
+      (0L, unique, "en"), (1L, shared, "en"), (2L, partly, "en"),
+      (3L, "short", "en"), (4L, rep, "en")))
+    val rows = operators.TextOps.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_bp"))).toMap
+    assert(rows(0L) == ((5L, 5L, 10000L)), rows(0L).toString)
+    assert(rows(1L) == ((1L, 0L, 0L)), rows(1L).toString)
+    assert(rows(2L) == ((3L, 2L, 6666L)), rows(2L).toString)
+    // len<n docs emit the zero row, not nothing
+    assert(rows(3L) == ((0L, 0L, 0L)), rows(3L).toString)
+    // within-doc repetition is NOT penalized: the repeated window
+    // counts once (distinct) and stays novel (no other doc has it)
+    assert(rows(4L) == ((8L, 8L, 10000L)), rows(4L).toString)
+  }
+
   test("t21 lm surprisal: hand-computed integer floor-log2 bigram units") {
     // corpus bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; contexts a=3, b=2
     // u(a,b) = flog2(3)-flog2(3) = 0; u(b,a) = flog2(2)-flog2(1) = 1
