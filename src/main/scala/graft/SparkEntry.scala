@@ -71,6 +71,7 @@ object SparkEntry {
     "r26_funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
     "r27_gapfill" -> (Relational.gapFill _),
     "r28_spend_deciles" -> (Relational.spendDeciles _),
+    "r29_transition_matrix" -> (Relational.transitionMatrix _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -1508,6 +1509,17 @@ SELECT d2.decile,
   CAST(min(sb.band) AS BIGINT) AS min_band,
   CAST(max(sb.band) AS BIGINT) AS max_band
 FROM sb JOIN d2 USING (band) GROUP BY 1 ORDER BY decile""",
+    // r29: consecutive-pair lead() over (ts, event_id) — the same
+    // deterministic tie-break both engines replay
+    "r29_transition_matrix" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+m AS (SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+FROM m ORDER BY from_type, to_type""",
     "r25_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

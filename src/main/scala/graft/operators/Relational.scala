@@ -903,4 +903,39 @@ object Relational {
         max(col("band")).cast("long").as("max_band"))
       .orderBy(col("decile"))
   }
+
+  /** r29 — event-type TRANSITION MATRIX (the first-order Markov view
+    * of user journeys): for every consecutive event pair in each
+    * user's time-ordered stream, count (from_type → to_type) and its
+    * share of the from-type's outgoing transitions in integer basis
+    * points — the behavioral-analytics staple behind "what do users
+    * do after an error?" and the sanity check every event-ingest
+    * pipeline runs on a new release (a spike in X→error rows is a
+    * regression alarm before any dashboard shows it).
+    *
+    * Scale shape: consecutive pairs come from ONE per-user ordered
+    * lead() window (r09's documented skew class — a hot user costs
+    * one task's sort; the r20 chunk-merge mitigation applies); the
+    * pair count is a map-combinable agg onto a matrix frame bounded
+    * at |event_types|² rows AT ANY CORPUS SIZE, so the row-share
+    * window over it is scale-free (the t29 bounded-frame precedent).
+    * Ordering ties break on event_id — deterministic cross-engine.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.withColumn("from_total", sum(col("n")).over(wFrom))
+      .withColumn("prob_bp", expr("CAST(n * 10000 DIV from_total AS BIGINT)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("prob_bp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

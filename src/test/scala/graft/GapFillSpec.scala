@@ -72,4 +72,27 @@ class GapFillSpec extends SparkSpecBase {
         s"decile ${r.getAs[Int]("decile")}: ${r.getAs[Long]("n_customers")}")
     }
   }
+
+  test("r29 transition matrix: hand-walked per-user pairs, bp shares") {
+    // u1: view->click->purchase; u2: view->error, plus a same-ts tie
+    // broken by event_id (view[id4] before error[id5])
+    val d = Files.createTempDirectory("graft-trans").toString
+    Seq(
+      (0L, tsNs(0), 1L, "view", 0.0, "{}"),
+      (1L, tsNs(1), 1L, "click", 0.0, "{}"),
+      (2L, tsNs(2), 1L, "purchase", 0.0, "{}"),
+      (4L, tsNs(5), 2L, "view", 0.0, "{}"),
+      (5L, tsNs(5), 2L, "error", 0.0, "{}"), // same ts as id4
+      (6L, tsNs(9), 3L, "view", 0.0, "{}")) // singleton: no pair
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val out = operators.Relational.transitionMatrix(spark, d).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("prob_bp")))).toMap
+    assert(out.size == 3, out.keySet.toString)
+    // view has two outgoing transitions: ->click and ->error, 50/50
+    assert(out(("view", "click")) == ((1L, 5000L)))
+    assert(out(("view", "error")) == ((1L, 5000L)))
+    assert(out(("click", "purchase")) == ((1L, 10000L)))
+  }
 }
