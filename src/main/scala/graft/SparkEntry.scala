@@ -110,6 +110,7 @@ object SparkEntry {
     "s15_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "s16_graph_search" -> ((s, d) => Similarity.graphExpandSearch(s, d)),
     "s17_impact_index" -> ((s, d) => Similarity.impactIndex(s, d)),
+    "s18_index_health" -> (Similarity.indexHealth _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -1160,6 +1161,33 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    // s18: replays s03's centroid-build + rr=1 assignment CTEs, then
+    // the K-row occupancy report; centroid LEFT join keeps empty cells
+    "s18_index_health" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cm AS (SELECT label AS cid, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+  GROUP BY label, idx),
+cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+asg AS (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c),
+occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_occ FROM asg
+  WHERE rr = 1 GROUP BY 1),
+h AS (SELECT CAST(cent.cid AS INT) AS cid,
+    CAST(coalesce(occ.n_occ, 0) AS BIGINT) AS n_vecs
+  FROM cent LEFT JOIN occ USING (cid)),
+t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+    CAST(count(*) AS BIGINT) AS n_cells FROM h)
+SELECT h.cid, h.n_vecs,
+  CAST(h.n_vecs * 10000 // t.n_total AS BIGINT) AS share_bp,
+  CAST(h.n_vecs * t.n_cells * 10000 // t.n_total AS BIGINT) AS load_bp,
+  h.n_vecs * t.n_cells > 2 * t.n_total AS hot,
+  h.n_vecs = 0 AS empty
+FROM h, t ORDER BY h.cid""",
     "s05_ann_pq" ->
       ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
 """ + pqCodebookCtes + """,

@@ -927,6 +927,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** s18 — IVF INDEX-HEALTH report: per-cell occupancy of s03's
+    * layout — share of the corpus, load factor vs perfect balance,
+    * hot-cell and EMPTY-cell flags. This is the audit every
+    * production vector store runs per ingest cycle next to s09's
+    * recall audit: a hot cell (load ≥ 2× balanced) means queries
+    * probing it scan multiples of their fair share (latency skew), an
+    * empty cell means a wasted centroid (recall paid for nothing) —
+    * both are the re-cluster/re-balance triggers.
+    *
+    * Scale shape: ONE corpus scan (the shared cellAssignments
+    * broadcast-centroid pass, rr=1) collapses to a cid-keyed
+    * map-combinable count; the centroid left join keeps empty cells
+    * visible (an inner join would silently hide exactly the failure
+    * this report exists to catch). Everything after the count is a
+    * K-row frame — its single-partition window is scale-free (the
+    * t29 bounded-frame precedent). Integer bp throughout.
+    */
+  def indexHealth(s: SparkSession, dir: String): DataFrame =
+    indexHealthOf(s,
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      graft.operators.VectorAgg.centroidVectors(s, dir))
+
+  /** s18 over EXPLICIT (vec_id, embedding) / (cid, cv) frames — the
+    * cellAssignmentsOf seam, so specs can plant hot and empty cells
+    * (label centroids on real data always have ≥1 member).
+    */
+  def indexHealthOf(s: SparkSession, e0: DataFrame,
+      cent0: DataFrame): DataFrame = {
+    val cent = cent0.select(col("cid"))
+    val occ = cellAssignmentsOf(s, e0, cent0).filter(col("rr") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).cast("long").as("n_occ"))
+    val h = cent.join(occ, Seq("cid"), "left")
+      .select(col("cid").cast("int").as("cid"),
+        coalesce(col("n_occ"), lit(0L)).as("n_vecs"))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("n_total", sum(col("n_vecs")).over(wAll))
+      .withColumn("n_cells", count(lit(1)).over(wAll))
+      .select(col("cid"), col("n_vecs"),
+        expr("CAST(n_vecs * 10000 DIV n_total AS BIGINT)").as("share_bp"),
+        expr("CAST(n_vecs * n_cells * 10000 DIV n_total AS BIGINT)")
+          .as("load_bp"),
+        (col("n_vecs") * col("n_cells") > col("n_total") * 2L).as("hot"),
+        (col("n_vecs") === 0L).as("empty"))
+      .orderBy(col("cid"))
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val asg = cellAssignments(s, dir)
     val cells = asg.filter(col("rr") === 1)

@@ -55,6 +55,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "s03" -> (operators.Similarity.annIvf _),
     "s05" -> (operators.Similarity.annPq _),
     "s08" -> (operators.Similarity.annSq8 _),
+    "s18" -> (operators.Similarity.indexHealth _),
     "t01" -> (operators.TextOps.tokenCount _),
     "t09" -> (operators.TextOps.tfidf _),
     "t11" -> (operators.TextOps.stratifiedSample _),

@@ -27,6 +27,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "t25_bpe_apply" -> "t24's 1-row merge broadcasts; the apply join is key-equality on the vocab-bounded word table",
     "t22_dsir_weights" -> "1-row split-totals broadcast; the 10k-bucket model join is key-equality",
     "s13_bm25" -> "1-row corpus-totals broadcast (t09 pattern); query/df/length joins are key-equality",
+    "s18_index_health" -> "occupancy comes from s03's allowlisted broadcast-centroid assignment scan; everything after is a K-row frame",
     "t28_source_drift" -> "1-row corpus-total broadcast (t22 pattern); bucket/source joins are key-equality over capacity-bounded frames",
     "s14_rrf_fusion" -> "inputs are s02's broadcast-query bucket scan + s03's broadcast-centroid scan (both allowlisted); the fusion join is key-equality on (query, neighbor)",
     "t09_tfidf" -> "1-row corpus-count broadcast",

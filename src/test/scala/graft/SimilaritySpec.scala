@@ -408,4 +408,29 @@ class SimilaritySpec extends SparkSpecBase {
       assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b }, s"$v")
     }
   }
+
+  test("s18 index health flags the hot cell and keeps the empty cell visible") {
+    // 9 vectors on c0's axis, 1 on c1's, none near c2
+    val e = ((0 until 9).map(i =>
+        (i.toLong, Array(1f, 0.01f * i, 0f, 0f))) :+
+        ((9L, Array(0.01f, 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val cent = Seq(
+      (0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(0f, 0f, 1f, 0f))).toDF("cid", "cv")
+    val out = operators.Similarity.indexHealthOf(spark, e, cent).collect()
+      .map(r => r.getAs[Int]("cid") -> r).toMap
+    assert(out.size == 3)
+    assert(out(0).getAs[Long]("n_vecs") == 9L)
+    assert(out(0).getAs[Long]("share_bp") == 9000L)
+    assert(out(0).getAs[Long]("load_bp") == 27000L) // 2.7x balanced
+    assert(out(0).getAs[Boolean]("hot"))
+    assert(!out(0).getAs[Boolean]("empty"))
+    assert(out(1).getAs[Long]("n_vecs") == 1L)
+    assert(!out(1).getAs[Boolean]("hot"))
+    // the empty cell is REPORTED, not silently dropped
+    assert(out(2).getAs[Long]("n_vecs") == 0L)
+    assert(out(2).getAs[Boolean]("empty"))
+    assert(out(2).getAs[Long]("load_bp") == 0L)
+  }
 }
