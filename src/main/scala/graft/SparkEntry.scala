@@ -156,7 +156,8 @@ object SparkEntry {
     "c03_corpus_card" -> (Curation.corpusCard _),
     "c04_outlier_scrub" -> (Curation.outlierScrub _),
     "c05_dq_suite" -> (Curation.dqSuite _),
-    "c06_mix_plan" -> (Curation.mixPlan _))
+    "c06_mix_plan" -> (Curation.mixPlan _),
+    "c07_cascade_report" -> (Curation.cascadeReport _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -1762,6 +1763,49 @@ dec AS (SELECT *,
 SELECT doc_id, lang, tercile, quality_ok, keep_bp, bucket, decision,
   decision = 'keep' AS kept
 FROM dec ORDER BY doc_id""",
+    // c07: composes t23 (quality), d01 (canon among survivors), t12
+    // (contamination), t29 (tercile) flags, then one conditional
+    // aggregate + a 5-row VALUES join replays the Spark stack
+    "c07_cascade_report" ->
+      raw"""WITH $tercileCtes,
+terc AS (SELECT ds.doc_id, b2.tercile FROM ds JOIN b2 USING (mean_centibits)),
+q AS (SELECT doc_id,
+    coalesce(list_sum(list_transform(t,
+      w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 10000 % 17 - 8)), 0) > 0 AS label
+  FROM tk),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' '))) AS shingle
+  FROM tk WHERE len(t) >= 8),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT doc_id FROM sh JOIN bench USING (shingle)
+  WHERE doc_id % 50 <> 0 GROUP BY 1),
+f AS (SELECT d.doc_id,
+    md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS h,
+    q.label, hits.doc_id IS NOT NULL AS contaminated, terc.tercile
+  FROM documents d JOIN q USING (doc_id) JOIN terc USING (doc_id)
+    LEFT JOIN hits USING (doc_id)
+  WHERE d.doc_id % 50 <> 0),
+canon AS (SELECT h, min(doc_id) AS canon FROM f WHERE label GROUP BY 1),
+a AS (SELECT
+    CAST(count(*) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN label AND doc_id = canon THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN label AND doc_id = canon AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(sum(CASE WHEN label AND doc_id = canon AND NOT contaminated AND tercile <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM f LEFT JOIN canon USING (h)),
+st AS (SELECT * FROM (VALUES (0, 'ingest'), (1, 'quality_gate'),
+    (2, 'exact_dedup'), (3, 'decontaminate'), (4, 'tail_cull')) s(ord, stage)),
+r AS (SELECT CAST(st.ord AS INT) AS ord, st.stage,
+    CASE st.ord WHEN 0 THEN a.n0 WHEN 1 THEN a.n0 WHEN 2 THEN a.n1
+      WHEN 3 THEN a.n2 ELSE a.n3 END AS n_in,
+    CASE st.ord WHEN 0 THEN a.n0 WHEN 1 THEN a.n1 WHEN 2 THEN a.n2
+      WHEN 3 THEN a.n3 ELSE a.n4 END AS n_kept
+  FROM st, a)
+SELECT ord, stage, CAST(n_in AS BIGINT) AS n_in,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  CAST(n_in - n_kept AS BIGINT) AS n_dropped,
+  CAST((n_in - n_kept) * 10000 // greatest(n_in, 1) AS BIGINT) AS drop_bp
+FROM r ORDER BY ord""",
     "d13_multiblock_simhash" -> multiblockSimhashSql,
     "t12_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -272,4 +272,68 @@ object Curation {
         (col("decision") === "keep").as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** c07 — the curation CASCADE report: stage-by-stage survivor
+    * counts through the training-split pipeline — quality gate (t23)
+    * → exact dedup (d01's canon rule among the gate's survivors) →
+    * decontamination (t12) → perplexity tail cull (t29) — one row
+    * per stage with n_in / n_kept / n_dropped / drop_bp. This is the
+    * yield report every corpus build publishes next to c06's per-doc
+    * decision table (c06 answers "why was THIS doc dropped", c07
+    * answers "how much did EACH STAGE cost"), and the regression
+    * alarm between builds: a stage whose drop_bp moves is a pipeline
+    * change before any model metric shows it.
+    *
+    * Stage semantics worth stating: dedup canon is chosen AMONG
+    * quality survivors — a canonical copy killed by the gate hands
+    * canon to the next surviving copy instead of silently dropping
+    * the whole hash group. The universe is the training split
+    * (doc_id % 50 ≠ 0, t12's convention — benchmark docs never enter
+    * a training mix).
+    *
+    * Scale shape: each flag rides its own operator's documented plan
+    * (t23 pure projection, t12 linear shingle semi-join, t29
+    * capacity-bounded histogram); the per-doc flag frame is cached
+    * (it feeds the canon aggregate AND the stage counts — the
+    * re-execution rule); the cascade itself is ONE conditional
+    * aggregate to a 1-row frame and a row-local 5-row stack (the c05
+    * shape). Three doc-keyed key-equality joins total.
+    */
+  def cascadeReport(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), md5(Text.normalize(col("text"))).as("h"))
+    val qual = TextOps.qualityClassifier(s, dir)
+      .select(col("doc_id"), col("label"))
+    val cont = TextOps.decontaminate(s, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val terc = TextOps.perplexityTerciles(s, dir)
+      .select(col("doc_id"), col("tercile"))
+    val f = train.join(qual, "doc_id").join(cont, "doc_id")
+      .join(terc, "doc_id")
+      .cache() // feeds the canon aggregate AND the stage counts
+    val canon = f.filter(col("label")).groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canon"))
+    val s2 = col("label") && col("doc_id") === col("canon")
+    val s3 = s2 && !col("contaminated")
+    val s4 = s3 && col("tercile") =!= 2
+    f.join(canon, Seq("h"), "left")
+      .agg(count(lit(1)).cast("long").as("n0"),
+        sum(when(col("label"), 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(s2, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(s3, 1L).otherwise(0L)).cast("long").as("n3"),
+        sum(when(s4, 1L).otherwise(0L)).cast("long").as("n4"))
+      .select(expr("""stack(5,
+          0, 'ingest',        n0, n0,
+          1, 'quality_gate',  n0, n1,
+          2, 'exact_dedup',   n1, n2,
+          3, 'decontaminate', n2, n3,
+          4, 'tail_cull',     n3, n4) AS (ord, stage, n_in, n_kept)"""))
+      .select(col("ord").cast("int").as("ord"), col("stage"),
+        col("n_in").cast("long").as("n_in"),
+        col("n_kept").cast("long").as("n_kept"))
+      .withColumn("n_dropped", expr("n_in - n_kept"))
+      .withColumn("drop_bp",
+        expr("CAST((n_in - n_kept) * 10000 DIV greatest(n_in, 1) AS BIGINT)"))
+      .orderBy(col("ord"))
+  }
 }

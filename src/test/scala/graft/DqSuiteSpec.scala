@@ -54,4 +54,31 @@ class DqSuiteSpec extends SparkSpecBase {
       out.map(r => r.getAs[String]("check_name") + "=" +
         r.getAs[Long]("metric_bp")).mkString(", "))
   }
+
+  test("c07 cascade: stage chain is consistent and anchored at the train split") {
+    val rows = operators.Curation.cascadeReport(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("ord"))
+    assert(rows.map(_.getAs[Int]("ord")).toSeq == (0 to 4))
+    assert(rows.map(_.getAs[String]("stage")).toSeq == Seq(
+      "ingest", "quality_gate", "exact_dedup", "decontaminate", "tail_cull"))
+    // stage k+1 starts exactly where stage k ended
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_kept"),
+        s"${b.getAs[String]("stage")} n_in != prior n_kept")
+    }
+    // the universe is the training split
+    val nTrain = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter("doc_id % 50 <> 0").count()
+    assert(rows(0).getAs[Long]("n_in") == nTrain)
+    rows.foreach { r =>
+      val (in, kept, dropped) = (r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))
+      assert(kept <= in && dropped == in - kept, r.toString)
+      assert(r.getAs[Long]("drop_bp") == dropped * 10000 / math.max(in, 1L))
+    }
+    // every stage actually cuts something on the real corpus except
+    // possibly dedup (synthetic docs are near-unique)
+    assert(rows(1).getAs[Long]("n_dropped") > 0)
+    assert(rows(4).getAs[Long]("n_kept") > 0)
+  }
 }
