@@ -194,8 +194,15 @@ object Curation {
     * frames — no further shuffle. Thresholds are integers; verdicts
     * can't straddle a float ulp.
     */
-  def dqSuite(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+  def dqSuite(s: SparkSession, dir: String): DataFrame =
+    dqChecks(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** c05's check battery over EXPLICIT orders/customer frames — the
+    * shared code path streaming.DqStream runs per micro-batch (the
+    * ingest gate is the same suite pointed at a delivery instead of
+    * the table), so stream/batch parity holds by construction.
+    */
+  def dqChecks(o: DataFrame, cust: DataFrame): DataFrame = {
     val m = o.agg(
       count(lit(1)).cast("long").as("n"),
       count(col("o_custkey")).cast("long").as("n_custkey"),
@@ -205,7 +212,7 @@ object Curation {
       sum(when(col("o_totalprice") >= 0 && col("o_totalprice") < 10000000, 1L)
         .otherwise(0L)).cast("long").as("n_price_ok"))
     val orphans = o.join(
-        Tables.customer(s, dir).select(col("c_custkey").as("o_custkey")),
+        cust.select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).cast("long").as("n_orphan"))
     m.crossJoin(orphans)

@@ -763,4 +763,62 @@ class StreamingSpec extends SparkSpecBase {
     BpeApplyStream.writeBatch(all, memo, merges, outDir2, 0L)
     assert(spark.read.parquet(outDir2).count() == 3)
   }
+
+  test("DQ stream: per-delivery gate verdicts against the static dim") {
+    import graft.streaming.DqStream
+    val dir = Files.createTempDirectory("graft-dq-lake").toString
+    val inDir = Files.createTempDirectory("graft-dq-in").toString
+    val outDir = Files.createTempDirectory("graft-dq-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-dq-ck").toString
+    (1L to 5L).map(k => (k, s"Customer#$k")).toDF("c_custkey", "c_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+    val t0 = new Timestamp(1704067200000L)
+    def mkOrders(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (k, c, st, p) => (k, c, st, p, t0, "1-URGENT") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    // delivery A: clean; delivery B: dup orderkey + orphan custkey 99
+    val clean = mkOrders(Seq(
+      (1L, 1L, "O", 10.0), (2L, 2L, "F", 20.0), (3L, 3L, "P", 30.0)))
+    val bad = mkOrders(Seq(
+      (4L, 99L, "O", 40.0), (4L, 1L, "O", 44.0)))
+    clean.coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    bad.coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    val q = DqStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .selectExpr("CAST(batch_id AS BIGINT) AS batch_id", "check_name",
+        "metric_bp", "passed").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("check_name")) ->
+        ((r.getAs[Long]("metric_bp"), r.getAs[Boolean]("passed")))).toMap
+    // one verdict set per delivery — maxFilesPerTrigger=1 keeps a
+    // clean file from inheriting a bad file's verdict
+    assert(out.size == 12, out.keys.toString)
+    val byBatch = out.groupBy(_._1._1)
+    val verdicts = byBatch.map { case (b, m) =>
+      b -> m.map { case ((_, c), (_, p)) => c -> p } }
+    val Seq(failing, passing) = verdicts.toSeq
+      .sortBy(_._2.count(!_._2)).reverse.map(_._1)
+    assert(verdicts(passing).forall(_._2), verdicts(passing).toString)
+    val f = verdicts(failing)
+    assert(!f("uniqueness_orderkey") && !f("ref_integrity_customer"), f.toString)
+    assert(f("row_count") && f("completeness_custkey") &&
+      f("accepted_status") && f("price_in_range"), f.toString)
+    // the failing delivery's metrics are the hand-computed bp values
+    val fm = out.collect { case ((b, c), (m, _)) if b == failing => c -> m }
+    assert(fm("uniqueness_orderkey") == 5000L, fm.toString)   // 1 of 2 keys
+    assert(fm("ref_integrity_customer") == 5000L, fm.toString) // 1 of 2 rows
+    // parity: the stream rows equal the shared batch path per file
+    val cust = DqStream.lakeDim(spark, dir)
+    val batchClean = DqStream.scoreBatch(clean, cust).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("metric_bp"), r.getAs[Boolean]("passed")))).toMap
+    assert(batchClean == out.collect {
+      case ((b, c), v) if b == passing => c -> v }.toMap)
+    // double delivery of one batch id overwrites, never duplicates
+    val outDir2 = Files.createTempDirectory("graft-dq-out2").toString + "/out"
+    DqStream.writeBatch(bad, cust, outDir2, 0L)
+    DqStream.writeBatch(bad, cust, outDir2, 0L)
+    assert(spark.read.parquet(outDir2).count() == 6)
+  }
 }
