@@ -857,23 +857,47 @@ object Similarity {
     * is the bucket/partition key and s13's probe prunes to its query
     * terms' buckets.
     */
-  def impactIndex(s: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+  def impactIndex(s: SparkSession, dir: String, cap: Int = 20): DataFrame =
+    impactIndexFrom(s, docTf(Tables.documents(s, dir)), cap)
+      .orderBy(col("term"), col("rn"))
+
+  /** The per-doc term-frequency postings of a documents frame —
+    * (term, doc_id, tf), row-local tokenize + one map-combinable
+    * count. Factored so streaming.PostingIngestStream computes a
+    * batch's postings through the identical path.
+    */
+  private[graft] def docTf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    .filter(length(col("term")) > 0)
+    .groupBy(col("term"), col("doc_id"))
+    .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Impact rank of a postings frame: top-`cap` per term by
+    * (tf DESC, doc_id), numbered — TopKPerKey trims BEFORE the rank
+    * shuffle. Shared by the batch build and the streaming fold's
+    * read-side re-cap, so the stored layout cannot drift.
+    */
+  private[graft] def rankPostings(s: SparkSession, tf: DataFrame,
+      cap: Int): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .cache() // feeds the df aggregate AND the ranked probe
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
     val w = Window.partitionBy(col("term"))
       .orderBy(col("tf").desc, col("doc_id"))
     graft.plans.TopK.perKey(tf, Seq(col("term")),
         Seq(col("tf").desc, col("doc_id").asc), cap)
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** s17's index build over an EXPLICIT postings frame (unsorted —
+    * the contract query adds the output sort): df + impact-ranked
+    * top-`cap` per term.
+    */
+  private[graft] def impactIndexFrom(s: SparkSession, tf0: DataFrame,
+      cap: Int): DataFrame = {
+    val tf = tf0.cache() // feeds the df aggregate AND the ranked probe
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    rankPostings(s, tf, cap)
       .join(df, Seq("term"))
       .select(col("term"), col("df"), col("rn"), col("doc_id"), col("tf"))
-      .orderBy(col("term"), col("rn"))
   }
 
   /** s16 — GRAPH-EXPANDED search (the graph-based ANN retrieval step

@@ -821,4 +821,64 @@ class StreamingSpec extends SparkSpecBase {
     DqStream.writeBatch(bad, cust, outDir2, 0L)
     assert(spark.read.parquet(outDir2).count() == 6)
   }
+
+  test("posting ingest stream: cap-merge eviction, df delta sum, batch parity") {
+    import graft.streaming.PostingIngestStream
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-post-lake").toString
+    val inDir = Files.createTempDirectory("graft-post-in").toString
+    val outDir = Files.createTempDirectory("graft-post-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-post-ck").toString
+    val idxDir = Files.createTempDirectory("graft-post-idx").toString + "/idx"
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // lake: apple has postings (d1, tf 3), (d2, tf 2); cap=2 is full
+    docs(Seq((1L, "apple apple apple banana"), (2L, "apple apple cherry")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // two delta deliveries: d10 out-ranks both apple postings; d11
+    // re-ranks banana
+    docs(Seq((10L, "apple apple apple apple apple kiwi")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    docs(Seq((11L, "banana banana")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    val q = PostingIngestStream.startFolding(spark, inDir, dir, outDir,
+      ckDir, idxDir, cap = 2)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Int]("rn"), r.getAs[Long]("doc_id"), r.getAs[Long]("tf"))).toSet
+    // parity: the folded index equals the batch build over lake ∪ deltas
+    val combined = Files.createTempDirectory("graft-post-all").toString
+    docs(Seq((1L, "apple apple apple banana"), (2L, "apple apple cherry"),
+      (10L, "apple apple apple apple apple kiwi"), (11L, "banana banana")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$combined/documents.parquet")
+    val allTerms = spark.read.parquet(s"$idxDir/postings")
+      .select(col("term")).distinct()
+    val folded = asSet(PostingIngestStream.readIndex(spark, idxDir, allTerms, 2))
+    val batch = asSet(operators.Similarity.impactIndex(spark, combined, 2))
+    assert(folded == batch, s"folded/batch diverged: " +
+      s"missing=${(batch -- folded).take(3)} extra=${(folded -- batch).take(3)}")
+    // eviction: d2's apple posting fell out of the cap; df STILL
+    // counts it (df rides its own delta family, not capped postings)
+    val apple = folded.filter(_._1 == "apple")
+    assert(apple.map(t => (t._3, t._4, t._5)) == Set((1, 10L, 5L), (2, 1L, 3L)),
+      apple.toString)
+    assert(apple.forall(_._2 == 3L), apple.toString)
+    // published segments cover touched terms only — cherry never moved
+    val published = spark.read.parquet(outDir)
+    assert(published.filter(col("term") === "cherry").count() == 0)
+    assert(published.filter(col("term") === "apple").count() > 0)
+    // double delivery of one batch id replaces its deltas, never grows
+    val idx2 = Files.createTempDirectory("graft-post-idx2").toString + "/idx"
+    val out2 = Files.createTempDirectory("graft-post-out2").toString + "/out"
+    val bA = docs(Seq((10L, "apple apple apple apple apple kiwi")))
+    PostingIngestStream.writeBatchFold(bA, idx2, out2, 0L, cap = 2)
+    PostingIngestStream.writeBatchFold(bA, idx2, out2, 0L, cap = 2)
+    val t2 = spark.read.parquet(s"$idx2/postings").select(col("term")).distinct()
+    val one = asSet(PostingIngestStream.readIndex(spark, idx2, t2, 2))
+    assert(one == Set(("apple", 1L, 1, 10L, 5L), ("kiwi", 1L, 1, 10L, 1L)),
+      one.toString)
+    assert(spark.read.parquet(out2).count() == 2)
+  }
 }
