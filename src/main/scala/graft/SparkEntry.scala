@@ -142,6 +142,7 @@ object SparkEntry {
     "t28_source_drift" -> ((s, d) => TextOps.sourceDrift(s, d)),
     "t29_perplexity_buckets" -> (TextOps.perplexityBuckets _),
     "t30_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
+    "t31_zipf_profile" -> (TextOps.zipfProfile _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -2063,6 +2064,24 @@ SELECT d.doc_id,
   CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel,
   CAST(coalesce(st.n_novel, 0) * 10000 // greatest(coalesce(st.n_windows, 0), 1) AS BIGINT) AS novelty_bp
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
+    // t31: rank from the freq histogram (t29's trick one level up);
+    // min-rank so equal-freq terms share a band; floor-log2 via bin()
+    "t31_zipf_profile" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t
+  WHERE length(term) > 0 GROUP BY 1),
+hist AS (SELECT freq, CAST(count(*) AS BIGINT) AS nt FROM v GROUP BY 1),
+r AS (SELECT freq,
+    coalesce(sum(nt) OVER (ORDER BY freq DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rank_min
+  FROM hist),
+b AS (SELECT freq, CAST(length(bin(rank_min)) - 1 AS INT) AS bucket FROM r)
+SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(sum(v.freq) AS BIGINT) AS n_occ,
+  CAST(min(v.freq) AS BIGINT) AS min_freq,
+  CAST(max(v.freq) AS BIGINT) AS max_freq
+FROM v JOIN b USING (freq) GROUP BY 1 ORDER BY bucket""",
     "t01_token_count" ->
       """SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,

@@ -647,6 +647,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t31 — ZIPF PROFILE of the vocabulary: terms banded by
+    * floor-log2 of their frequency RANK, one row per band with term
+    * count, occurrence mass and the band's frequency range — the
+    * rank-frequency curve in integer log-log form. This is the
+    * corpus-health fingerprint dataset cards print: clean natural
+    * text tracks Zipf (mass decays smoothly per band); a broken
+    * tokenizer, encoding corruption or synthetic/template spam bends
+    * the curve (mass piling into deep bands, or a truncated head) —
+    * visible here before any model ever trains.
+    *
+    * The naive rank is a window over the FULL vocabulary — a total
+    * order over |V| rows. The scale answer is the t29 move one level
+    * up: rank is derived from the FREQUENCY histogram — rank_min(f) =
+    * 1 + Σ n_terms(f') for f' > f (standard min-rank; equal-frequency
+    * terms share a rank, hence a band, by construction). The
+    * histogram is bounded by the number of DISTINCT frequency values,
+    * which is O(√N) for any corpus (k distinct frequencies need
+    * ≥ k(k+1)/2 total occurrences) — so its single-partition window
+    * is scale-free and the band probe is a broadcast join. Band =
+    * ⌊log2 rank⌋ via length(bin(n))−1, the t21 integer idiom both
+    * engines replay exactly. Output ≤ ~64 rows at any corpus size.
+    */
+  def zipfProfile(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(Text.tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("freq"))
+    val v = vocab.cache() // feeds the freq histogram AND the band probe
+    val hist = v.groupBy(col("freq")).agg(count(lit(1)).cast("long").as("nt"))
+    val wGt = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bands = hist
+      .select(col("freq"),
+        (coalesce(sum(col("nt")).over(wGt), lit(0L)) + 1L).as("rank_min"))
+      .withColumn("bucket", expr("CAST(length(bin(rank_min)) - 1 AS INT)"))
+      .select(col("freq"), col("bucket"))
+    v.join(broadcast(bands), "freq")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("freq")).cast("long").as("n_occ"),
+        min(col("freq")).cast("long").as("min_freq"),
+        max(col("freq")).cast("long").as("max_freq"))
+      .orderBy(col("bucket"))
+  }
+
   /** t21 — bigram-LM surprisal scoring (the CCNet/KenLM perplexity
     * filter re-expressed oracle-exact): train an MLE bigram model on
     * the corpus itself and score every doc by its mean next-token

@@ -89,6 +89,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "s14" -> ((s, d) => operators.Similarity.rrfFusion(s, d)),
     "t28" -> ((s, d) => operators.TextOps.sourceDrift(s, d)),
     "t30" -> ((s, d) => operators.TextOps.ngramNovelty(s, d)),
+    "t31" -> (operators.TextOps.zipfProfile _),
     // Spark grouping-sets aggregation emits NO rows on empty input
     // (DuckDB emits the () grand total — the oracle filters it with
     // WHERE n_docs > 0, a no-op on any non-empty corpus)

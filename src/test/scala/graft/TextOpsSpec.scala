@@ -142,6 +142,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(4L) == ((8L, 8L, 10000L)), rows(4L).toString)
   }
 
+  test("t31 zipf profile: histogram-derived min-ranks, shared bands on ties") {
+    // freqs: a=4, b=2, c=2, d=1 → ranks: a=1 (band 0), b=c=2 (band 1,
+    // shared — min-rank ties), d=4 (band 2)
+    val dir = mkDocs(Seq((1L, "A a a", "en"), (2L, "a b b c c d", "en")))
+    val rows = operators.TextOps.zipfProfile(spark, dir).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("min_freq"), r.getAs[Long]("max_freq")))).toMap
+    assert(rows.keySet == Set(0, 1, 2), rows.toString)
+    assert(rows(0) == ((1L, 4L, 4L, 4L)), rows(0).toString) // 'a' (case-folded)
+    assert(rows(1) == ((2L, 4L, 2L, 2L)), rows(1).toString) // b, c share band
+    assert(rows(2) == ((1L, 1L, 1L, 1L)), rows(2).toString) // d at rank 4
+  }
+
   test("t21 lm surprisal: hand-computed integer floor-log2 bigram units") {
     // corpus bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; contexts a=3, b=2
     // u(a,b) = flog2(3)-flog2(3) = 0; u(b,a) = flog2(2)-flog2(1) = 1
