@@ -143,6 +143,7 @@ object SparkEntry {
     "t29_perplexity_buckets" -> (TextOps.perplexityBuckets _),
     "t30_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     "t31_zipf_profile" -> (TextOps.zipfProfile _),
+    "t32_template_share" -> ((s, d) => TextOps.templateShare(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -2063,6 +2064,23 @@ SELECT d.doc_id,
   CAST(coalesce(st.n_windows, 0) AS BIGINT) AS n_windows,
   CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel,
   CAST(coalesce(st.n_novel, 0) * 10000 // greatest(coalesce(st.n_windows, 0), 1) AS BIGINT) AS novelty_bp
+FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
+    // t32: windows template-flagged per (source, sh) with >= 3 docs
+    "t32_template_share" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS sh
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-6)) AS i) WHERE len(t) >= 8),
+w AS (SELECT DISTINCT g.doc_id, g.sh, d.source
+  FROM g JOIN documents d USING (doc_id)),
+tpl AS (SELECT source, sh FROM w GROUP BY 1, 2 HAVING count(*) >= 3),
+st AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(sum(CASE WHEN tpl.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_template
+  FROM w LEFT JOIN tpl ON w.source = tpl.source AND w.sh = tpl.sh
+  GROUP BY 1)
+SELECT d.doc_id, d.source,
+  CAST(coalesce(st.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(st.n_template, 0) AS BIGINT) AS n_template,
+  CAST(coalesce(st.n_template, 0) * 10000 // greatest(coalesce(st.n_windows, 0), 1) AS BIGINT) AS template_bp
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
     // t31: rank from the freq histogram (t29's trick one level up);
     // min-rank so equal-freq terms share a band; floor-log2 via bin()

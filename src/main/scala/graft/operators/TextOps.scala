@@ -647,6 +647,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t32 — per-source TEMPLATE SHARE: for each document, the share of
+    * its distinct n-token windows that recur in ≥ k OTHER-OR-SAME
+    * docs of the SAME source — the nav-bar/footer/licence-block
+    * detector (jusText/CCNet boilerplate removal lifted from lines to
+    * token windows). A crawler source whose docs are mostly shared
+    * template is chrome, not content; per-doc template_bp is the cull
+    * signal, and it is deliberately scoped per source: a phrase
+    * repeated across sources is common LANGUAGE (t30's novelty axis),
+    * repeated within one source is page FURNITURE.
+    *
+    * Scale shape: t19's window fingerprints again (md5-narrow keys);
+    * the distinct (doc, sh, source) frame is cached — it feeds the
+    * (source, sh) template aggregate AND the per-doc probe of one
+    * plan; both joins are key-equality. Linear in corpus tokens. The
+    * all-docs left join emits len<n docs as zero rows (the t20/t30
+    * edge convention).
+    */
+  def templateShare(s: SparkSession, dir: String, n: Int = 8,
+      k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tk = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val ws = windowFingerprints(tk, n)
+      .select(col("doc_id"), col("sh")).distinct()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .cache() // feeds the template aggregate AND the per-doc probe
+    val tpl = ws.groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).cast("long").as("nd"))
+      .filter(col("nd") >= k)
+      .select(col("source"), col("sh"), lit(true).as("is_tpl"))
+    val st = ws.join(tpl, Seq("source", "sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("is_tpl"), 1L).otherwise(0L)).cast("long")
+          .as("n_template"))
+    docs.select(col("doc_id"), col("source"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_template"), lit(0L)).as("n_template"))
+      .withColumn("template_bp",
+        expr("CAST((n_template * 10000) DIV greatest(n_windows, 1) AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t31 — ZIPF PROFILE of the vocabulary: terms banded by
     * floor-log2 of their frequency RANK, one row per band with term
     * count, occurrence mass and the band's frequency range — the

@@ -90,6 +90,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "t28" -> ((s, d) => operators.TextOps.sourceDrift(s, d)),
     "t30" -> ((s, d) => operators.TextOps.ngramNovelty(s, d)),
     "t31" -> (operators.TextOps.zipfProfile _),
+    "t32" -> ((s, d) => operators.TextOps.templateShare(s, d)),
     // Spark grouping-sets aggregation emits NO rows on empty input
     // (DuckDB emits the () grand total — the oracle filters it with
     // WHERE n_docs > 0, a no-op on any non-empty corpus)

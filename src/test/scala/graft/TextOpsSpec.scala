@@ -142,6 +142,32 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(4L) == ((8L, 8L, 10000L)), rows(4L).toString)
   }
 
+  test("t32 template share is scoped per source") {
+    val tpl = (1 to 8).map(i => s"nav$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-t32").toString
+    Seq(
+      (1L, s"$tpl u1a u1b", "srcA"),
+      (2L, s"$tpl u2a u2b", "srcA"),
+      (3L, s"$tpl u3a u3b", "srcA"),
+      (4L, (1 to 8).map(i => s"x$i").mkString(" "), "srcA"),
+      // the SAME window in another source is not template there —
+      // cross-source repetition is language (t30), not furniture
+      (5L, tpl, "srcB"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.TextOps.templateShare(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_template"),
+          r.getAs[Long]("template_bp")))).toMap
+    // srcA docs 1-3: 3 windows each, only the pure nav window recurs
+    // in >= 3 srcA docs
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(rows(id) == ((3L, 1L, 3333L)), s"$id: ${rows(id)}"))
+    assert(rows(4L) == ((1L, 0L, 0L)), rows(4L).toString)
+    assert(rows(5L) == ((1L, 0L, 0L)), rows(5L).toString)
+  }
+
   test("t31 zipf profile: histogram-derived min-ranks, shared bands on ties") {
     // freqs: a=4, b=2, c=2, d=1 → ranks: a=1 (band 0), b=c=2 (band 1,
     // shared — min-rank ties), d=4 (band 2)
