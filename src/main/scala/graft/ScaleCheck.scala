@@ -160,6 +160,9 @@ object ScaleCheck {
 
     def cand(dir: String, f: (SparkSession, String) => DataFrame): Long =
       f(s, dir).count()
+    def novelVol(dir: String): Long =
+      operators.TextOps.ngramNovelty(s, dir)
+        .agg(sum(col("n_novel")).cast("long")).head().getLong(0)
     def d05auto(dir: String, n: Long): Long =
       Dedup.embeddingDupCandidatesFrom(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
@@ -285,7 +288,44 @@ object ScaleCheck {
       // span derivation leaked hours across copies
       Growth("r27_grid",
         cand(baseDir, operators.Relational.gapFill),
-        cand(bigDir, operators.Relational.gapFill)))
+        cand(bigDir, operators.Relational.gapFill)),
+      // t30's novel-window volume: rotation preserves within-copy
+      // window structure and cross-copy windows never collide ⇒ each
+      // copy's novel set replicates ⇒ ~×factor
+      Growth("t30_novel_vol",
+        novelVol(baseDir), novelVol(bigDir)),
+      // t31's frequency histogram: rotation preserves token
+      // multiplicities EXACTLY, so the distinct-frequency set is
+      // copy-INVARIANT (the t29 invariance one level up) — the frame
+      // whose boundedness keeps the rank window scale-free
+      Growth("t31_hist_values",
+        cand(baseDir, (s2, d) => Tables.documents(s2, d)
+          .select(explode(graft.functions.Text.tokens(lower(col("text"))))
+            .as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+          .select(col("freq")).distinct()),
+        cand(bigDir, (s2, d) => Tables.documents(s2, d)
+          .select(explode(graft.functions.Text.tokens(lower(col("text"))))
+            .as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+          .select(col("freq")).distinct())),
+      // (t32 has no Growth row: the 200-doc scale slice contains zero
+      // within-source repeated windows at any k, so the measurement
+      // is identically 0→0; its candidate machinery IS t19's window-
+      // fingerprint join, whose growth the t19_hits row measures)
+      // r29's transition matrix: event types survive inflation and
+      // users are copy-disjoint ⇒ the (from, to) pair set is
+      // copy-INVARIANT (counts grow, rows don't) — the |types|² bound
+      Growth("r29_matrix_rows",
+        cand(baseDir, operators.Relational.transitionMatrix),
+        cand(bigDir, operators.Relational.transitionMatrix)),
+      // s18's health report: one row per label centroid at any corpus
+      // size — the K-row bound that makes its window scale-free
+      Growth("s18_report_rows",
+        cand(baseDir, operators.Similarity.indexHealth),
+        cand(bigDir, operators.Similarity.indexHealth)))
     (growths, (trimBp(baseDir), trimBp(bigDir)))
   }
 

@@ -204,6 +204,41 @@ class ScaleSpec extends SparkSpecBase {
       s"r27 grid ${g.base} -> ${g.inflated}: expected exactly ${factor}x")
   }
 
+  test("t30 novel-window volume grows ~linearly on disjoint copies") {
+    val g = growth("t30_novel_vol")
+    // each rotated copy's novel set replicates (cross-copy windows
+    // never collide); superlinear would mean novelty leaked across
+    // copies, sublinear that shared windows were manufactured
+    assert(g.base > 0 && g.inflated <= 12 * g.base &&
+      g.inflated >= 8 * g.base,
+      s"t30 novel volume ${g.base} -> ${g.inflated}: expected ~${factor}x")
+  }
+
+  test("t31 frequency histogram is EXACTLY copy-invariant under inflation") {
+    val g = growth("t31_hist_values")
+    // rotation preserves token multiplicities bijectively ⇒ every
+    // copy reproduces the base frequency multiset on a disjoint
+    // vocabulary ⇒ the DISTINCT-frequency set cannot move — this is
+    // the bounded frame whose window makes the rank derivation
+    // scale-free
+    assert(g.base > 0 && g.inflated == g.base,
+      s"t31 distinct freqs ${g.base} -> ${g.inflated}: copies leaked")
+  }
+
+  test("r29 transition matrix rows are copy-invariant (|types|² bound)") {
+    val g = growth("r29_matrix_rows")
+    // event types survive inflation, users are copy-disjoint ⇒ counts
+    // grow, the (from, to) pair SET does not
+    assert(g.base > 0 && g.inflated == g.base,
+      s"r29 matrix ${g.base} -> ${g.inflated}: pair set moved")
+  }
+
+  test("s18 health report stays one row per centroid as the corpus inflates") {
+    val g = growth("s18_report_rows")
+    assert(g.base > 0 && g.inflated == g.base,
+      s"s18 rows ${g.base} -> ${g.inflated}: K-row bound broken")
+  }
+
   test("t09 TopK partial trim ratio is scale-invariant") {
     val (base, big) = trim
     assert(base > 0 && big > 0, s"trim metrics missing: $base, $big")
