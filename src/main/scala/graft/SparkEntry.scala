@@ -72,6 +72,7 @@ object SparkEntry {
     "r27_gapfill" -> (Relational.gapFill _),
     "r28_spend_deciles" -> (Relational.spendDeciles _),
     "r29_transition_matrix" -> (Relational.transitionMatrix _),
+    "r30_concurrency" -> (Relational.concurrency _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -1551,6 +1552,19 @@ m AS (SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
 SELECT from_type, to_type, n,
   CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
 FROM m ORDER BY from_type, to_type""",
+    // r30: r08's session CTEs, then hour-span explode + overlap count
+    "r30_concurrency" ->
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+y AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM x),
+z AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y),
+sess AS (SELECT user_id,
+    CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h0,
+    CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h1
+  FROM z GROUP BY user_id, session_id),
+hrs AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour_id FROM sess)
+SELECT hour_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hrs GROUP BY 1 ORDER BY hour_id""",
     "r25_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

@@ -938,4 +938,34 @@ object Relational {
       .select(col("from_type"), col("to_type"), col("n"), col("prob_bp"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** r30 — hourly session-CONCURRENCY profile: for every hour, how
+    * many r08 sessions were in flight and how many distinct users —
+    * the capacity-planning curve behind autoscaling and peak-load
+    * dashboards ("what does our peak hour look like"), and a shape
+    * the raw event table cannot answer with a plain aggregate (a
+    * session spans hours it has no event in; r27 densifies per-user
+    * activity, this one counts global overlap).
+    *
+    * Scale shape: sessions come from the shared r08 path (its
+    * documented per-user window skew class; the r20 chunked variant
+    * drops in unchanged since outputs are row-identical); each
+    * session explodes ROW-LOCALLY into the hours it spans (bounded by
+    * span length — the 1800 s gap rule keeps real sessions to a few
+    * hours); the count is one hour-keyed map-combinable agg onto a
+    * frame bounded by the observation window's hours. Session rows
+    * are already thousands-to-one smaller than events, so the explode
+    * volume is far below the raw event count.
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame =
+    sessionize(s, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(session_start) DIV 3600").as("h0"),
+        expr("unix_timestamp(session_end) DIV 3600").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+      .groupBy(col("hour_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        countDistinct(col("user_id")).cast("long").as("n_users"))
+      .orderBy(col("hour_id"))
 }

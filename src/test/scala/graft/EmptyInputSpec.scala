@@ -84,6 +84,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "c04" -> (operators.Curation.outlierScrub _),
     "r26" -> ((s, d) => operators.Relational.funnelWindowed(s, d)),
     "r29" -> (operators.Relational.transitionMatrix _),
+    "r30" -> (operators.Relational.concurrency _),
     "s12" -> (operators.Similarity.annFiltered _),
     "s13" -> ((s, d) => operators.Similarity.bm25Search(s, d)),
     "s14" -> ((s, d) => operators.Similarity.rrfFusion(s, d)),

@@ -73,6 +73,25 @@ class GapFillSpec extends SparkSpecBase {
     }
   }
 
+  test("r30 concurrency: sessions counted in every hour they span") {
+    val dir = mkEvents(Seq(
+      (1L, 10L, 0.0), (1L, 20L, 0.0),  // u1 session A: hour 0 only
+      (1L, 190L, 0.0),                 // u1 session B: hour 3 (gap > 30min)
+      (2L, 50L, 0.0), (2L, 80L, 0.0),  // u2: 30min gap = SAME session,
+                                        // spans hours 0 and 1
+      (3L, 0L, 0.0), (3L, 40L, 0.0))) // u3: two sessions, both hour 0
+    val out = operators.Relational.concurrency(spark, dir).collect()
+      .map(r => r.getAs[Long]("hour_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_users")))).toMap
+    assert(out.keySet == Set(h0, h0 + 1, h0 + 3), out.keySet.toString)
+    // hour 0: u1-A, u2, and BOTH u3 sessions → 4 sessions, 3 users
+    assert(out(h0) == ((4L, 3L)), out(h0).toString)
+    // hour 1: u2's session is active though its only events are at
+    // its edges — the span overlap the raw event table can't count
+    assert(out(h0 + 1) == ((1L, 1L)), out(h0 + 1).toString)
+    assert(out(h0 + 3) == ((1L, 1L)), out(h0 + 3).toString)
+  }
+
   test("r29 transition matrix: hand-walked per-user pairs, bp shares") {
     // u1: view->click->purchase; u2: view->error, plus a same-ts tie
     // broken by event_id (view[id4] before error[id5])
