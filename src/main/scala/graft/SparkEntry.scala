@@ -153,6 +153,7 @@ object SparkEntry {
     "m05_modality_stats" -> (Multimodal.modalityStats _),
     "m06_modality_interleave" -> ((s, d) => Multimodal.modalityInterleave(s, d)),
     "m07_blob_dedup" -> ((s, d) => Multimodal.blobDedup(s, d)),
+    "m08_shard_manifest" -> ((s, d) => Multimodal.shardManifest(s, d)),
     "w03_session_window" -> (Relational.sessionWindow _),
     "c01_curation" -> ((s, d) => Curation.curate(s, d)),
     "c02_cluster_sample" -> (Curation.clusterSample _),
@@ -2247,5 +2248,17 @@ FROM d GROUP BY kind ORDER BY kind""",
        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
   md5(text) AS content_hash
-FROM documents ORDER BY doc_id""")
+FROM documents ORDER BY doc_id""",
+    // m08: t16's salted-hash shard rule, metadata-only aggregate
+    "m08_shard_manifest" ->
+      """WITH b AS (SELECT
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+    CAST('0x' || substr(md5('m08' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard_id
+  FROM documents)
+SELECT shard_id, kind, CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+  CAST(max(byte_len) AS BIGINT) AS max_bytes
+FROM b GROUP BY 1, 2 ORDER BY shard_id, kind""")
 }

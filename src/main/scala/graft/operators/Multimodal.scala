@@ -211,4 +211,31 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("kind"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** m08 — dataloader SHARD MANIFEST: blobs assigned to training
+    * shards by salted hash (t16's deterministic-shuffle convention —
+    * reproducible, no RNG), one manifest row per (shard, modality)
+    * with item count and byte volume — the webdataset/tar-shard
+    * manifest a multimodal trainer reads to plan workers, plus the
+    * balance audit (a shard 2× its peers straggles every epoch).
+    *
+    * Scale shape: the shard assignment is a row-local projection on
+    * the metadata columns (the payload bytes are never touched — at
+    * 100 TB the manifest job reads only parquet metadata columns,
+    * column pruning keeps blobs on disk); one (shard, kind)-keyed
+    * map-combinable aggregate onto a frame bounded at
+    * |shards|·|modalities| rows at any corpus size.
+    */
+  def shardManifest(s: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame =
+    blobs(s, dir)
+      .select(col("kind"), col("byte_len"),
+        pmod(conv(substring(
+            md5(concat(lit("m08"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(nShards.toLong)).as("shard_id"))
+      .groupBy(col("shard_id"), col("kind"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("byte_len")).cast("long").as("total_bytes"),
+        max(col("byte_len")).cast("long").as("max_bytes"))
+      .orderBy(col("shard_id"), col("kind"))
 }

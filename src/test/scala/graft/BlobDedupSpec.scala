@@ -42,4 +42,24 @@ class BlobDedupSpec extends SparkSpecBase {
     val b = operators.Multimodal.blobDedup(spark, dir).collect().toSeq
     assert(a == b)
   }
+
+  test("m08 shard manifest: complete, balanced, deterministic") {
+    val rows = operators.Multimodal.shardManifest(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // every blob lands in exactly one (shard, kind) cell
+    assert(rows.map(_.getAs[Long]("n_items")).sum == n)
+    assert(rows.forall(r => r.getAs[Long]("total_bytes") > 0 &&
+      r.getAs[Long]("max_bytes") <= r.getAs[Long]("total_bytes")))
+    // salted-hash sharding balances: per-shard item counts within 2x
+    // of the mean (a straggler shard costs every epoch)
+    val byShard = rows.groupBy(_.getAs[Long]("shard_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_items")).sum }
+    assert(byShard.size == 8, byShard.toString)
+    val mean = n.toDouble / 8
+    byShard.foreach { case (sh, c) =>
+      assert(c > mean / 2 && c < mean * 2, s"shard $sh unbalanced: $c") }
+    // reproducible — no RNG anywhere in the assignment
+    val again = operators.Multimodal.shardManifest(spark, sf0001).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }

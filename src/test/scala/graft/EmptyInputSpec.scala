@@ -51,6 +51,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "r08" -> (operators.Relational.sessionize _),
     "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
     "m07" -> ((s, d) => operators.Multimodal.blobDedup(s, d)),
+    "m08" -> ((s, d) => operators.Multimodal.shardManifest(s, d)),
     "s01" -> (operators.Similarity.annBruteForce _),
     "s03" -> (operators.Similarity.annIvf _),
     "s05" -> (operators.Similarity.annPq _),
