@@ -93,6 +93,7 @@ object SparkEntry {
     "d12_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "d13_multiblock_simhash" -> (Dedup.multiblockSimhash _),
     "d14_containment" -> (Dedup.containment _),
+    "d15_lsh_recall" -> (Dedup.lshRecallAudit _),
     // §2.5 similarity search
     "s01_ann_bruteforce" -> (Similarity.annBruteForce _),
     "s02_ann_lsh" -> (Similarity.annLsh _),
@@ -971,6 +972,29 @@ SELECT doc_a, doc_b, inter,
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 5 >= sa.sz * 4 OR inter * 5 >= sb.sz * 4
 ORDER BY doc_a, doc_b""",
+    // d15: d04's truth pairs LEFT JOIN d02's band candidates (both
+    // replayed from the shared minhash/shingle CTEs), per-decile
+    // recall — the audit and the audited generators cannot drift
+    "d15_lsh_recall" ->
+      s"""WITH $minhashCtes,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (SELECT doc_a, doc_b,
+    CAST(CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) // 1000 AS INT) AS band
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 5 >= (sa.sz + sb.sz - inter)),
+aud AS (SELECT t.band, CAST(count(*) AS BIGINT) AS n_true,
+    CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+  FROM truth t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY 1)
+SELECT band, n_true, n_found,
+  CAST(n_found * 10000 // n_true AS BIGINT) AS recall_bp
+FROM aud ORDER BY band""",
     // corpus-adaptive banding replayed in SQL with INTEGER arithmetic
     // only: ceil(log2 n) = length(bin(n-1)) — same value as the Scala
     // side's numberOfLeadingZeros formula on every boundary (a float

@@ -1188,6 +1188,38 @@ object Dedup {
           .as("cont_b_bp"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** d15 — LSH RECALL AUDIT: of the pairs d04 certifies as true
+    * near-dups (Jaccard ≥ τ on df-capped shingles), what fraction
+    * does d02's MinHash band join actually surface, reported per
+    * similarity decile band — the s09 move applied to the dedup
+    * ladder, and THE tuning audit behind every (bands, rows) choice:
+    * the LSH S-curve means recall climbs with similarity, so the
+    * per-band view shows exactly where the miss region sits (a flat
+    * low band says τ is below the curve's knee — raise bands or
+    * accept the misses; papers report precisely this table).
+    *
+    * Scale shape: truth is d04's documented linear candidate join;
+    * found is d02's key-equality band join (both ScaleSpec-measured);
+    * the audit itself is ONE (doc_a, doc_b) key-equality left join
+    * between them and a map-combinable count onto a ≤ 9-row band
+    * frame. Costs the sum of the two generators it audits — nothing
+    * quadratic is added.
+    */
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(jaccard_bp DIV 1000 AS INT)").as("band"))
+    val found = minhashLshCandidates(s, dir)
+      .withColumn("hit", lit(true))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        sum(when(col("hit"), 1L).otherwise(0L)).cast("long").as("n_found"))
+      .withColumn("recall_bp",
+        expr("CAST(n_found * 10000 DIV n_true AS BIGINT)"))
+      .orderBy(col("band"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

@@ -144,6 +144,29 @@ class DedupSpec extends SparkSpecBase {
     assert(jac.isEmpty, jac.mkString(","))
   }
 
+  test("d15 LSH recall audit: identical pair always found, invariants hold") {
+    val d = Files.createTempDirectory("graft-d15").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river " * 4
+    val near = base.replace("lazy dog", "sleepy cat") // high-band true pair
+    val other = "entirely different words about distributed query engines " * 4
+    Seq((0L, base), (1L, base),  // identical: band 10, every minhash agrees
+      (2L, near), (3L, other))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = operators.Dedup.lshRecallAudit(spark, d).collect()
+      .map(r => r.getAs[Int]("band") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+          r.getAs[Long]("recall_bp")))).toMap
+    // bands are similarity deciles of τ-passing pairs: 2..10 only
+    assert(rows.keySet.forall(b => b >= 2 && b <= 10), rows.keySet.toString)
+    // an identical pair shares every shingle ⇒ every band key ⇒ found
+    val (t10, f10, r10) = rows(10)
+    assert(t10 >= 1L && f10 == t10 && r10 == 10000L, rows(10).toString)
+    rows.values.foreach { case (t, f, bp) =>
+      assert(f <= t && bp == f * 10000 / t, (t, f, bp).toString) }
+  }
+
   test("d11 incremental LSH: unmatched delta doc is kept") {
     val d = Files.createTempDirectory("graft-d11").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

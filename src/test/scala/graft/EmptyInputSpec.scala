@@ -47,6 +47,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
     "d13" -> (operators.Dedup.multiblockSimhash _),
     "d14" -> (operators.Dedup.containment _),
+    "d15" -> (operators.Dedup.lshRecallAudit _),
     "r21" -> (operators.Relational.cdcApply _),
     "r08" -> (operators.Relational.sessionize _),
     "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
