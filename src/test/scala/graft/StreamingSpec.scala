@@ -881,4 +881,52 @@ class StreamingSpec extends SparkSpecBase {
       one.toString)
     assert(spark.read.parquet(out2).count() == 2)
   }
+
+  test("transition stream: cross-batch boundary pairs, summed matrix == batch r29") {
+    import graft.streaming.TransitionStream
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-trans-lake").toString
+    val inDir = Files.createTempDirectory("graft-trans-in").toString
+    val outDir = Files.createTempDirectory("graft-trans-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-trans-ck").toString
+    def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+    // u1's chain STRADDLES the two file drops: view,click | purchase
+    // u2 lives in one drop; u3 is a singleton (no pair ever)
+    val fileA = Seq(
+      (0L, ts(0), 1L, "view", 0.0, "{}"),
+      (1L, ts(1), 1L, "click", 0.0, "{}"),
+      (2L, ts(2), 2L, "view", 0.0, "{}"),
+      (3L, ts(2), 2L, "error", 0.0, "{}")) // same-ts tie → event_id order
+    val fileB = Seq(
+      (4L, ts(9), 1L, "purchase", 0.0, "{}"),
+      (5L, ts(9), 3L, "signup", 0.0, "{}"))
+    def toDf(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    toDf(fileA).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    toDf(fileB).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    toDf(fileA ++ fileB).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/events.parquet")
+    val q = TransitionStream.startToParquet(spark, inDir, outDir, ckDir,
+      ttl = None)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("prob_bp"))).toSet
+    val streamed = asSet(TransitionStream.readMatrix(spark, outDir))
+    val batch = asSet(operators.Relational.transitionMatrix(spark, dir))
+    // the click→purchase pair exists ONLY via the carried state (its
+    // two events are in different file drops)
+    assert(streamed.exists(t => t._1 == "click" && t._2 == "purchase"),
+      streamed.toString)
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // double delivery of one batch id replaces its counts, never grows
+    val out2 = Files.createTempDirectory("graft-trans-out2").toString + "/out"
+    val pb = Seq(("view", "click"), ("view", "click"))
+      .toDF("from_type", "to_type")
+    TransitionStream.writeBatch(pb, out2, 0L)
+    TransitionStream.writeBatch(pb, out2, 0L)
+    val m2 = TransitionStream.readMatrix(spark, out2).collect()
+    assert(m2.length == 1 && m2.head.getAs[Long]("n") == 2L, m2.mkString)
+  }
 }
