@@ -253,7 +253,7 @@ object Curation {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val terc = TextOps.perplexityTerciles(s, dir)
       .select(col("doc_id"), col("tercile"))
-    val qual = TextOps.qualityClassifier(s, dir)
+    val qual = TextOps.qualityFrame(s, dir)
       .select(col("doc_id"), col("label").as("quality_ok"))
     val counts = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -309,9 +309,9 @@ object Curation {
   def cascadeReport(s: SparkSession, dir: String): DataFrame = {
     val train = Tables.documents(s, dir).filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), md5(Text.normalize(col("text"))).as("h"))
-    val qual = TextOps.qualityClassifier(s, dir)
+    val qual = TextOps.qualityFrame(s, dir)
       .select(col("doc_id"), col("label"))
-    val cont = TextOps.decontaminate(s, dir)
+    val cont = TextOps.decontFrame(s, dir)
       .select(col("doc_id"), col("contaminated"))
     val terc = TextOps.perplexityTerciles(s, dir)
       .select(col("doc_id"), col("tercile"))

@@ -306,6 +306,13 @@ object Dedup {
   }
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardFrame(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** d04's unsorted τ-passing pairs — d15's truth side joins this
+    * without inheriting the contract sort (a range exchange over the
+    * pair frame).
+    */
+  private[graft] def jaccardFrame(s: SparkSession, dir: String): DataFrame =
     shingleOverlap(s, dir)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
@@ -316,7 +323,6 @@ object Dedup {
           .as("jaccard_bp"))
       // τ = 0.2 as pure integer arithmetic: inter/union >= 1/5
       .filter(col("inter") * 5 >= col("union_sz"))
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Edit-distance threshold for d06 and its segment count (k+1). */
   private val LevK = 3
@@ -1206,7 +1212,7 @@ object Dedup {
     * quadratic is added.
     */
   def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(s, dir)
+    val truth = jaccardFrame(s, dir)
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(jaccard_bp DIV 1000 AS INT)").as("band"))
     val found = minhashLshCandidates(s, dir)

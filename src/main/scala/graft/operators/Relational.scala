@@ -163,7 +163,15 @@ object Relational {
     * line grouping pattern applied to time (parse_utils/ocr_utils
     * grouping); single shuffle on user_id.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionFrame(s, dir).orderBy(col("user_id"), col("session_id"))
+
+  /** r08's unsorted session frame — factored so consumers that
+    * re-aggregate it (r30 concurrency) don't inherit the contract
+    * query's output sort as a wasted mid-plan range exchange
+    * (EliminateSorts does not remove it under the downstream agg).
+    */
+  private[graft] def sessionFrame(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -177,7 +185,6 @@ object Relational {
         round(sum(col("value")), 2).as("session_value"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** r20 — SKEW-RESISTANT sessionization: identical result to r08
@@ -958,7 +965,7 @@ object Relational {
     * volume is far below the raw event count.
     */
   def concurrency(s: SparkSession, dir: String): DataFrame =
-    sessionize(s, dir)
+    sessionFrame(s, dir)
       .select(col("user_id"),
         expr("unix_timestamp(session_start) DIV 3600").as("h0"),
         expr("unix_timestamp(session_end) DIV 3600").as("h1"))

@@ -790,7 +790,15 @@ object Similarity {
     * meaningful neighbor gap; production graphs quantize harder than
     * this (SQ8/PQ) for memory alone.
     */
-  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnGraphFrame(s, dir, k).orderBy(col("vec_id"), col("rn"))
+
+  /** s15's unsorted edge frame — s16's pool expansion joins this
+    * without inheriting the contract sort (a range exchange over the
+    * n-row graph; the sessionFrame lesson).
+    */
+  private[graft] def knnGraphFrame(s: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val bands = Dedup.adaptiveBands(emb.count())
@@ -825,7 +833,6 @@ object Similarity {
       .select(col("src").as("vec_id"), col("rn"),
         col("dst").as("neighbor_id"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
-      .orderBy(col("vec_id"), col("rn"))
   }
 
   /** (vec_id, mq, nq): per-component floor(x·1000) BIGINT vectors plus
@@ -923,7 +930,7 @@ object Similarity {
     val seeds = annLsh(s, dir)
       .select(col("query_id"), col("neighbor_id"))
       .cache() // feeds the direct leg AND the hop join of one plan
-    val graph = knnGraph(s, dir)
+    val graph = knnGraphFrame(s, dir)
       .select(col("vec_id"), col("neighbor_id").as("hop_id"))
     val pool = seeds.select(col("query_id"), col("neighbor_id").as("cid"))
       .union(seeds.join(graph, seeds("neighbor_id") === graph("vec_id"))

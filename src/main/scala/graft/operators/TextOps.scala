@@ -240,7 +240,15 @@ object TextOps {
     * training side stays one scan + one equi-join on the shingle —
     * never a pairwise comparison.
     */
-  def decontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    decontFrame(s, dir, n).orderBy(col("doc_id"))
+
+  /** t12's unsorted flag frame — consumers that re-aggregate it (c07)
+    * must not inherit the contract sort as a mid-plan range exchange
+    * over a corpus-sized frame (the r30/sessionFrame lesson).
+    */
+  private[graft] def decontFrame(s: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
     // referenced twice (benchmark side + training side) — cache so
     // the corpus-wide shingle generation runs once
     val sh = Dedup.shingles(s, dir, n).cache()
@@ -255,7 +263,6 @@ object TextOps {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
-      .orderBy(col("doc_id"))
   }
 
   /** t13 — repetition-based quality stats (the Gopher repetition
@@ -1009,6 +1016,12 @@ object TextOps {
     * dominates per-row cost exactly as the hash does in fastText.
     */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityFrame(s, dir).orderBy(col("doc_id"))
+
+  /** t23's unsorted scores — the pure projection c06/c07 join on
+    * without inheriting the contract sort.
+    */
+  private[graft] def qualityFrame(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
@@ -1016,7 +1029,6 @@ object TextOps {
           " + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)" +
           " % 10000 % 17 - 8)").as("score"))
       .withColumn("label", col("score") > 0L)
-      .orderBy(col("doc_id"))
 
   /** t08 — PII redaction: scrub emails and phone-like numbers from
     * text (constructed deterministically here since the corpus is
