@@ -73,6 +73,7 @@ object SparkEntry {
     "r28_spend_deciles" -> (Relational.spendDeciles _),
     "r29_transition_matrix" -> (Relational.transitionMatrix _),
     "r30_concurrency" -> (Relational.concurrency _),
+    "r31_reconciliation" -> (Relational.reconciliation _),
     "w01_tumbling_window" -> (Relational.tumblingWindow _),
     "w02_sliding_window" -> (Relational.slidingWindow _),
     // §2.4 dedup
@@ -1590,6 +1591,25 @@ hrs AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour_id FROM sess)
 SELECT hour_id, CAST(count(*) AS BIGINT) AS n_sessions,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM hrs GROUP BY 1 ORDER BY hour_id""",
+    // r31: floor-cents per line BEFORE the sum; LEFT join keeps
+    // line-less orders as the no_lines class
+    "r31_reconciliation" ->
+      """WITH li AS (SELECT l_orderkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS computed_cents
+  FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(floor(o.o_totalprice * 100) AS BIGINT) AS stored_cents,
+    li.computed_cents,
+    CAST(floor(o.o_totalprice * 100) AS BIGINT) - coalesce(li.computed_cents, 0) AS delta_cents
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey),
+c AS (SELECT CASE WHEN computed_cents IS NULL THEN 'no_lines'
+      WHEN delta_cents = 0 THEN 'match'
+      WHEN abs(delta_cents) <= 100 THEN 'rounding'
+      ELSE 'mismatch' END AS status,
+    abs(delta_cents) AS ad FROM j)
+SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(ad) AS BIGINT) AS abs_delta_cents,
+  CAST(max(ad) AS BIGINT) AS max_abs_delta
+FROM c GROUP BY 1 ORDER BY status""",
     "r25_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

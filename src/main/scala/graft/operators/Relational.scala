@@ -946,6 +946,53 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** r31 — order↔lineitem RECONCILIATION report: recompute every
+    * order's total from its lines (floor-cents per line BEFORE the
+    * sum — order-independent integers, the r19 money rule) and
+    * classify the delta against the stored header total — match /
+    * rounding (≤ $1) / mismatch / no_lines — one bounded report row
+    * per class with order count and absolute-delta mass. This is the
+    * financial-reconciliation audit of the reference's invoice
+    * domain (header total vs extracted line items) lifted to the
+    * star schema, and c05's cross-TABLE sibling: c05 checks rows
+    * against rules, r31 checks two tables against EACH OTHER. A
+    * headerless-delta class appearing between loads is an ingest
+    * regression alarm.
+    *
+    * Scale shape: one lineitem scan → an l_orderkey-keyed
+    * map-combinable partial sum (at 100 TB orders and lineitem are
+    * bucketed on the order key — TableSink.writeBucketed — so the
+    * header join is exchange-free); the LEFT join keeps line-less
+    * orders visible (their whole stored amount is unexplained — the
+    * class the audit exists for); the report aggregate lands on a
+    * 4-row frame. No window, nothing corpus-sized after the join.
+    */
+  def reconciliation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)" +
+          " * 100) AS BIGINT)").as("line_cents"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_cents")).cast("long").as("computed_cents"),
+        count(lit(1)).cast("long").as("n_lines"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("stored_cents"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("delta_cents",
+        col("stored_cents") - coalesce(col("computed_cents"), lit(0L)))
+      .withColumn("status",
+        when(col("computed_cents").isNull, "no_lines")
+          .when(col("delta_cents") === 0L, "match")
+          .when(abs(col("delta_cents")) <= 100L, "rounding")
+          .otherwise("mismatch"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(abs(col("delta_cents"))).cast("long").as("abs_delta_cents"),
+        max(abs(col("delta_cents"))).cast("long").as("max_abs_delta"))
+      .orderBy(col("status"))
+  }
+
   /** r30 — hourly session-CONCURRENCY profile: for every hour, how
     * many r08 sessions were in flight and how many distinct users —
     * the capacity-planning curve behind autoscaling and peak-load

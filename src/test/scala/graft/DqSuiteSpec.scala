@@ -55,6 +55,38 @@ class DqSuiteSpec extends SparkSpecBase {
         r.getAs[Long]("metric_bp")).mkString(", "))
   }
 
+  test("r31 reconciliation: every class lands where its delta says") {
+    val d = Files.createTempDirectory("graft-r31").toString
+    val t0 = new java.sql.Timestamp(1704067200000L)
+    Seq(
+      (1L, Option(1L), "O", 10.00),  // lines sum exactly -> match
+      (2L, Option(2L), "O", 10.50),  // 50c off -> rounding
+      (3L, Option(3L), "O", 100.00), // wildly off -> mismatch
+      (4L, Option(4L), "O", 25.00))  // no lines -> no_lines
+      .map { case (k, c, st, p) => (k, c, st, p, t0, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/orders.parquet")
+    Seq(
+      (1L, 4.00, 0.0, 0.0), (1L, 6.00, 0.0, 0.0),
+      (2L, 10.00, 0.0, 0.0),
+      // 20.00 * 0.9 * 1.1 = 19.80 -> 1980 cents vs stored 10000
+      (3L, 20.00, 0.1, 0.1))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/lineitem.parquet")
+    val out = operators.Relational.reconciliation(spark, d).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Long]("abs_delta_cents"),
+          r.getAs[Long]("max_abs_delta")))).toMap
+    assert(out.keySet == Set("match", "rounding", "mismatch", "no_lines"),
+      out.keySet.toString)
+    assert(out("match") == ((1L, 0L, 0L)), out("match").toString)
+    assert(out("rounding") == ((1L, 50L, 50L)), out("rounding").toString)
+    assert(out("mismatch") == ((1L, 8020L, 8020L)), out("mismatch").toString)
+    // a line-less order's WHOLE stored amount is unexplained
+    assert(out("no_lines") == ((1L, 2500L, 2500L)), out("no_lines").toString)
+  }
+
   test("c07 cascade: stage chain is consistent and anchored at the train split") {
     val rows = operators.Curation.cascadeReport(spark, sf0001).collect()
       .sortBy(_.getAs[Int]("ord"))
