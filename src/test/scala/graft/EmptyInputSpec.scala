@@ -29,6 +29,9 @@ class EmptyInputSpec extends SparkSpecBase {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/orders.parquet")
+    Seq.empty[(Long, Double, Double, Double)]
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/lineitem.parquet")
     d
   }
 
@@ -87,6 +90,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "r26" -> ((s, d) => operators.Relational.funnelWindowed(s, d)),
     "r29" -> (operators.Relational.transitionMatrix _),
     "r30" -> (operators.Relational.concurrency _),
+    "r31" -> (operators.Relational.reconciliation _),
     "s12" -> (operators.Similarity.annFiltered _),
     "s13" -> ((s, d) => operators.Similarity.bm25Search(s, d)),
     "s14" -> ((s, d) => operators.Similarity.rrfFusion(s, d)),
