@@ -163,7 +163,8 @@ object SparkEntry {
     "c04_outlier_scrub" -> (Curation.outlierScrub _),
     "c05_dq_suite" -> (Curation.dqSuite _),
     "c06_mix_plan" -> (Curation.mixPlan _),
-    "c07_cascade_report" -> (Curation.cascadeReport _))
+    "c07_cascade_report" -> (Curation.cascadeReport _),
+    "c08_safe_split" -> (Curation.safeSplit _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -274,6 +275,28 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id"""
+
+  /** c08: d07's recursive CC replayed, split hashed on cluster_id
+    * (t18's salt + bucket rule, applied to the component).
+    */
+  private def safeSplitSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+sims AS (SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE ($matchesExpr) >= 8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM sims
+  UNION ALL SELECT doc_b, doc_a FROM sims),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+    CAST('0x' || substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS b
+  FROM cl) ORDER BY doc_id"""
 
   /** DuckDB replay of VectorAgg.pqCodebook (K=16, 2 k-means rounds,
     * vec_id%16 seed, milli-floored means): psv = subspace slices of
@@ -924,6 +947,7 @@ ORDER BY key_a, key_b""",
     "d02_minhash_lsh" -> minhashLshSql,
     "t18_split_leakage" -> splitLeakageSql,
     "d07_dup_clusters" -> dupClustersSql,
+    "c08_safe_split" -> safeSplitSql,
     "d08_keep_best" ->
       """WITH m AS (SELECT doc_id,
     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,

@@ -280,6 +280,33 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** c08 — leakage-SAFE train/val/test SPLIT builder: splits are
+    * assigned per NEAR-DUP CLUSTER (d07's connected components), not
+    * per document — the FIX for exactly what t18 audits: a per-doc
+    * hash split puts a val/test doc's train near-twin on the other
+    * side and silently inflates every eval number; hashing the
+    * CLUSTER id keeps each dup family on one side by construction,
+    * so t18's straddling-pair set over this assignment is empty — a
+    * theorem, not a measurement (any d02-verified pair is an edge,
+    * edges stay within components, components share a split).
+    * Same salted-md5 80/10/10 bucket rule as t18/t11 (deterministic,
+    * replayable, no RNG), applied to cluster_id.
+    *
+    * Scale shape: d07's documented bounded-iteration CC (checkpointed
+    * label propagation, edges from the linear d02 band join) plus ONE
+    * row-local hash projection — the assignment adds nothing to
+    * d07's cost, and d07's output sort IS this operator's contract
+    * sort (no extra exchange).
+    */
+  def safeSplit(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(s, dir)
+      .withColumn("b", pmod(conv(substring(
+          md5(concat(lit("split"), col("cluster_id").cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(10L)))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("b") <= 7, "train").when(col("b") === 8, "val")
+          .otherwise("test").as("split"))
+
   /** c07 — the curation CASCADE report: stage-by-stage survivor
     * counts through the training-split pipeline — quality gate (t23)
     * → exact dedup (d01's canon rule among the gate's survivors) →

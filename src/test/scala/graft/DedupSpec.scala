@@ -124,6 +124,35 @@ class DedupSpec extends SparkSpecBase {
       leak._4 == "test" && leak._5 >= 5000L, leak.toString)
   }
 
+  test("c08 safe split keeps every near-dup family on one side") {
+    // the t18 corpus: under PER-DOC hashing, (0, 5) straddles
+    // train/test — t18's finding; c08 assigns per CLUSTER, so the
+    // pair cannot straddle
+    val d = Files.createTempDirectory("graft-c08").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    val near = base.replace("lazy dog", "sleepy dog")
+    val other = "entirely different words about distributed query engines " * 4
+    Seq((0L, base), (5L, near), (1L, other), (2L, other),
+      (26L, "unrelated tail words and nothing else here at all"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    // the per-doc audit DOES find a straddler here (t18's own spec)
+    assert(operators.Dedup.splitLeakage(spark, d).count() == 1)
+    val rows = operators.Curation.safeSplit(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(rows.size == 5)
+    // every cluster carries exactly one split (the theorem's shape)
+    rows.values.groupBy(_._1).foreach { case (cl, vs) =>
+      assert(vs.map(_._2).toSet.size == 1, s"cluster $cl splits: $vs") }
+    // the formerly-straddling near-dup pair shares cluster AND split
+    assert(rows(0L)._1 == rows(5L)._1 && rows(0L)._2 == rows(5L)._2,
+      s"${rows(0L)} vs ${rows(5L)}")
+    // the exact-dup train pair stays together too
+    assert(rows(1L) == rows(2L))
+  }
+
   test("d14 containment catches subset inclusion that Jaccard misses") {
     val d = Files.createTempDirectory("graft-d14").toString
     val long = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-shingles
