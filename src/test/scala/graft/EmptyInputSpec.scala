@@ -51,6 +51,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "d13" -> (operators.Dedup.multiblockSimhash _),
     "d14" -> (operators.Dedup.containment _),
     "d15" -> (operators.Dedup.lshRecallAudit _),
+    "c08" -> (operators.Curation.safeSplit _),
     "r21" -> (operators.Relational.cdcApply _),
     "r08" -> (operators.Relational.sessionize _),
     "r20" -> ((s, d) => operators.Relational.sessionizeChunked(s, d)),
