@@ -882,6 +882,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out2).count() == 2)
   }
 
+  test("concurrency stream: closed sessions fold to the exact r30 profile") {
+    import graft.streaming.ConcurrencyStream
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-conc-lake").toString
+    val inDir = Files.createTempDirectory("graft-conc-in").toString
+    val outDir = Files.createTempDirectory("graft-conc-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-conc-ck").toString
+    def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+    val h0 = 1704067200L / 3600L
+    // the r30 spec corpus: u1 two sessions (hours 0 and 3), u2 one
+    // session spanning hours 0-1, u3 two sessions both hour 0
+    val real = Seq(
+      (1L, ts(10), 1L, "click", 0.0, "{}"), (2L, ts(20), 1L, "click", 0.0, "{}"),
+      (3L, ts(190), 1L, "click", 0.0, "{}"),
+      (4L, ts(50), 2L, "click", 0.0, "{}"), (5L, ts(80), 2L, "click", 0.0, "{}"),
+      (6L, ts(0), 3L, "click", 0.0, "{}"), (7L, ts(40), 3L, "click", 0.0, "{}"))
+    def toDf(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = ConcurrencyStream.startToParquet(spark, inDir, outDir, ckDir)
+    try {
+      toDf(real).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+      // two watermark-advance deliveries so every real session closes
+      toDf(Seq((8L, ts(6000), 99L, "click", 0.0, "{}")))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+      toDf(Seq((9L, ts(12000), 98L, "click", 0.0, "{}")))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ConcurrencyStream.readProfile(spark, outDir)
+      .filter(col("hour_id") < h0 + 50).collect()
+      .map(r => r.getAs[Long]("hour_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_users")))).toMap
+    // batch r30 over ONLY the real events (flush users excluded by
+    // the hour filter on the stream side; their sessions are the
+    // live-dashboard lag documented on the class)
+    toDf(real).write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val batch = operators.Relational.concurrency(spark, dir).collect()
+      .map(r => r.getAs[Long]("hour_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_users")))).toMap
+    assert(streamed == batch,
+      s"stream/batch diverged: stream=$streamed batch=$batch")
+    assert(streamed(h0) == ((4L, 3L)), streamed.toString) // the r30 hand-walk
+    // double delivery of one batch id replaces its grains, never grows
+    val out2 = Files.createTempDirectory("graft-conc-out2").toString + "/out"
+    val sess = Seq((1L, ts(10), ts(70), 2L, 0.0))
+      .toDF("user_id", "session_start", "session_end", "n_events",
+        "session_value")
+    ConcurrencyStream.writeBatch(sess, out2, 0L)
+    ConcurrencyStream.writeBatch(sess, out2, 0L)
+    val p2 = ConcurrencyStream.readProfile(spark, out2).collect()
+    assert(p2.length == 2 && p2.forall(_.getAs[Long]("n_sessions") == 1L),
+      p2.mkString(","))
+  }
+
   test("transition stream: cross-batch boundary pairs, summed matrix == batch r29") {
     import graft.streaming.TransitionStream
     import org.apache.spark.sql.functions.col
