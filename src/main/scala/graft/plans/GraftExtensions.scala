@@ -1,28 +1,38 @@
 package graft.plans
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, LongVecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
 /** Catalyst optimizer rule: rewrite the declarative higher-order
-  * dot-product pattern
+  * dot-product patterns
   *
   *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0L,  (acc, v) -> acc + v)
+  *   aggregate(a, 0L, (acc, x) -> acc + x * x)
   *
-  * into the native codegen'd FloatVecDot. Users write the portable
-  * HOF formulation (or call it through SQL); the optimizer injects
-  * the ~80× faster kernel. Summation order is identical (sequential
-  * fold), so the rewrite is result-preserving bit-for-bit.
+  * into the native codegen'd FloatVecDot / LongVecDot. Users write
+  * the portable HOF formulation (or call it through SQL); the
+  * optimizer injects the ~80× faster kernel. Summation order is
+  * identical (sequential fold) and long overflow wraps the same way
+  * in both, so the rewrite is result-preserving bit-for-bit. The
+  * integer arms are what keep s15/s16's milli-quantized pair scoring
+  * out of CodegenFallback (round-10 verdict item 1).
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -53,6 +63,19 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** body is `acc + x * x` over exactly the lambda args (the squared
+    * norm fold milliQuantized writes).
+    */
+  private def isSumOfSquares(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(
+        Add(acc0: NamedLambdaVariable,
+          Multiply(x1: NamedLambdaVariable, x2: NamedLambdaVariable, _), _),
+        Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _) =>
+      acc0.exprId == acc.exprId &&
+        x1.exprId == x.exprId && x2.exprId == x.exprId
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -63,6 +86,21 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
           if isPairwiseMul(mul) && isSum(add) &&
             isFloatArray(a) && isFloatArray(b) =>
         FloatVecDot(a, b)
+      case ArrayAggregate(
+          ZipWith(a, b, mul: LambdaFunction),
+          Literal(0L, LongType),
+          add: LambdaFunction,
+          LambdaFunction(_: NamedLambdaVariable, _, _))
+          if isPairwiseMul(mul) && isSum(add) &&
+            isLongArray(a) && isLongArray(b) =>
+        LongVecDot(a, b)
+      case ArrayAggregate(
+          a,
+          Literal(0L, LongType),
+          add: LambdaFunction,
+          LambdaFunction(_: NamedLambdaVariable, _, _))
+          if isSumOfSquares(add) && isLongArray(a) =>
+        LongVecDot(a, a)
     }
 }
 

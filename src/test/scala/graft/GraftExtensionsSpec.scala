@@ -50,6 +50,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.collect().head.getDouble(0) == 10.0)
   }
 
+  test("optimizer rewrites 0L-seeded integer HOF dot to LongVecDot, same results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-l").toString
+    Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-7L, 1000L, 0L), Array(2L, 3L, 9L)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS d",
+        "aggregate(a, 0L, (acc, x) -> acc + x * x) AS n2")
+      .orderBy("d")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("longvecdot") || optimized.contains("LongVecDot"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.toLowerCase.contains("aggregate("),
+      s"an interpreted HOF aggregate survived:\n$optimized")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((32L, 14L), (2986L, 1000049L)), s"got $rows")
+  }
+
+  test("integer arm leaves float-seeded and non-dot folds alone") {
+    import spark.implicits._
+    // float arrays with a 0L seed never type-check as the long arm;
+    // a 0L fold that is a SUM (not sum-of-squares / pairwise product)
+    // must survive untouched
+    val df = Seq((Array(1L, 2L, 3L))).toDF("a")
+      .selectExpr("aggregate(a, 0L, (acc, x) -> acc + x) AS s")
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("longvecdot"))
+    assert(df.collect().head.getLong(0) == 6L)
+  }
+
   test("graft_dot is callable from SQL") {
     import spark.implicits._
     Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")

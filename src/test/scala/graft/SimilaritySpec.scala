@@ -409,6 +409,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s15/s16 score through the LongVecDot kernel, not interpreted HOFs") {
+    // the r10 verdict's top finding: milliQuantized pair scoring ran
+    // the CodegenFallback aggregate(zip_with(...), 0L, ...) route per
+    // candidate pair. The integer arms of RewriteHofDotProduct must
+    // leave NO higher-order aggregate anywhere in either plan.
+    for (df <- Seq(operators.Similarity.knnGraph(spark, dir),
+        operators.Similarity.graphExpandSearch(spark, dir))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("longvecdot") || opt.contains("LongVecDot"),
+        s"LongVecDot missing:\n${opt.take(2000)}")
+      assert(!opt.toLowerCase.contains("aggregate(zip_with"),
+        s"interpreted HOF dot survived:\n${opt.take(2000)}")
+      assert(!opt.toLowerCase.contains("aggregate(mq"),
+        s"interpreted HOF norm survived:\n${opt.take(2000)}")
+    }
+  }
+
   test("s18 index health flags the hot cell and keeps the empty cell visible") {
     // 9 vectors on c0's axis, 1 on c1's, none near c2
     val e = ((0 until 9).map(i =>
