@@ -294,9 +294,11 @@ object Curation {
     *
     * Scale shape: d07's documented bounded-iteration CC (checkpointed
     * label propagation, edges from the linear d02 band join) plus ONE
-    * row-local hash projection — the assignment adds nothing to
-    * d07's cost, and d07's output sort IS this operator's contract
-    * sort (no extra exchange).
+    * row-local hash projection. The closing orderBy makes the
+    * contract sort SELF-CONTAINED (round-10 advice): it is adjacent
+    * to d07's identical doc_id sort, so EliminateSorts collapses the
+    * pair and no extra exchange is paid — but the determinism no
+    * longer depends on that upstream sort surviving future edits.
     */
   def safeSplit(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(s, dir)
@@ -306,6 +308,7 @@ object Curation {
       .select(col("doc_id"), col("cluster_id"),
         when(col("b") <= 7, "train").when(col("b") === 8, "val")
           .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
 
   /** c07 — the curation CASCADE report: stage-by-stage survivor
     * counts through the training-split pipeline — quality gate (t23)

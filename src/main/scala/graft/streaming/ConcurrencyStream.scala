@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Streaming twin of Relational.concurrency (r30, twin #24): the
   * hourly session-overlap profile maintained at ingest, stacked on
@@ -48,11 +49,19 @@ object ConcurrencyStream {
       .agg(count(lit(1)).cast("long").as("n"))
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+  /** The folded (hour, user) grain shape writeBatch lands. */
+  val grainSchema: StructType = StructType(Seq(
+    StructField("hour_id", LongType),
+    StructField("user_id", LongType),
+    StructField("n", LongType)))
+
   /** The live profile — r30's exact output shape over every closed
-    * session folded so far.
+    * session folded so far; an empty profile (not an
+    * AnalysisException) when no batch has landed yet, so a dashboard
+    * may poll a freshly started stream.
     */
   def readProfile(s: SparkSession, outPath: String): DataFrame =
-    s.read.parquet(outPath)
+    BatchReads.batches(s, outPath, grainSchema)
       .groupBy(col("hour_id"))
       .agg(sum(col("n")).cast("long").as("n_sessions"),
         countDistinct(col("user_id")).cast("long").as("n_users"))

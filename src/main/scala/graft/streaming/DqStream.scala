@@ -42,11 +42,20 @@ object DqStream {
     StructField("o_orderdate", TimestampType),
     StructField("o_orderpriority", StringType)))
 
-  /** Static lake dimension the per-delivery RI check probes —
-    * cached; every micro-batch anti-joins against it.
+  /** Static lake dimension the per-delivery RI check probes — cached
+    * ONCE per (session, dir); every micro-batch anti-joins against
+    * it. The memo keeps repeated gate starts (or a spec's extra
+    * lakeDim call) from stacking duplicate cached copies in a
+    * long-lived session (round-10 advice: the suite logged 'Asked to
+    * cache already cached data').
     */
   def lakeDim(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir).select(col("c_custkey")).cache()
+    dimCache.getOrElseUpdate((s, dir),
+      Tables.customer(s, dir).select(col("c_custkey")).cache())
+
+  private val dimCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
 
   /** One delivery scored through the shared batch path. */
   def scoreBatch(batch: DataFrame, cust: DataFrame): DataFrame =

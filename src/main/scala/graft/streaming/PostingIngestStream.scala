@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -37,10 +37,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * [[Similarity.impactIndex]] over lake ∪ deltas — per-doc tf
   * never interacts across docs, so union-of-postings is exact.
   *
-  * At 100 TB: term is the index's bucket/partition key; a batch
-  * touches |batch vocab| buckets, the read-side re-cap probes only
-  * those buckets, and TableSink.compact folds old deltas without
-  * changing the min/cap-merge result.
+  * At 100 TB: term's hash bucket `tb` is the index's partition key —
+  * both delta families are written `delta_id=* / tb=*`, a batch
+  * touches |batch vocab| buckets, and the read-side re-cap carries a
+  * static `tb IN (...)` partition filter (the touched set is ≤
+  * [[TermBuckets]] literals), so a refresh reads only the touched
+  * buckets of each delta, never the full index.
+  * TableSink.compact folds old deltas without changing the
+  * min/cap-merge result.
   */
 object PostingIngestStream {
 
@@ -49,13 +53,31 @@ object PostingIngestStream {
 
   val Cap = 20
 
+  /** Term-hash partition fan-out of both delta families. 64 keeps
+    * per-bucket delta files coarse at test scale; at lake scale the
+    * same layout runs with a larger fan-out — pruning math is
+    * identical.
+    */
+  val TermBuckets = 64
+
+  /** The delta partition key of a term. */
+  def termBucket(term: Column): Column =
+    pmod(hash(term), lit(TermBuckets))
+
   /** Current index state restricted to `terms`: re-cap the postings
-    * deltas, sum the df deltas — s17's exact output shape.
+    * deltas, sum the df deltas — s17's exact output shape. Reads
+    * prune to the touched term buckets (a bounded literal set, so the
+    * IN lands as a static PartitionFilter on the delta layout).
     */
   def readIndex(s: SparkSession, idxDir: String, terms: DataFrame,
       cap: Int = Cap): DataFrame = {
-    val post = s.read.parquet(s"$idxDir/postings").join(terms, "term")
-    val df = s.read.parquet(s"$idxDir/df").join(terms, "term")
+    val touched = terms.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = col("tb").isin(touched: _*)
+    val post = s.read.parquet(s"$idxDir/postings").filter(pruned)
+      .join(terms, "term")
+    val df = s.read.parquet(s"$idxDir/df").filter(pruned)
+      .join(terms, "term")
       .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
     Similarity.rankPostings(s, post, cap)
       .join(df, Seq("term"))
@@ -73,10 +95,14 @@ object PostingIngestStream {
     val tf = Similarity.docTf(batch).cache() // feeds cap fold, df fold, touched set
     try {
       Similarity.rankPostings(ss, tf, cap)
-        .select(col("term"), col("doc_id"), col("tf"))
-        .write.mode("overwrite").parquet(s"$idxDir/postings/delta_id=b$batchId")
+        .select(col("term"), col("doc_id"), col("tf"),
+          termBucket(col("term")).as("tb"))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$idxDir/postings/delta_id=b$batchId")
       tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-        .write.mode("overwrite").parquet(s"$idxDir/df/delta_id=b$batchId")
+        .withColumn("tb", termBucket(col("term")))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$idxDir/df/delta_id=b$batchId")
       val touched = tf.select(col("term")).distinct()
       readIndex(ss, idxDir, touched, cap)
         .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
@@ -96,10 +122,13 @@ object PostingIngestStream {
       val tf = Similarity.docTf(Tables.documents(s, dir)).cache()
       try {
         Similarity.rankPostings(s, tf, cap)
-          .select(col("term"), col("doc_id"), col("tf"))
-          .write.mode("overwrite").parquet(base.toString)
+          .select(col("term"), col("doc_id"), col("tf"),
+            termBucket(col("term")).as("tb"))
+          .write.partitionBy("tb").mode("overwrite").parquet(base.toString)
         tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-          .write.mode("overwrite").parquet(s"$idxDir/df/delta_id=base")
+          .withColumn("tb", termBucket(col("term")))
+          .write.partitionBy("tb").mode("overwrite")
+          .parquet(s"$idxDir/df/delta_id=base")
       } finally { tf.unpersist(); () }
     }
     s.readStream.schema(schema).parquet(inDir)

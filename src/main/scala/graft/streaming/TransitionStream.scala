@@ -91,12 +91,23 @@ object TransitionStream {
       .agg(count(lit(1)).cast("long").as("n"))
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+  /** The folded (from, to, n) count shape writeBatch lands. */
+  val countSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("from_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("to_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+
   /** The live matrix: per-batch counts summed, outgoing shares in bp
     * — r29's exact output shape (the share window runs on the
-    * |types|²-bounded merged frame, scale-free).
+    * |types|²-bounded merged frame, scale-free); an empty matrix (not
+    * an AnalysisException) when no batch has landed yet.
     */
   def readMatrix(s: SparkSession, outPath: String): DataFrame = {
-    val m = s.read.parquet(outPath)
+    val m = BatchReads.batches(s, outPath, countSchema)
       .groupBy(col("from_type"), col("to_type"))
       .agg(sum(col("n")).cast("long").as("n"))
     val wFrom = Window.partitionBy(col("from_type"))

@@ -859,6 +859,14 @@ class StreamingSpec extends SparkSpecBase {
     val batch = asSet(operators.Similarity.impactIndex(spark, combined, 2))
     assert(folded == batch, s"folded/batch diverged: " +
       s"missing=${(batch -- folded).take(3)} extra=${(folded -- batch).take(3)}")
+    // read-side bucket pruning: a one-term probe carries a static tb
+    // partition filter into the delta scan (the 100 TB probe-only-
+    // touched-buckets layout is implemented, not aspirational)
+    val probe = PostingIngestStream.readIndex(spark, idxDir,
+      allTerms.filter(col("term") === "apple"), 2)
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.matches("(?s).*PartitionFilters: \\[[^\\]]*tb[^\\]]*\\].*"),
+      s"no tb partition filter in probe plan:\n${probePlan.take(3000)}")
     // eviction: d2's apple posting fell out of the cap; df STILL
     // counts it (df rides its own delta family, not capped postings)
     val apple = folded.filter(_._1 == "apple")
@@ -936,6 +944,10 @@ class StreamingSpec extends SparkSpecBase {
     val p2 = ConcurrencyStream.readProfile(spark, out2).collect()
     assert(p2.length == 2 && p2.forall(_.getAs[Long]("n_sessions") == 1L),
       p2.mkString(","))
+    // polling BEFORE any batch lands (fresh dashboard on a fresh
+    // stream) returns an empty profile, not an AnalysisException
+    val fresh = Files.createTempDirectory("graft-conc-fresh").toString + "/none"
+    assert(ConcurrencyStream.readProfile(spark, fresh).count() == 0L)
   }
 
   test("transition stream: cross-batch boundary pairs, summed matrix == batch r29") {
@@ -984,5 +996,9 @@ class StreamingSpec extends SparkSpecBase {
     TransitionStream.writeBatch(pb, out2, 0L)
     val m2 = TransitionStream.readMatrix(spark, out2).collect()
     assert(m2.length == 1 && m2.head.getAs[Long]("n") == 2L, m2.mkString)
+    // polling BEFORE any batch lands returns an empty matrix, not an
+    // AnalysisException
+    val fresh = Files.createTempDirectory("graft-trans-fresh").toString + "/none"
+    assert(TransitionStream.readMatrix(spark, fresh).count() == 0L)
   }
 }
