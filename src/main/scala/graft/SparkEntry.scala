@@ -185,7 +185,12 @@ object SparkEntry {
     * buckets → candidate pairs. `matchesExpr` counts agreeing
     * signature positions between sides sa/sb.
     */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  /** The CTE chain over an arbitrary (doc_id, text) base relation —
+    * d15's gate runs it over documents ∪ planted rows.
+    */
+  private def minhashCtesFrom(base: String): String = {
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min((h*$a+$b)%4294967311) AS m$i"
     }.mkString(", ")
@@ -194,7 +199,7 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $j AS band, md5($ks) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""toks AS (SELECT doc_id, $docTokens AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $docTokens AS t FROM $base),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
@@ -967,12 +972,16 @@ SELECT content_hash, doc_id AS keeper_doc_id, quality_bp AS best_quality_bp,
   n_copies
 FROM r WHERE rn = 1 ORDER BY keeper_doc_id""",
     "d03_simhash" -> simhashSql,
+    // stop-shingle cap is the CONTRACT rule (r10 verdict item 2):
+    // cap = greatest(8, ceil(log2 n_docs)) via length(bin(n-1)) —
+    // the same integer arithmetic as Dedup.jaccardDfCap
     "d04_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+cap AS (SELECT greatest(8, length(bin(count(*) - 1))) AS c FROM documents),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= (SELECT c FROM cap)),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -981,12 +990,15 @@ SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_sz,
   CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 5 >= (sa.sz + sb.sz - inter) ORDER BY doc_a, doc_b""",
+    // d14's cap is 2x d04's: containment needs the intersection count
+    // intact for dup families (see Dedup.containmentDfCap)
     "d14_containment" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+cap AS (SELECT greatest(8, 2 * length(bin(count(*) - 1))) AS c FROM documents),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= (SELECT c FROM cap)),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1001,9 +1013,14 @@ ORDER BY doc_a, doc_b""",
     // replayed from the shared minhash/shingle CTEs), per-decile
     // recall — the audit and the audited generators cannot drift
     "d15_lsh_recall" ->
-      s"""WITH $minhashCtes,
+      s"""WITH docs_g AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES ${Dedup.recallPlantRows
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(", ")}) AS v(doc_id, text)),
+${minhashCtesFrom("docs_g")},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+cap AS (SELECT greatest(8, length(bin(count(*) - 1))) AS c FROM docs_g),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= (SELECT c FROM cap)),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

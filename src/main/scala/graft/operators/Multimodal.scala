@@ -5,11 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.7): media payloads are
-  * opaque `binary` columns with typed metadata alongside. The decode /
-  * feature-extract step is STUBBED (no image/audio libs in this
-  * container) with a deterministic byte-statistics "feature vector" —
-  * the Spark-side plumbing (binary encoding, schema, partition-wise
-  * batch processing via mapPartitions on a typed Dataset) is real.
+  * opaque `binary` columns with typed metadata alongside. The Spark
+  * plumbing (binary encoding, schema, partition-wise batch processing
+  * via mapPartitions on a typed Dataset) is real, and the decode step
+  * has TWO kernels behind the [[Multimodal.BlobDecoder]] seam: the
+  * deterministic byte-statistics STUB the driver-gated queries pin
+  * (the DuckDB oracle replays its arithmetic — it has no media
+  * codec), and [[Multimodal.ImageIoDecoder]], a REAL PNG/JPEG decoder
+  * through the JRE's own `javax.imageio` (no external libs) that
+  * turns m02/m07 into a true perceptual image pipeline
+  * (spec-covered with round-tripped PNGs). Audio/video codecs remain
+  * out of container scope; they drop into the same seam.
   */
 object Multimodal {
 
@@ -146,15 +152,73 @@ object Multimodal {
       }
   }
 
+  /** REAL image decoder through the JDK's own codec (r10 verdict
+    * item 5): `javax.imageio` ships with the JRE — no external libs
+    * — so PNG/JPEG payloads decode for real behind the same
+    * [[BlobDecoder]] seam. Emits the 16 pHash-style 4×4 GRID-CELL
+    * gray means (stripe_no = row·4+col, mean luma in milli-units;
+    * integer Rec.601 luma and floor divisions only, so recomputation
+    * is bit-stable), which is exactly the input [[blobDedup]]'s
+    * threshold fingerprint wants — with this decoder m07 is a true
+    * perceptual image dedup. Payloads ImageIO cannot decode (plain
+    * text, truncated bytes) and images smaller than the grid fall
+    * back to the stub's byte-stripe features, so mixed blob tables
+    * keep working. The DRIVER-GATED queries keep the stub default:
+    * DuckDB has no PNG codec to replay, and the oracle contract is
+    * pinned to the stub arithmetic (documented on the class).
+    */
+  object ImageIoDecoder extends BlobDecoder {
+    override def decode(b: Blob): Iterator[StripeFeature] = {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth < 4 || img.getHeight < 4)
+        StripeStubDecoder.decode(b)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        (0 until 16).iterator.map { j =>
+          val (r, c) = (j / 4, j % 4)
+          val (x0, x1) = (c * w / 4, (c + 1) * w / 4)
+          val (y0, y1) = (r * h / 4, (r + 1) * h / 4)
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          StripeFeature(b.doc_id, b.kind, b.byte_len, j, n.toInt,
+            sum * 1000L / n)
+        }
+      }
+    }
+  }
+
   /** m02 — decode/feature-extract: partition-wise batch op over the
     * typed Dataset, with the per-blob kernel supplied by `decoder`
     * (default = the stripe stub; the driver-gate oracle replays the
     * stub's arithmetic).
     */
   def extractFeatures(s: SparkSession, dir: String,
-      decoder: BlobDecoder = StripeStubDecoder): DataFrame = {
+      decoder: BlobDecoder = StripeStubDecoder): DataFrame =
+    extractFeaturesOf(s, blobs(s, dir), decoder)
+
+  /** m02 over an EXPLICIT blob frame — real media tables (and the
+    * ImageIoDecoder spec) feed through the identical plumbing.
+    */
+  def extractFeaturesOf(s: SparkSession, blobFrame: DataFrame,
+      decoder: BlobDecoder): DataFrame = {
     import s.implicits._
-    blobs(s, dir).as[Blob].mapPartitions(_.flatMap(decoder.decode))
+    blobFrame.as[Blob].mapPartitions(_.flatMap(decoder.decode))
       .toDF().orderBy(col("doc_id"), col("stripe_no"))
   }
 
@@ -174,9 +238,16 @@ object Multimodal {
     * (widen the fingerprint for corpora past ~10⁶ blobs per kind).
     */
   def blobDedup(s: SparkSession, dir: String,
+      decoder: BlobDecoder = StripeStubDecoder, maxHamming: Int = 3): DataFrame =
+    blobDedupOf(s, blobs(s, dir), decoder, maxHamming)
+
+  /** m07 over an EXPLICIT blob frame — the seam real media tables
+    * (and the ImageIoDecoder spec) enter through.
+    */
+  def blobDedupOf(s: SparkSession, blobFrame: DataFrame,
       decoder: BlobDecoder = StripeStubDecoder, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
-    val feats = blobs(s, dir).as[Blob]
+    val feats = blobFrame.as[Blob]
       .mapPartitions(_.flatMap(decoder.decode)).toDF()
       .filter(col("byte_len") >= 256 && col("stripe_no") < 16)
     val fp = feats

@@ -801,7 +801,8 @@ object Similarity {
       k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val bands = Dedup.adaptiveBands(emb.count())
+    val bands = Dedup.adaptiveBands(
+      graft.TableStats.rowCount(s, dir, "embeddings")(emb.count()))
     // directed candidate pairs in ONE self-join (no half-pair union)
     val bandStructs = bands.zipWithIndex.map { case (dims, j) =>
       struct(lit(j).as("band"),

@@ -30,9 +30,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * equals batch r30 exactly — both count each session in each hour
   * it spans, and closed-session emission is exactly-once. Sessions
   * still open contribute nothing yet (a live dashboard's inherent
-  * lag, not an error); an AvailableNow drain needs one follow-up
-  * trigger for the final watermark's timeouts, inherent to
-  * event-time session closure.
+  * lag, not an error). Event-time session closure is
+  * watermark-driven, so a plain drain leaves the last gap+delay of
+  * sessions open; [[drainToParquet]] closes them inside one call via
+  * a watermark-advancing sentinel (r10 verdict item 4).
   */
 object ConcurrencyStream {
 
@@ -83,5 +84,51 @@ object ConcurrencyStream {
         writeBatch(batch, outPath, id)
       }
       .start()
+  }
+
+  /** Reserved watermark-sentinel user id. Its session is always the
+    * stream's last and thus never closes, so [[DrainUser]] can never
+    * reach the folded profile.
+    */
+  val DrainUser: Long = Long.MaxValue
+
+  /** TERMINAL drain (r10 verdict item 4): ingest everything under
+    * `inDir` AND close every real session in the same call — no
+    * manual follow-up trigger. A drained backlog leaves the watermark
+    * at max(ts) − delay, so sessions ending within the last
+    * gap+delay stay open BY SEMANTICS until event time advances; the
+    * standard stream-system move is an explicit watermark-advancing
+    * heartbeat ("punctuation"). This drain appends two [[DrainUser]]
+    * heartbeat events past max(ts)+gap+delay — the first advances
+    * the watermark beyond every real session's timeout, the second
+    * triggers a batch under that watermark so the timeouts fire —
+    * then stops. The sentinel's own session ends the run open, so it
+    * is never emitted and cannot contaminate the profile
+    * (spec-asserted); the sentinel EVENTS do land in `inDir`, which
+    * is why the drain is terminal by contract (a live gate uses
+    * [[startToParquet]] and inherits the dashboard lag instead).
+    */
+  def drainToParquet(spark: SparkSession, inDir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = startToParquet(spark, inDir, outPath, checkpoint)
+    try {
+      q.processAllAvailable()
+      val maxTs = spark.read.schema(EventStream.schema).parquet(inDir)
+        .agg(max(col("ts"))).collect().head.getTimestamp(0)
+      if (maxTs != null) {
+        // gap + watermark delay + 1 min of slack
+        val horizonMs = Sessionizer.GapMs + 11 * 60 * 1000L
+        (1 to 2).foreach { k =>
+          // watermarks update at batch END: delivery 1 advances it,
+          // delivery 2 runs a batch under it so timeouts fire
+          spark.createDataFrame(Seq((Long.MaxValue - k,
+              new java.sql.Timestamp(maxTs.getTime + horizonMs + k * 60000L),
+              DrainUser, "drain", 0.0, "{}")))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
   }
 }

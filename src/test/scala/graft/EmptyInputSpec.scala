@@ -50,7 +50,6 @@ class EmptyInputSpec extends SparkSpecBase {
     "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
     "d13" -> (operators.Dedup.multiblockSimhash _),
     "d14" -> (operators.Dedup.containment _),
-    "d15" -> (operators.Dedup.lshRecallAudit _),
     "c08" -> (operators.Curation.safeSplit _),
     "r21" -> (operators.Relational.cdcApply _),
     "r08" -> (operators.Relational.sessionize _),
@@ -108,5 +107,16 @@ class EmptyInputSpec extends SparkSpecBase {
     test(s"$name returns an empty result on empty input") {
       assert(fn(spark, dir).count() == 0L)
     }
+
+  test("d15 on empty input returns exactly its planted calibration bands") {
+    // the audit is never vacuous BY DESIGN (r10 verdict item 3): the
+    // planted S-curve pairs ride every corpus, including an empty
+    // one — bands 2/5/7 with 2 true pairs each and recall 0/5000/10000
+    val rows = operators.Dedup.lshRecallAudit(spark, dir).collect()
+      .map(r => r.getAs[Int]("band") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("recall_bp")))).toMap
+    assert(rows == Map(2 -> ((2L, 0L)), 5 -> ((2L, 5000L)),
+      7 -> ((2L, 10000L))), rows.toString)
+  }
 
 }
