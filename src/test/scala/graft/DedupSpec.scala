@@ -201,6 +201,27 @@ class DedupSpec extends SparkSpecBase {
       assert(f <= t && bp == f * 10000 / t, (t, f, bp).toString) }
   }
 
+  test("d04 contract df-cap binds: pairs sharing only a stop shingle are excluded") {
+    // integer cap rule itself
+    assert(operators.Dedup.jaccardDfCap(20) == 8)      // max(8, ceil(log2 20)=5)
+    assert(operators.Dedup.jaccardDfCap(5000) == 13)   // sf0.1's binding value
+    assert(operators.Dedup.containmentDfCap(5000) == 26)
+    val d = Files.createTempDirectory("graft-d04cap").toString
+    // 20 docs all opening with the same trigram (df=20 > cap=8);
+    // docs 0 and 1 additionally share a RARE trigram (df=2)
+    (0 until 20).map { i =>
+      val extra = if (i < 2) " sharedx sharedy sharedz" else ""
+      (i.toLong, s"stop stop stop u${i}a u${i}b u${i}c$extra")
+    }.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    // the stop shingle alone generates no candidates — only the rare
+    // shared trigram's pair survives the capped join
+    val cand = operators.Dedup.ngramJaccardCandidates(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand == Set((0L, 1L)), cand.toString)
+  }
+
   test("d11 incremental LSH: unmatched delta doc is kept") {
     val d = Files.createTempDirectory("graft-d11").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
