@@ -52,13 +52,27 @@ object TextOps {
     val norm = Text.normalize(col("text"))
     // explode(sequence) + substr stays inside whole-stage codegen; a
     // transform(...) lambda here is CodegenFallback — interpreted per
-    // character of every document
+    // character of every document. The TWO-LEVEL explode is the perf
+    // point (r11): UTF8String.substr by CHARACTER index walks bytes
+    // from the string start, so per-position substr over the whole
+    // doc is O(position) — quadratic per doc (measured 2.3 s at
+    // sf0.1 for only 1.5M grams). Chunking to 24 chars (+2 overlap
+    // so chunk-boundary trigrams survive) bounds every walk at 26
+    // chars: identical gram multiset, an order of magnitude less
+    // byte walking (measured 2.3 → 1.0 s). The r20
+    // chunked-sessionize move applied to strings.
+    val C = 24
     val grams = Tables.documents(s, dir)
       .select(col("lang"), norm.as("t"))
       .filter(length(col("t")) >= 3)
       .select(col("lang"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
-      .select(col("lang"), col("t").substr(col("i"), lit(3)).as("gram"))
+        explode(sequence(lit(0),
+          ((length(col("t")) - 3) / C).cast("int"))).as("k"))
+      .select(col("lang"),
+        col("t").substr(col("k") * C + 1, lit(C + 2)).as("c"))
+      .select(col("lang"), col("c"),
+        explode(sequence(lit(1), length(col("c")) - 2)).as("i"))
+      .select(col("lang"), col("c").substr(col("i"), lit(3)).as("gram"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram"))
     grams.groupBy(col("lang"), col("gram"))
