@@ -796,9 +796,18 @@ object Similarity {
   /** s15's unsorted edge frame — s16's pool expansion joins this
     * without inheriting the contract sort (a range exchange over the
     * n-row graph; the sessionFrame lesson).
+    *
+    * `srcIds` (a single-column `vec_id` frame) restricts the build to
+    * the edges OUT OF those nodes: per-src top-k is independent
+    * across srcs, so the restricted build returns exactly the full
+    * graph's rows for those srcs. s16 probes ≤|seeds| nodes — at
+    * 100 TB it reads the persisted graph by key; inline, the
+    * broadcast semi-join shrinks the band join's left side to the
+    * probed nodes before any pair is scored (r11: s16 was paying the
+    * full n-node graph build for a ≤8-node probe).
     */
   private[graft] def knnGraphFrame(s: SparkSession, dir: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, srcIds: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val bands = Dedup.adaptiveBands(
@@ -812,7 +821,9 @@ object Similarity {
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"),
         col("b.bucket").as("bucket"))
-    val cand = keyed.select(col("vec_id").as("src"), col("band"), col("bucket"))
+    val keyedSrc = srcIds.fold(keyed)(ids =>
+      keyed.join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id"))
+    val cand = keyedSrc.select(col("vec_id").as("src"), col("band"), col("bucket"))
       .join(keyed.select(col("vec_id").as("dst"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("src") =!= col("dst"))
@@ -930,8 +941,11 @@ object Similarity {
     graft.plans.GraftExtensions.install(s)
     val seeds = annLsh(s, dir)
       .select(col("query_id"), col("neighbor_id"))
-      .cache() // feeds the direct leg AND the hop join of one plan
-    val graph = knnGraphFrame(s, dir)
+      .cache() // feeds the direct leg, the hop join AND the graph probe
+    // build only the probed nodes' edges — identical rows to the full
+    // graph for those nodes (per-src top-k is src-independent)
+    val graph = knnGraphFrame(s, dir,
+        srcIds = Some(seeds.select(col("neighbor_id").as("vec_id"))))
       .select(col("vec_id"), col("neighbor_id").as("hop_id"))
     val pool = seeds.select(col("query_id"), col("neighbor_id").as("cid"))
       .union(seeds.join(graph, seeds("neighbor_id") === graph("vec_id"))
