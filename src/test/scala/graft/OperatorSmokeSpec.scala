@@ -24,16 +24,17 @@ class OperatorSmokeSpec extends SparkSpecBase {
   test("approx sketches land within 5% of the exact (r13) answers") {
     val approx = operators.Relational.approxStats(spark, sf0001).collect()
       .map(r => r.getAs[String]("o_orderstatus") ->
-        (r.getAs[Long]("approx_customers"), r.getAs[Double]("approx_median")))
+        ((r.getAs[Long]("approx_customers"),
+          r.getAs[Long]("approx_median_cents"))))
       .toMap
     val exact = operators.Relational.exactStats(spark, sf0001).collect()
     assert(exact.nonEmpty && approx.size == exact.length)
     exact.foreach { r =>
       val (ac, am) = approx(r.getAs[String]("o_orderstatus"))
       val ec = r.getAs[Long]("exact_customers")
-      val em = r.getAs[Double]("exact_median")
-      assert(math.abs(ac - ec).toDouble / ec <= 0.05, s"HLL off: $ac vs $ec")
-      assert(math.abs(am - em) / em <= 0.05, s"quantile off: $am vs $em")
+      val em = r.getAs[Double]("exact_median") * 100 // cents
+      assert(math.abs(ac - ec).toDouble / ec <= 0.05, s"KMV off: $ac vs $ec")
+      assert(math.abs(am - em) / em <= 0.05, s"histogram off: $am vs $em")
     }
   }
 
@@ -78,7 +79,10 @@ class OperatorSmokeSpec extends SparkSpecBase {
   }
 
   test("every query has oracle SQL or is a documented rows-only op") {
-    val rowsOnly = Set("r12_approx_stats")
+    // r11: the rows-only set is EMPTY — r12's engine sketches were
+    // replaced by deterministic KMV/histogram sketches both engines
+    // replay, so every one of the 140 queries is hash-gated
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
