@@ -34,7 +34,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "t14_domain_mix" -> "1-row corpus-total broadcast",
     "c05_dq_suite" -> "two 1-row metric frames cross-joined (bounded 1×1 — the final stack input); all corpus-sized work is one scan-aggregate + one left-anti broadcast join",
     "c06_mix_plan" -> "t14's 1-row corpus-total broadcast inside the |langs|-row weight frame; every doc-keyed join is key-equality",
-    "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)")
+    "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)",
+    "r12_approx_stats" -> "1-row max-cents broadcast sizing the histogram width (t09 pattern); KMV and bucket joins are key-equality on status")
 
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name plans no cartesian/nested-loop join" +
