@@ -55,7 +55,7 @@ object SparkEntry {
     "r09_running_window" -> (Relational.runningWindow _),
     "r10_salted_agg" -> (Relational.saltedAgg _),
     "r11_region_rollup" -> (Relational.regionRollup _),
-    "r12_approx_stats" -> (Relational.approxStats _),
+    "r12_approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
     "r13_exact_stats" -> (Relational.exactStats _),
     "r14_table_diff" -> (Relational.tableDiff _),
     "r15_cube" -> (Relational.cubeSummary _),

@@ -413,34 +413,53 @@ object Relational {
     * The exact twin (`exactStats` / r13) remains the correctness
     * anchor; OperatorSmokeSpec bounds this sketch against it.
     */
-  def approxStats(s: SparkSession, dir: String): DataFrame = {
+  def approxStats(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val K = 1024
     val o = Tables.orders(s, dir)
-    // KMV distinct sketch: K smallest salted 32-bit hashes per group
-    val h = o.select(col("o_orderstatus").as("st"),
-        conv(substring(md5(concat(lit("r12"), col("o_custkey").cast("string"))),
-          1, 8), 16, 10).cast("long").as("h"))
-      .distinct()
-    val kept = graft.plans.TopK.perKey(h, Seq(col("st")),
-      Seq(col("h").asc), K)
-    val kmv = kept.groupBy(col("st"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
-      .select(col("st"),
-        when(col("n_kept") < K, col("n_kept"))
-          .otherwise(expr(s"CAST(${K - 1}L * 4294967296L DIV hk AS BIGINT)"))
-          .cast("long").as("approx_customers"))
+    val kept = graft.plans.TopK.perKey(kmvHashes(o), Seq(col("st")),
+      Seq(col("h").asc), k)
     // fixed-width histogram sketch: width from the table max (cents)
-    val cents = o.select(col("o_orderstatus").as("st"),
-      floor(col("o_totalprice") * 100).cast("long").as("c"))
+    val cents = orderCents(o)
     val mx = cents.agg(max(col("c")).as("maxc"))
     val bucketed = cents.crossJoin(broadcast(mx))
       .select(col("st"), expr("greatest(1L, maxc DIV 256)").as("w"), col("c"))
       .groupBy(col("st"), col("w"), expr("c DIV w").as("b"))
-      .agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).cast("long").as("nb"))
+    approxFromPartials(kept, bucketed, k)
+  }
+
+  /** The KMV sketch's element space: distinct salted 32-bit custkey
+    * hashes per status. Shared with streaming.SketchStream so the
+    * folded and batch sketches can never drift.
+    */
+  private[graft] def kmvHashes(o: DataFrame): DataFrame =
+    o.select(col("o_orderstatus").as("st"),
+        conv(substring(md5(concat(lit("r12"), col("o_custkey").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+
+  /** (st, c): per-order integer cents — the histogram's element space. */
+  private[graft] def orderCents(o: DataFrame): DataFrame =
+    o.select(col("o_orderstatus").as("st"),
+      floor(col("o_totalprice") * 100).cast("long").as("c"))
+
+  /** r12's final assembly from sketch partials: `kept` = the ≤k
+    * smallest distinct hashes per status (post-merge), `hist` =
+    * (st, w, b, nb) bucket counts. Streaming folds land exactly these
+    * two frames, so the live read and the batch query share the
+    * estimate arithmetic verbatim.
+    */
+  private[graft] def approxFromPartials(kept: DataFrame, hist: DataFrame,
+      k: Int): DataFrame = {
+    val kmv = kept.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("st"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(${k - 1}L * 4294967296L DIV hk AS BIGINT)"))
+          .cast("long").as("approx_customers"))
     val wCum = Window.partitionBy(col("st")).orderBy(col("b"))
     val wAll = Window.partitionBy(col("st"))
-    val med = bucketed
+    val med = hist
       .withColumn("cum", sum(col("nb")).over(wCum))
       .withColumn("n", sum(col("nb")).over(wAll))
       .filter(expr("cum >= (n + 1) DIV 2"))

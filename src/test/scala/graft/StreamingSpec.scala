@@ -822,6 +822,64 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(outDir2).count() == 6)
   }
 
+  test("sketch stream: folded KMV + histogram equals batch r12, k-bounded state") {
+    import graft.streaming.SketchStream
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-sk-lake").toString
+    val inDir = Files.createTempDirectory("graft-sk-in").toString
+    val stDir = Files.createTempDirectory("graft-sk-state").toString + "/state"
+    val ckDir = Files.createTempDirectory("graft-sk-ck").toString
+    val t0 = new Timestamp(1704067200000L)
+    def mkOrders(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (k, c, st, p) => (k, c, st, p, t0, "1-URGENT") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    // lake: 10 'O' customers (over k=4 -> estimate path), 2 'F'
+    // customers (F stays under k across all deltas -> exact path);
+    // the lake holds the global max price, so the frozen width
+    // equals the batch width
+    val lake = (1L to 10L).map(c => (c, c, "O", 10.0 + c)) ++
+      Seq((20L, 1L, "F", 100.0), (21L, 2L, "F", 30.0))
+    // deltas: overlapping + new customers, prices within the lake max
+    val dA = Seq((30L, 4L, "O", 15.0), (31L, 11L, "O", 22.0),
+      (32L, 4L, "F", 35.0))
+    val dB = Seq((33L, 12L, "O", 50.0), (34L, 13L, "O", 60.0),
+      (35L, 5L, "O", 45.0))
+    mkOrders(lake).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/orders.parquet")
+    mkOrders(dA).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    mkOrders(dB).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    val q = SketchStream.startFolding(spark, inDir, dir, stDir, ckDir, k = 4)
+    try q.awaitTermination() finally q.stop()
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        ((r.getAs[Long]("approx_customers"),
+          r.getAs[Long]("approx_median_cents")))).toMap
+    val folded = asMap(SketchStream.readStats(spark, stDir, k = 4))
+    // parity: batch r12 (same k) over lake ∪ deltas
+    val combined = Files.createTempDirectory("graft-sk-all").toString
+    mkOrders(lake ++ dA ++ dB).write.mode(SaveMode.Overwrite)
+      .parquet(s"$combined/orders.parquet")
+    val batch = asMap(operators.Relational.approxStats(spark, combined, k = 4))
+    assert(folded == batch, s"folded=$folded batch=$batch")
+    // 'F' stays under k across all deltas: the exact-count path must
+    // report the true distinct count (lake custkeys 1,2 + dA's 4)
+    assert(folded("F")._1 == 3L, folded.toString)
+    // k-bound: every delta holds at most k hashes per status however
+    // many distinct customers a delivery carries
+    val perDelta = spark.read.parquet(s"$stDir/kmv")
+      .groupBy(col("delta_id"), col("st")).count().collect()
+    assert(perDelta.nonEmpty && perDelta.forall(_.getAs[Long]("count") <= 4L),
+      perDelta.mkString(","))
+    // double delivery of one batch id replaces its partials
+    val st2 = Files.createTempDirectory("graft-sk-state2").toString + "/state"
+    SketchStream.seedFromLake(spark, dir, st2, k = 4)
+    SketchStream.writeBatch(mkOrders(dA), st2, 0L, k = 4)
+    val once = asMap(SketchStream.readStats(spark, st2, k = 4))
+    SketchStream.writeBatch(mkOrders(dA), st2, 0L, k = 4)
+    assert(asMap(SketchStream.readStats(spark, st2, k = 4)) == once)
+  }
+
   test("posting ingest stream: cap-merge eviction, df delta sum, batch parity") {
     import graft.streaming.PostingIngestStream
     import org.apache.spark.sql.functions.col
