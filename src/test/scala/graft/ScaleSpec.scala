@@ -43,6 +43,26 @@ class ScaleSpec extends SparkSpecBase {
       s"d04 candidates ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("d04 contract df-cap bounds stop-shingle fanout as the corpus grows") {
+    // the cap's 100 TB claim at its BINDING regime (the measured
+    // d04_cand row uses disjoint copies where the cap never binds):
+    // every doc shares one opener trigram, so an uncapped join would
+    // generate n·(n-1)/2 pairs — 4,950 then 495,000. The contract
+    // cap (max(8, ceil(log2 n)) ≪ n) excludes the stop shingle at
+    // BOTH sizes: candidates stay ZERO however large n grows.
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    for (n <- Seq(100, 1000)) {
+      val d = Files.createTempDirectory(s"graft-d04cap-$n").toString
+      (0 until n).map(i => (i.toLong, s"stop stop stop u${i}a u${i}b u${i}c",
+          "en", "s", 30L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+      val cand = operators.Dedup.ngramJaccardCandidates(spark, d).count()
+      assert(cand == 0L, s"n=$n: $cand stop-shingle pairs leaked past the cap")
+    }
+  }
+
   test("d13 multi-block candidates are sub-quadratic (all-pairs share shrinks)") {
     // within-copy candidates are the vocabulary-correlated constant
     // (grows ×factor); cross-copy collisions exceed the uniform
