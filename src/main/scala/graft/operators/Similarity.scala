@@ -946,7 +946,43 @@ object Similarity {
     // graph for those nodes (per-src top-k is src-independent)
     val graph = knnGraphFrame(s, dir,
         srcIds = Some(seeds.select(col("neighbor_id").as("vec_id"))))
-      .select(col("vec_id"), col("neighbor_id").as("hop_id"))
+    graphExpandFrom(s, dir, seeds, graph, k)
+  }
+
+  /** s16 over a PERSISTED graph (sources.IndexStore layout): the
+    * seed nodes' edges are read by key out of the vb-bucketed graph
+    * table — a static partition filter plus an id filter over a
+    * BOUNDED literal set (|seeds| ≤ 3·|queries| by construction; the
+    * PostingIngestStream touched-bucket convention) — instead of
+    * being rebuilt inline. Output-identical to [[graphExpandSearch]]:
+    * the stored graph's rows for the seed ids ARE the inline
+    * restricted build's rows.
+    */
+  private[graft] def graphExpandProbe(s: SparkSession, dir: String,
+      idxDir: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val seeds = annLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .cache()
+    val ids = seeds.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val buckets = seeds
+      .select(pmod(hash(col("neighbor_id")),
+        lit(graft.sources.IndexStore.GraphBuckets)).as("vb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val graph = s.read.parquet(s"$idxDir/graph")
+      .filter(col("vb").isin(buckets: _*) && col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("rn"), col("neighbor_id"), col("cos_bp"))
+    graphExpandFrom(s, dir, seeds, graph, k)
+  }
+
+  /** The s16 pool-expand + exact-rerank stage over explicit seed and
+    * graph-edge frames — the inline build and the persisted-index
+    * probe share it verbatim.
+    */
+  private def graphExpandFrom(s: SparkSession, dir: String,
+      seeds: DataFrame, graphEdges: DataFrame, k: Int): DataFrame = {
+    val graph = graphEdges.select(col("vec_id"), col("neighbor_id").as("hop_id"))
     val pool = seeds.select(col("query_id"), col("neighbor_id").as("cid"))
       .union(seeds.join(graph, seeds("neighbor_id") === graph("vec_id"))
         .select(col("query_id"), col("hop_id").as("cid")))
@@ -1032,6 +1068,35 @@ object Similarity {
         col("nrm").as("qnrm"), col("cid"))
     val scored = cells.join(broadcast(q),
         cells("cid") === q("cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
+    rankTopK(s, scored, 3)
+  }
+
+  /** s03 recomputed as a PROBE of the persisted IVF layout
+    * (sources.IndexStore): queries rank against the STORED centroid
+    * table, their ≤2·|Q| probe cell ids become a static `cid IN`
+    * partition filter on the cid-partitioned cells table, and only
+    * those directories are scanned — the nprobe/K fraction of the
+    * corpus the s03 Scaladoc promises at 100 TB, realized as
+    * partition pruning. Output-identical to [[annIvf]]: the stored
+    * cells ARE its rr=1 assignments and the query-side ranking runs
+    * the same cellAssignmentsOf math against the same centroids.
+    */
+  private[graft] def annIvfProbe(s: SparkSession, dir: String,
+      idxDir: String): DataFrame = {
+    val cent = s.read.parquet(s"$idxDir/centroids")
+    val qs = Tables.embeddings(s, dir).filter(isQuery)
+      .select(col("vec_id"), col("embedding"))
+    val qAsg = cellAssignmentsOf(s, qs, cent).filter(col("rr") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val probeCids = qAsg.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = s.read.parquet(s"$idxDir/cells")
+      .filter(col("cid").isin(probeCids: _*))
+    val scored = cells.join(broadcast(qAsg),
+        cells("cid") === qAsg("cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
     rankTopK(s, scored, 3)

@@ -109,13 +109,13 @@ object PostingIngestStream {
     } finally { tf.unpersist(); () }
   }
 
-  /** Drain `inDir` (arriving docs) into the index seeded from the
-    * lake at `dir`, publishing refreshed term segments under
-    * `outPath`.
+  /** Seed the index from the lake at `dir` (the `delta_id=base`
+    * segment of both families, term-bucketed) if absent — shared by
+    * the streaming fold and the batch IndexStore build, so the
+    * persisted layout has exactly one author.
     */
-  def startFolding(s: SparkSession, inDir: String, dir: String,
-      outPath: String, checkpoint: String, idxDir: String,
-      cap: Int = Cap): StreamingQuery = {
+  def seedFromLake(s: SparkSession, dir: String, idxDir: String,
+      cap: Int = Cap): Unit = {
     val base = new org.apache.hadoop.fs.Path(s"$idxDir/postings/delta_id=base")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) {
@@ -131,6 +131,16 @@ object PostingIngestStream {
           .parquet(s"$idxDir/df/delta_id=base")
       } finally { tf.unpersist(); () }
     }
+  }
+
+  /** Drain `inDir` (arriving docs) into the index seeded from the
+    * lake at `dir`, publishing refreshed term segments under
+    * `outPath`.
+    */
+  def startFolding(s: SparkSession, inDir: String, dir: String,
+      outPath: String, checkpoint: String, idxDir: String,
+      cap: Int = Cap): StreamingQuery = {
+    seedFromLake(s, dir, idxDir, cap)
     s.readStream.schema(schema).parquet(inDir)
       .writeStream
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** The persisted-index build/probe split (sources.IndexStore): every
+  * probe must return EXACTLY the inline query's rows, and the reads
+  * must prune — the partition filters are the 100 TB claim.
+  */
+class IndexStoreSpec extends SparkSpecBase {
+
+  private lazy val idx: String = {
+    val d = Files.createTempDirectory("graft-idx").toString + "/idx"
+    sources.IndexStore.build(spark, sf0001, d)
+    d
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("IVF probe over the persisted cid-partitioned cells equals inline s03") {
+    val probe = sources.IndexStore.probeIvf(spark, sf0001, idx)
+    assert(rows(probe) == rows(operators.Similarity.annIvf(spark, sf0001)))
+    // the probe's corpus scan carries a static cid partition filter —
+    // it reads nprobe/K of the corpus, not all of it
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid[^\\]]*\\].*"),
+      s"no cid partition filter:\n${plan.take(3000)}")
+  }
+
+  test("graph-expand probe over the persisted bucketed graph equals inline s16") {
+    val probe = sources.IndexStore.probeGraphExpand(spark, sf0001, idx)
+    assert(rows(probe) ==
+      rows(operators.Similarity.graphExpandSearch(spark, sf0001)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*vb[^\\]]*\\].*"),
+      s"no vb partition filter:\n${plan.take(3000)}")
+  }
+
+  test("posting probe equals inline s17 for the probed terms") {
+    import spark.implicits._
+    val terms = Seq("the", "table", "scan").toDF("term")
+    val stored = rows(sources.IndexStore.probeIndex(spark, idx, terms)
+      .orderBy(col("term"), col("rn")))
+    val inline = rows(operators.Similarity.impactIndex(spark, sf0001)
+      .filter(col("term").isin("the", "table", "scan")))
+    assert(stored == inline, s"stored=${stored.take(3)} inline=${inline.take(3)}")
+  }
+}

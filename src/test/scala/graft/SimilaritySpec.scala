@@ -249,8 +249,8 @@ class SimilaritySpec extends SparkSpecBase {
       // a neighbor both indexes surface scores two rrf terms; any
       // single-index neighbor scores one — consensus must dominate
       if (both.nonEmpty) {
-        val cons = scores.filterKeys(both.contains).values
-        val single = scores.filterKeys(n => !both.contains(n)).values
+        val cons = scores.view.filterKeys(both.contains).values
+        val single = scores.view.filterKeys(n => !both.contains(n)).values
         assert(single.isEmpty || cons.min > single.max,
           s"$q: consensus $cons vs single $single")
         val top1 = rs.minBy(_.getAs[Int]("rn")).getAs[Long]("neighbor_id")
