@@ -808,19 +808,24 @@ object Similarity {
     */
   private[graft] def knnGraphFrame(s: SparkSession, dir: String,
       k: Int = 3, srcIds: Option[DataFrame] = None): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val bands = Dedup.adaptiveBands(
       graft.TableStats.rowCount(s, dir, "embeddings")(emb.count()))
+    rankEdges(knnEdges(s, emb, bands, k, srcIds))
+  }
+
+  /** Top-`k` directed kNN edges `(src, dst, cos)` of `emb` under an
+    * EXPLICIT band layout — the composable core of s15, shared with
+    * the streaming graph fold (GraphIngestStream freezes the lake's
+    * band layout and calls this only at seed time; its per-batch
+    * folds reuse [[bandKeysOf]]/[[scoreEdges]] on new pairs alone).
+    */
+  private[graft] def knnEdges(s: SparkSession, emb: DataFrame,
+      bands: Seq[Seq[Int]], k: Int,
+      srcIds: Option[DataFrame] = None): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
     // directed candidate pairs in ONE self-join (no half-pair union)
-    val bandStructs = bands.zipWithIndex.map { case (dims, j) =>
-      struct(lit(j).as("band"),
-        Vector.signBucket(col("embedding"), dims).as("bucket"))
-    }
-    val keyed = emb
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"),
-        col("b.bucket").as("bucket"))
+    val keyed = bandKeysOf(emb, bands)
     val keyedSrc = srcIds.fold(keyed)(ids =>
       keyed.join(broadcast(ids.select(col("vec_id")).distinct()), "vec_id"))
     val cand = keyedSrc.select(col("vec_id").as("src"), col("band"), col("bucket"))
@@ -828,20 +833,50 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    val e = milliQuantized(Tables.embeddings(s, dir))
+    graft.plans.TopK.perKey(scoreEdges(cand, emb), Seq(col("src")),
+      Seq(col("cos").desc, col("dst").asc), k)
+  }
+
+  /** `(vec_id, band, bucket)` sign-LSH keys of `emb` under an explicit
+    * band layout — one scan, all bands via explode.
+    */
+  private[graft] def bandKeysOf(emb: DataFrame,
+      bands: Seq[Seq[Int]]): DataFrame = {
+    val bandStructs = bands.zipWithIndex.map { case (dims, j) =>
+      struct(lit(j).as("band"),
+        Vector.signBucket(col("embedding"), dims).as("bucket"))
+    }
+    emb.select(col("vec_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+  }
+
+  /** Exact deterministic cosine of directed `(src, dst)` pairs scored
+    * against `emb` in the milli-quantized integer space (the s15
+    * determinism contract) — the 0L-seeded HOF folds rewrite to the
+    * LongVecDot codegen kernel.
+    */
+  private[graft] def scoreEdges(cand: DataFrame, emb: DataFrame): DataFrame = {
+    val e = milliQuantized(emb)
     val es = e.select(col("vec_id").as("src"), col("mq").as("sm"),
       col("nq").as("sn"))
     val ed = e.select(col("vec_id").as("dst"), col("mq").as("dm"),
       col("nq").as("dn"))
-    val scored = cand.join(es, "src").join(ed, "dst")
+    cand.join(es, "src").join(ed, "dst")
       .withColumn("cos",
         expr("aggregate(zip_with(sm, dm, (x, y) -> x * y), 0L, (a, x) -> a + x)")
           .cast("double") / sqrt((col("sn") * col("dn")).cast("double")))
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
+  /** `(src, dst, cos)` top-k edges → the s15 contract shape
+    * `(vec_id, rn, neighbor_id, cos_bp)`; shared by the inline build
+    * and the persisted-graph recap read.
+    */
+  private[graft] def rankEdges(edges: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    graft.plans.TopK.perKey(scored, Seq(col("src")),
-        Seq(col("cos").desc, col("dst").asc), k)
-      .withColumn("rn", row_number().over(w))
+    edges.withColumn("rn", row_number().over(w))
       .select(col("src").as("vec_id"), col("rn"),
         col("dst").as("neighbor_id"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
@@ -939,9 +974,7 @@ object Similarity {
     */
   def graphExpandSearch(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val seeds = annLsh(s, dir)
-      .select(col("query_id"), col("neighbor_id"))
-      .cache() // feeds the direct leg, the hop join AND the graph probe
+    val seeds = graphSeeds(s, dir)
     // build only the probed nodes' edges — identical rows to the full
     // graph for those nodes (per-src top-k is src-independent)
     val graph = knnGraphFrame(s, dir,
@@ -949,38 +982,19 @@ object Similarity {
     graphExpandFrom(s, dir, seeds, graph, k)
   }
 
-  /** s16 over a PERSISTED graph (sources.IndexStore layout): the
-    * seed nodes' edges are read by key out of the vb-bucketed graph
-    * table — a static partition filter plus an id filter over a
-    * BOUNDED literal set (|seeds| ≤ 3·|queries| by construction; the
-    * PostingIngestStream touched-bucket convention) — instead of
-    * being rebuilt inline. Output-identical to [[graphExpandSearch]]:
-    * the stored graph's rows for the seed ids ARE the inline
-    * restricted build's rows.
+  /** s16's seed frame — each fixed query's s02 LSH results. Cached:
+    * it feeds the direct leg, the hop join and the graph probe.
     */
-  private[graft] def graphExpandProbe(s: SparkSession, dir: String,
-      idxDir: String, k: Int = 3): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
-    val seeds = annLsh(s, dir)
-      .select(col("query_id"), col("neighbor_id"))
-      .cache()
-    val ids = seeds.select(col("neighbor_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val buckets = seeds
-      .select(pmod(hash(col("neighbor_id")),
-        lit(graft.sources.IndexStore.GraphBuckets)).as("vb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val graph = s.read.parquet(s"$idxDir/graph")
-      .filter(col("vb").isin(buckets: _*) && col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("rn"), col("neighbor_id"), col("cos_bp"))
-    graphExpandFrom(s, dir, seeds, graph, k)
-  }
+  private[graft] def graphSeeds(s: SparkSession, dir: String): DataFrame =
+    annLsh(s, dir).select(col("query_id"), col("neighbor_id")).cache()
 
   /** The s16 pool-expand + exact-rerank stage over explicit seed and
     * graph-edge frames — the inline build and the persisted-index
-    * probe share it verbatim.
+    * probe (sources.IndexStore.probeGraphExpand, which reads the seed
+    * nodes' edges by key out of the bucketed delta layout) share it
+    * verbatim.
     */
-  private def graphExpandFrom(s: SparkSession, dir: String,
+  private[graft] def graphExpandFrom(s: SparkSession, dir: String,
       seeds: DataFrame, graphEdges: DataFrame, k: Int): DataFrame = {
     val graph = graphEdges.select(col("vec_id"), col("neighbor_id").as("hop_id"))
     val pool = seeds.select(col("query_id"), col("neighbor_id").as("cid"))

@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *    probe cells become a static `cid IN` partition filter, so a
   *    probe scans nprobe/K of the corpus (plan-asserted in
   *    IndexStoreSpec).
-  *  - `graph/` — the s15 kNN edges, partitioned by a
-  *    [[GraphBuckets]]-way vec_id hash bucket: seed-node edge lookups
-  *    prune to the touched buckets (the PostingIngestStream layout
-  *    convention applied to the graph).
+  *  - `graph/`, `gkeys/`, `gvecs/` — the s15 kNN graph as
+  *    streaming.GraphIngestStream's delta layout (src-hash-bucketed
+  *    edge deltas + frozen-band key index + vectors): seed-node edge
+  *    lookups prune to the touched buckets, and the SAME store keeps
+  *    absorbing arriving vectors through the streaming fold.
   *  - `postings/`, `df/` — s17's impact-ordered lexical index,
   *    term-bucketed; written through
   *    streaming.PostingIngestStream.seedFromLake so the batch build
@@ -31,9 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  /** Graph partition fan-out (the TermBuckets convention). */
-  val GraphBuckets = 32
-
   /** Build every persisted artifact under `idxDir` from the lake at
     * `dir`.
     */
@@ -44,9 +42,7 @@ object IndexStore {
     Similarity.cellAssignments(s, dir).filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$idxDir/cells")
-    Similarity.knnGraphFrame(s, dir)
-      .withColumn("vb", pmod(hash(col("vec_id")), lit(GraphBuckets)))
-      .write.partitionBy("vb").mode("overwrite").parquet(s"$idxDir/graph")
+    graft.streaming.GraphIngestStream.seedFromLake(s, dir, idxDir)
     graft.streaming.PostingIngestStream.seedFromLake(s, dir, idxDir)
   }
 
@@ -54,10 +50,16 @@ object IndexStore {
   def probeIvf(s: SparkSession, dir: String, idxDir: String): DataFrame =
     Similarity.annIvfProbe(s, dir, idxDir)
 
-  /** s16's answer with the graph leg read by key out of `graph/`. */
+  /** s16's answer with the graph leg read by key out of the graph
+    * deltas (re-capped — exact after any number of streaming folds).
+    */
   def probeGraphExpand(s: SparkSession, dir: String,
-      idxDir: String): DataFrame =
-    Similarity.graphExpandProbe(s, dir, idxDir)
+      idxDir: String): DataFrame = {
+    val seeds = Similarity.graphSeeds(s, dir)
+    val graph = graft.streaming.GraphIngestStream.readGraph(s, idxDir,
+      srcIds = Some(seeds.select(col("neighbor_id").as("vec_id"))))
+    Similarity.graphExpandFrom(s, dir, seeds, graph, 3)
+  }
 
   /** s17's rows for `terms`, re-capped from the posting deltas. */
   def probeIndex(s: SparkSession, idxDir: String,

@@ -1050,4 +1050,68 @@ class StreamingSpec extends SparkSpecBase {
     val fresh = Files.createTempDirectory("graft-trans-fresh").toString + "/none"
     assert(TransitionStream.readMatrix(spark, fresh).count() == 0L)
   }
+
+  test("graph ingest stream: edge deltas recap to the frozen-band batch graph") {
+    import graft.streaming.GraphIngestStream
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-gr-lake").toString
+    val inDir = Files.createTempDirectory("graft-gr-in").toString
+    val outDir = Files.createTempDirectory("graft-gr-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-gr-ck").toString
+    val idxDir = Files.createTempDirectory("graft-gr-idx").toString + "/idx"
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 70)
+    // lake: 60 vectors; two 5-vector deliveries
+    all.filter($"vec_id" >= 10).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    all.filter($"vec_id" < 5).write.mode(SaveMode.Append).parquet(inDir)
+    all.filter($"vec_id" >= 5 && $"vec_id" < 10)
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = GraphIngestStream.startFolding(spark, inDir, dir, outDir,
+      ckDir, idxDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_bp"))).toSet
+    // parity: the folded graph equals the batch build over
+    // lake ∪ deltas under the SAME frozen (lake-priced) band layout
+    val bands = GraphIngestStream.lakeBands(spark, dir)
+    val folded = asSet(GraphIngestStream.readGraph(spark, idxDir))
+    val batch = asSet(operators.Similarity.rankEdges(
+      operators.Similarity.knnEdges(spark,
+        all.select($"vec_id", $"embedding"), bands, 3)))
+    assert(folded == batch, s"folded/batch diverged: " +
+      s"missing=${(batch -- folded).take(3)} extra=${(folded -- batch).take(3)}")
+    // the deltas changed the graph: some arriving vector has edges
+    assert(folded.exists(_._1 < 10), folded.take(5).toString)
+    // per-delta cap: every delta holds at most k edges per src
+    val perDelta = spark.read.parquet(s"$idxDir/graph")
+      .groupBy(col("delta_id"), col("vec_id")).count().collect()
+    assert(perDelta.nonEmpty && perDelta.forall(_.getAs[Long]("count") <= 3L),
+      perDelta.take(5).mkString(","))
+    // seed-node probe prunes: a 2-node read carries a static vb
+    // partition filter and returns exactly the full recap's rows
+    val twoIds = folded.map(_._1).toSeq.sorted.take(2)
+    val probe = GraphIngestStream.readGraph(spark, idxDir,
+      srcIds = Some(twoIds.toDF("vec_id")))
+    assert(asSet(probe) == folded.filter(t => twoIds.contains(t._1)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*vb[^\\]]*\\].*"),
+      s"no vb partition filter:\n${plan.take(3000)}")
+    // published segments: refreshed rows land per batch, only for
+    // touched srcs (every published src has an endpoint candidate)
+    val published = spark.read.parquet(outDir)
+    assert(published.count() > 0)
+    // double delivery of one batch id replaces its deltas, never grows
+    val idx2 = Files.createTempDirectory("graft-gr-idx2").toString + "/idx"
+    val out2 = Files.createTempDirectory("graft-gr-out2").toString + "/out"
+    GraphIngestStream.seedFromLake(spark, dir, idx2)
+    val bA = all.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    GraphIngestStream.writeBatchFold(bA, idx2, out2, 0L, bands)
+    val once = asSet(GraphIngestStream.readGraph(spark, idx2))
+    val vecsOnce = spark.read.parquet(s"$idx2/gvecs").count()
+    GraphIngestStream.writeBatchFold(bA, idx2, out2, 0L, bands)
+    assert(asSet(GraphIngestStream.readGraph(spark, idx2)) == once)
+    assert(spark.read.parquet(s"$idx2/gvecs").count() == vecsOnce)
+  }
 }
