@@ -43,22 +43,43 @@ object TableSink {
     val p = new org.apache.hadoop.fs.Path(path)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    replaceDir(spark, path) { tmp =>
+      spark.read.parquet(path).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    nFiles
+  }
+
+  /** Crash-safe directory replacement: materialize the new content at
+    * a sibling temp path via `write`, then swap with two checked
+    * renames — never a window with no data at `path`: the original
+    * moves aside first, so a crash leaves either the intact original
+    * (recoverable at `__compact_old`) or the new directory live.
+    * Shared by [[compact]] and the streaming index segment merges
+    * (PostingIngestStream/GraphIngestStream `compact` — a merge that
+    * read its input from the live `path` is safe because `write`
+    * fully materializes into the temp dir before any rename).
+    */
+  def replaceDir(spark: org.apache.spark.sql.SparkSession, path: String)
+      (write: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // two checked renames, never a window with no data at `path`: the
-    // original moves aside first, so a crash leaves either the intact
-    // original (recoverable at __compact_old) or the new table live
+    fs.delete(tmp, true)
+    write(tmp.toString)
     fs.delete(old, true)
     if (!fs.rename(p, old))
-      throw new java.io.IOException(s"compact: could not move $p aside")
+      throw new java.io.IOException(s"replaceDir: could not move $p aside")
     if (!fs.rename(tmp, p)) {
       fs.rename(old, p) // roll back
-      throw new java.io.IOException(s"compact: could not publish $tmp")
+      throw new java.io.IOException(s"replaceDir: could not publish $tmp")
     }
     fs.delete(old, true)
-    nFiles
+    // the session's FileStatusCache still lists the pre-swap files;
+    // without this, the next read of `path` throws FILE_NOT_EXIST
+    spark.catalog.refreshByPath(path)
   }
 
   /** Z-order layout write: multi-key data skipping. Each key column

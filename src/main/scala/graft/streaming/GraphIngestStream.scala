@@ -186,6 +186,41 @@ object GraphIngestStream {
     } finally { b.unpersist(); () }
   }
 
+  /** SEGMENT MERGE: fold every delta of the three families into a
+    * fresh `delta_id=base` (the PostingIngestStream.compact shape).
+    * Exact: per-src top-k of top-k's is idempotent, and an evicted
+    * edge can never re-enter any future top-k (its cos is fixed and
+    * later batches only ADD competition — the same monotone argument
+    * that makes per-delta capping lossless); keys and vectors merge
+    * by plain id-dedup union. Each family swaps in crash-safely via
+    * the TableSink two-rename dance; readGraph before == after and
+    * later folds stay exact against the merged base (spec-asserted).
+    */
+  def compact(s: SparkSession, idxDir: String, k: Int = K): Unit = {
+    graft.plans.GraftExtensions.install(s)
+    val merged = graft.plans.TopK.perKey(
+        s.read.parquet(s"$idxDir/graph")
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
+            col("cos")),
+        Seq(col("src")), Seq(col("cos").desc, col("dst").asc), k)
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+        col("cos"), vecBucket(col("src")).as("vb"))
+    graft.sources.TableSink.replaceDir(s, s"$idxDir/graph") { tmp =>
+      merged.write.partitionBy("vb").parquet(s"$tmp/delta_id=base")
+    }
+    val keys = s.read.parquet(s"$idxDir/gkeys")
+      .select(col("vec_id"), col("band"), col("bucket")).distinct()
+      .withColumn("kb", keyBucket(col("band"), col("bucket")))
+    graft.sources.TableSink.replaceDir(s, s"$idxDir/gkeys") { tmp =>
+      keys.write.partitionBy("kb").parquet(s"$tmp/delta_id=base")
+    }
+    val vecs = s.read.parquet(s"$idxDir/gvecs")
+      .select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    graft.sources.TableSink.replaceDir(s, s"$idxDir/gvecs") { tmp =>
+      vecs.write.parquet(s"$tmp/delta_id=base")
+    }
+  }
+
   /** Drain `inDir` (arriving vectors) into the graph seeded from the
     * lake at `dir`, publishing refreshed per-src edge segments under
     * `outPath`.

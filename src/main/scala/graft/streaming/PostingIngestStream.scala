@@ -133,6 +133,34 @@ object PostingIngestStream {
     }
   }
 
+  /** SEGMENT MERGE: fold every delta of both families into a fresh
+    * `delta_id=base` — the Lucene-style merge the delta layout is
+    * designed around (unchecked delta growth is what makes the
+    * read-side union expensive at 100 TB). Exact by the same algebra
+    * every read relies on: re-capping re-capped postings is
+    * idempotent, and an evicted posting can never re-enter a top-cap
+    * (tf is fixed, competition only grows); df sums of sums are sums.
+    * Each family swaps in crash-safely via the TableSink two-rename
+    * dance; readIndex before == after (spec-asserted), and later
+    * folds keep appending deltas against the merged base.
+    */
+  def compact(s: SparkSession, idxDir: String, cap: Int = Cap): Unit = {
+    val merged = Similarity.rankPostings(s,
+        s.read.parquet(s"$idxDir/postings")
+          .select(col("term"), col("doc_id"), col("tf")), cap)
+      .select(col("term"), col("doc_id"), col("tf"),
+        termBucket(col("term")).as("tb"))
+    graft.sources.TableSink.replaceDir(s, s"$idxDir/postings") { tmp =>
+      merged.write.partitionBy("tb").parquet(s"$tmp/delta_id=base")
+    }
+    val df = s.read.parquet(s"$idxDir/df")
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+      .withColumn("tb", termBucket(col("term")))
+    graft.sources.TableSink.replaceDir(s, s"$idxDir/df") { tmp =>
+      df.write.partitionBy("tb").parquet(s"$tmp/delta_id=base")
+    }
+  }
+
   /** Drain `inDir` (arriving docs) into the index seeded from the
     * lake at `dir`, publishing refreshed term segments under
     * `outPath`.

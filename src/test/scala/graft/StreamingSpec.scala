@@ -946,6 +946,16 @@ class StreamingSpec extends SparkSpecBase {
     assert(one == Set(("apple", 1L, 1, 10L, 5L), ("kiwi", 1L, 1, 10L, 1L)),
       one.toString)
     assert(spark.read.parquet(out2).count() == 2)
+    // segment merge: every delta folds into one base; reads unchanged
+    // (allTerms captured its file listing pre-swap — re-derive)
+    PostingIngestStream.compact(spark, idxDir, 2)
+    val termsAfter = spark.read.parquet(s"$idxDir/postings")
+      .select(col("term")).distinct()
+    assert(asSet(PostingIngestStream.readIndex(spark, idxDir, termsAfter, 2))
+      == batch)
+    val merged = spark.read.parquet(s"$idxDir/postings")
+      .select(col("delta_id")).distinct().collect().map(_.getString(0)).toSet
+    assert(merged == Set("base"), merged.toString)
   }
 
   test("concurrency stream: closed sessions fold to the exact r30 profile") {
@@ -1113,5 +1123,25 @@ class StreamingSpec extends SparkSpecBase {
     GraphIngestStream.writeBatchFold(bA, idx2, out2, 0L, bands)
     assert(asSet(GraphIngestStream.readGraph(spark, idx2)) == once)
     assert(spark.read.parquet(s"$idx2/gvecs").count() == vecsOnce)
+    // segment merge: all three families fold to one base; reads
+    // unchanged, and a LATER fold against the merged base stays exact
+    // (an evicted edge can never resurface — competition only grows)
+    GraphIngestStream.compact(spark, idxDir)
+    assert(asSet(GraphIngestStream.readGraph(spark, idxDir)) == folded)
+    val mergedDeltas = spark.read.parquet(s"$idxDir/graph")
+      .select(col("delta_id")).distinct().collect().map(_.getString(0)).toSet
+    assert(mergedDeltas == Set("base"), mergedDeltas.toString)
+    val more = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" >= 70 && $"vec_id" < 75)
+      .select($"vec_id", $"embedding")
+    val out3 = Files.createTempDirectory("graft-gr-out3").toString + "/out"
+    GraphIngestStream.writeBatchFold(more, idxDir, out3, 99L, bands)
+    val batch2 = asSet(operators.Similarity.rankEdges(
+      operators.Similarity.knnEdges(spark,
+        spark.read.parquet(s"$sf0001/embeddings.parquet")
+          .filter($"vec_id" < 75).select($"vec_id", $"embedding"),
+        bands, 3)))
+    assert(asSet(GraphIngestStream.readGraph(spark, idxDir)) == batch2,
+      "post-compaction fold diverged from the frozen-band batch build")
   }
 }
