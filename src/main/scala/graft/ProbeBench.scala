@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Build-once/probe-by-key evidence: `runMain graft.ProbeBench` builds
+  * the persisted IndexStore for SPARK_GRAFT_SF_DIR, then times each
+  * probe against its inline twin (min of 3) and reports the probe's
+  * SCAN FOOTPRINT: task input bytes vs the index family's stored
+  * size — the post-pruning fraction is the measured side of the
+  * "production probes a stored index" claims. At test SFs wall time
+  * is fixed-cost-dominated (~0.5 s local[32] job floor) and the
+  * inline twins read session-cached corpus tables, so the footprint
+  * fraction is the scale signal: probe bytes stay ∝ touched
+  * partitions while the index (and inline work) grows ∝ corpus.
+  * Build time is reported once: it amortizes over every query the
+  * index serves.
+  */
+object ProbeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus)
+    Sessions.warm(spark, sfDir)
+    val idx = Files.createTempDirectory("graft-probe-idx").toString + "/idx"
+    def time(mk: () => DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); mk().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    // every leaf scan in the executed plan, descending through AQE
+    // stage wrappers (plain `collect` stops at QueryStageExec)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    // bytes the plan SELECTED from the index dir (post partition
+    // pruning — the planning-time file-size scan metrics)
+    def footprint(mk: () => DataFrame): Long = {
+      val df = mk(); df.collect() // count() would execute a DIFFERENT plan
+      allNodes(df.queryExecution.executedPlan)
+        .filter(n => n.isInstanceOf[LeafExecNode] && n.toString.contains(idx))
+        .flatMap(n => n.metrics.get("filesSize")
+          .orElse(n.metrics.get("staticFilesSize")).map(_.value))
+        .sum
+    }
+    val tBuild = { val t0 = System.nanoTime()
+      sources.IndexStore.build(spark, sfDir, idx)
+      (System.nanoTime() - t0) / 1e9 }
+    println(f"[probe] index build        ${tBuild}%6.2f s (once, amortized)")
+    def storedKiB(families: Seq[String]): Long = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      families.map { f =>
+        val p = new org.apache.hadoop.fs.Path(s"$idx/$f")
+        p.getFileSystem(conf).getContentSummary(p).getLength
+      }.sum / 1024
+    }
+    val pairs: Seq[(String, Seq[String], () => DataFrame, () => DataFrame)] =
+      Seq(
+        ("s03 ivf", Seq("cells", "centroids"),
+          () => sources.IndexStore.probeIvf(spark, sfDir, idx),
+          () => operators.Similarity.annIvf(spark, sfDir)),
+        ("s16 graph", Seq("graph"),
+          () => sources.IndexStore.probeGraphExpand(spark, sfDir, idx),
+          () => operators.Similarity.graphExpandSearch(spark, sfDir)),
+        ("s17 postings", Seq("postings", "df"), {
+          // fix the probed term set OUTSIDE the measured frame
+          import spark.implicits._
+          val terms = spark.read.parquet(s"$idx/postings")
+            .select(org.apache.spark.sql.functions.col("term"))
+            .distinct().orderBy("term").limit(5)
+            .as[String].collect().toSeq.toDF("term")
+          () => sources.IndexStore.probeIndex(spark, idx, terms)
+        },
+          () => operators.Similarity.impactIndex(spark, sfDir)))
+    pairs.foreach { case (name, fams, probe, inline) =>
+      val tp = time(probe); val ti = time(inline)
+      val pb = footprint(probe) / 1024; val tot = storedKiB(fams)
+      println(f"[probe] $name%-14s probe=${tp}%6.3f s  inline=${ti}%6.3f s  " +
+        f"probe read $pb%6d of $tot%7d stored KiB (${100.0 * pb / tot}%5.1f%%)")
+    }
+    spark.stop()
+  }
+}
