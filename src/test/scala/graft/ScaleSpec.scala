@@ -63,6 +63,31 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("graph fold candidates stay batch-shaped as the lake grows 10x") {
+    // GraphIngestStream's 100 TB claim: a micro-batch's fold work is
+    // ∝ the batch's collisions against the stored key index, NOT
+    // corpus-shaped — the frozen adaptive band layout grows bits with
+    // ⌈log₂ n⌉, holding per-bucket occupancy ~flat, so a FIXED
+    // 5-vector batch's candidate count must stay far under the 10×
+    // the lake grew by (a flat-band layout would grow it ~10×).
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val batch = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val counts = Seq(150L, 1500L).map { n =>
+      val lake = emb.filter($"vec_id" >= 5 && $"vec_id" < 5 + n)
+        .select($"vec_id", $"embedding")
+      val bands = operators.Dedup.adaptiveBands(n)
+      val kb = operators.Similarity.bandKeysOf(batch, bands)
+      val kl = operators.Similarity.bandKeysOf(lake, bands)
+      kb.select($"vec_id".as("src"), $"band", $"bucket")
+        .join(kl.select($"vec_id".as("dst"), $"band", $"bucket"),
+          Seq("band", "bucket"))
+        .select($"src", $"dst").distinct().count()
+    }
+    assert(counts(1) <= 4 * math.max(counts(0), 5L),
+      s"fold candidates ${counts(0)} -> ${counts(1)}: corpus-shaped")
+  }
+
   test("d13 multi-block candidates are sub-quadratic (all-pairs share shrinks)") {
     // within-copy candidates are the vocabulary-correlated constant
     // (grows ×factor); cross-copy collisions exceed the uniform
