@@ -516,49 +516,105 @@ object Similarity {
     * directly; s07 re-ranks its top candidates by exact cosine.
     */
   private def ivfPqScored(s: SparkSession, dir: String): DataFrame = {
-    val nSub = 4
-    val subLen = 16
     // IVF assignment — the shared top-2-cells ranking (s03's)
     val asg = cellAssignments(s, dir)
+    val centJ = graft.operators.VectorAgg.pqCodebook(s, dir, PqSub, PqSubLen)
+    ivfPqScoreOf(pqCellCodesOf(asg, centJ), centJ, pqProbesOf(asg))
+  }
+
+  private[graft] val PqSub = 4
+  private[graft] val PqSubLen = 16
+
+  /** The STORED artifact of s06's layout: `(vec_id, cell, code0..3)`
+    * — every rr=1 cell member's PQ codes against `centJ`, tagged with
+    * its IVF cell so a probe scan prunes on it. Built from an
+    * explicit assignment frame so the inline query and the persisted
+    * IndexStore build share one construction.
+    */
+  private[graft] def pqCellCodesOf(asg: DataFrame,
+      centJ: DataFrame): DataFrame = {
     val cells = asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    // PQ codes per vector (same construction as s05 — the K=16
-    // k-means codebooks, independent of the IVF coarse level), tagged
-    // with the vector's IVF cell so the scan prunes on it
-    val centJ = graft.operators.VectorAgg.pqCodebook(s, dir, nSub, subLen)
     val subVec = cells.select(col("vec_id"), col("cid").as("cell"),
-        explode(array((0 until nSub).map(j =>
+        explode(array((0 until PqSub).map(j =>
           struct(lit(j).as("j"),
-            slice(col("embedding"), j * subLen + 1, subLen).as("sv"))): _*)).as("b"))
+            slice(col("embedding"), j * PqSubLen + 1, PqSubLen).as("sv"))): _*))
+          .as("b"))
       .select(col("vec_id"), col("cell"), col("b.j").as("j"), col("b.sv").as("sv"))
     // struct-argmin encode fused with the j-pivot — see annPq
-    val codes = subVec.join(broadcast(centJ), "j")
+    subVec.join(broadcast(centJ), "j")
       .withColumn("d2", Vector.dot(col("scv"), col("scv"))
         - lit(2.0) * Vector.dot(col("sv"), col("scv")))
       .groupBy(col("vec_id"), col("cell"))
       .agg(min(when(col("j") === 0, struct(col("d2"), col("cid"))))
           .getField("cid").as("code0"),
-        (1 until nSub).map(j =>
+        (1 until PqSub).map(j =>
           min(when(col("j") === j, struct(col("d2"), col("cid"))))
             .getField("cid").as(s"code$j")): _*)
-    // queries probe their top-2 cells (same as s03)
-    val q = asg.filter(isQuery && col("rr") <= 2)
+  }
+
+  /** The query side of the s06 scan: each query's top-2 probe cells
+    * with its subspace slices — from any assignment frame covering
+    * the queries (full-corpus inline, or query-only against stored
+    * centroids in the IndexStore probe; assignment is per-vector
+    * independent, so the rows are identical).
+    */
+  private[graft] def pqProbesOf(asg: DataFrame): DataFrame =
+    asg.filter(isQuery && col("rr") <= 2)
       .select(Seq(col("vec_id").as("query_id"), col("cid").as("cell")) ++
-        (0 until nSub).map(j =>
-          slice(col("embedding"), j * subLen + 1, subLen).as(s"qv$j")): _*)
+        (0 until PqSub).map(j =>
+          slice(col("embedding"), j * PqSubLen + 1, PqSubLen).as(s"qv$j")): _*)
+
+  /** The ADC scan over explicit codes / codebook / probe frames —
+    * shared verbatim by the inline s06/s07 and the persisted-index
+    * probe.
+    */
+  private[graft] def ivfPqScoreOf(codes: DataFrame, centJ: DataFrame,
+      q: DataFrame): DataFrame = {
     var scan = codes.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-    (0 until nSub).foreach { j =>
+    (0 until PqSub).foreach { j =>
       val cj = centJ.filter(col("j") === j)
         .select(col("cid").as(s"code$j"), col("scv").as(s"cv$j"))
       scan = scan.join(broadcast(cj), s"code$j")
     }
-    val adc = (0 until nSub).map { j =>
+    val adc = (0 until PqSub).map { j =>
       Vector.dot(col(s"qv$j"), col(s"qv$j")) +
         Vector.dot(col(s"cv$j"), col(s"cv$j")) -
         lit(2.0) * Vector.dot(col(s"qv$j"), col(s"cv$j"))
     }.reduceLeft(_ + _)
     scan.withColumn("adc", adc)
+  }
+
+  /** s06 recomputed as a PROBE of the persisted layout: queries rank
+    * against the stored coarse centroids, their probe cells become a
+    * static `cell IN` partition filter on the cell-partitioned PQ
+    * code table, and the ADC scan touches codes alone — the exact
+    * 100 TB shape the s06 Scaladoc promises (cell id = partition key,
+    * codes = the only per-vector bytes the scan reads). Output-
+    * identical to [[annIvfPq]].
+    */
+  private[graft] def annIvfPqProbe(s: SparkSession, dir: String,
+      idxDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val cent = s.read.parquet(s"$idxDir/centroids")
+    val centJ = s.read.parquet(s"$idxDir/codebook")
+    val qs = Tables.embeddings(s, dir).filter(isQuery)
+      .select(col("vec_id"), col("embedding"))
+    val q = pqProbesOf(cellAssignmentsOf(s, qs, cent))
+    val probeCells = q.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val codes = s.read.parquet(s"$idxDir/pqcodes")
+      .filter(col("cell").isin(probeCells: _*))
+    val scored = ivfPqScoreOf(codes, centJ, q)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("vec_id").asc), 3)
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        floor(col("adc") * 1000).cast("long").as("adc_milli"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** s06 — IVF-PQ: the production ANN composition. The IVF stage

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *    probe cells become a static `cid IN` partition filter, so a
   *    probe scans nprobe/K of the corpus (plan-asserted in
   *    IndexStoreSpec).
+  *  - `codebook/`, `pqcodes/` — s06's PQ layer: the per-subspace
+  *    codebooks (tiny, broadcast) and every cell member's 4 PQ codes
+  *    PARTITIONED BY cell — the probe's ADC scan reads nprobe/K of a
+  *    16×-compressed table and never touches a float vector.
   *  - `graph/`, `gkeys/`, `gvecs/` — the s15 kNN graph as
   *    streaming.GraphIngestStream's delta layout (src-hash-bucketed
   *    edge deltas + frozen-band key index + vectors): seed-node edge
@@ -39,9 +43,15 @@ object IndexStore {
     graft.plans.GraftExtensions.install(s)
     VectorAgg.centroidVectors(s, dir)
       .write.mode("overwrite").parquet(s"$idxDir/centroids")
-    Similarity.cellAssignments(s, dir).filter(col("rr") === 1)
+    val asg = Similarity.cellAssignments(s, dir)
+    asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$idxDir/cells")
+    val centJ = VectorAgg.pqCodebook(s, dir,
+      Similarity.PqSub, Similarity.PqSubLen)
+    centJ.write.mode("overwrite").parquet(s"$idxDir/codebook")
+    Similarity.pqCellCodesOf(asg, centJ)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$idxDir/pqcodes")
     graft.streaming.GraphIngestStream.seedFromLake(s, dir, idxDir)
     graft.streaming.PostingIngestStream.seedFromLake(s, dir, idxDir)
   }
@@ -49,6 +59,12 @@ object IndexStore {
   /** s03's answer as a partition-pruned probe of `cells/`. */
   def probeIvf(s: SparkSession, dir: String, idxDir: String): DataFrame =
     Similarity.annIvfProbe(s, dir, idxDir)
+
+  /** s06's answer as a partition-pruned probe of `pqcodes/` +
+    * `codebook/` — the codes-only ADC scan.
+    */
+  def probeIvfPq(s: SparkSession, dir: String, idxDir: String): DataFrame =
+    Similarity.annIvfPqProbe(s, dir, idxDir)
 
   /** s16's answer with the graph leg read by key out of the graph
     * deltas (re-capped — exact after any number of streaming folds).

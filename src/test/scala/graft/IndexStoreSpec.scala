@@ -28,6 +28,16 @@ class IndexStoreSpec extends SparkSpecBase {
       s"no cid partition filter:\n${plan.take(3000)}")
   }
 
+  test("IVF-PQ probe over the persisted cell-partitioned codes equals inline s06") {
+    val probe = sources.IndexStore.probeIvfPq(spark, sf0001, idx)
+    assert(rows(probe) == rows(operators.Similarity.annIvfPq(spark, sf0001)))
+    // the ADC scan reads the code table behind a static cell
+    // partition filter — codes only, nprobe/K of the corpus
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"no cell partition filter:\n${plan.take(3000)}")
+  }
+
   test("graph-expand probe over the persisted bucketed graph equals inline s16") {
     val probe = sources.IndexStore.probeGraphExpand(spark, sf0001, idx)
     assert(rows(probe) ==
