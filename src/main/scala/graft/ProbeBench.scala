@@ -42,12 +42,13 @@ object ProbeBench {
       }
       p +: kids.flatMap(allNodes)
     }
-    // bytes the plan SELECTED from the index dir (post partition
-    // pruning — the planning-time file-size scan metrics)
-    def footprint(mk: () => DataFrame): Long = {
+    // bytes the plan SELECTED from the given index families (post
+    // partition pruning — the planning-time file-size scan metrics)
+    def footprint(mk: () => DataFrame, fams: Seq[String]): Long = {
       val df = mk(); df.collect() // count() would execute a DIFFERENT plan
       allNodes(df.queryExecution.executedPlan)
-        .filter(n => n.isInstanceOf[LeafExecNode] && n.toString.contains(idx))
+        .filter(n => n.isInstanceOf[LeafExecNode] &&
+          fams.exists(f => n.toString.contains(s"$idx/$f")))
         .flatMap(n => n.metrics.get("filesSize")
           .orElse(n.metrics.get("staticFilesSize")).map(_.value))
         .sum
@@ -65,9 +66,18 @@ object ProbeBench {
     }
     val pairs: Seq[(String, Seq[String], () => DataFrame, () => DataFrame)] =
       Seq(
-        ("s03 ivf", Seq("cells", "centroids"),
+        // footprint families are the PER-VECTOR tables — the O(1)
+        // side tables (centroids, codebook, params) are broadcast
+        // and re-scanned per join, which would pollute the fraction
+        ("s03 ivf", Seq("cells"),
           () => sources.IndexStore.probeIvf(spark, sfDir, idx),
           () => operators.Similarity.annIvf(spark, sfDir)),
+        ("s06 ivfpq", Seq("pqcodes"),
+          () => sources.IndexStore.probeIvfPq(spark, sfDir, idx),
+          () => operators.Similarity.annIvfPq(spark, sfDir)),
+        ("s08 sq8", Seq("sq8codes"),
+          () => sources.IndexStore.probeSq8(spark, sfDir, idx),
+          () => operators.Similarity.annSq8(spark, sfDir)),
         ("s16 graph", Seq("graph"),
           () => sources.IndexStore.probeGraphExpand(spark, sfDir, idx),
           () => operators.Similarity.graphExpandSearch(spark, sfDir)),
@@ -83,7 +93,7 @@ object ProbeBench {
           () => operators.Similarity.impactIndex(spark, sfDir)))
     pairs.foreach { case (name, fams, probe, inline) =>
       val tp = time(probe); val ti = time(inline)
-      val pb = footprint(probe) / 1024; val tot = storedKiB(fams)
+      val pb = footprint(probe, fams) / 1024; val tot = storedKiB(fams)
       println(f"[probe] $name%-14s probe=${tp}%6.3f s  inline=${ti}%6.3f s  " +
         f"probe read $pb%6d of $tot%7d stored KiB (${100.0 * pb / tot}%5.1f%%)")
     }

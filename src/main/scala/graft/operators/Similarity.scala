@@ -800,6 +800,15 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(zip_with(col("embedding"), col("ps"), sq8Code), col("ps"),
           sq8Dequant).as("dv"))
+    sq8Rank(s, corpus, e)
+  }
+
+  /** The s08 ADC scan + rank over an explicit dequantized corpus
+    * frame `(vec_id, dv)` — shared verbatim by the inline query and
+    * the persisted-codes probe.
+    */
+  private[graft] def sq8Rank(s: SparkSession, corpus: DataFrame,
+      e: DataFrame): DataFrame = {
     val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -814,6 +823,25 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
         floor(col("adc") * 1000).cast("long").as("adc_milli"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** s08 recomputed as a PROBE of the persisted SQ8 codes: the scan
+    * reads the stored byte-code table (4× smaller than the float
+    * corpus — SQ8's whole point; NO partition pruning, the family is
+    * a full-scan compression layer by design) and dequantizes against
+    * the stored param row. Output-identical to [[annSq8]]: the stored
+    * codes ARE the inline query's inner quantization.
+    */
+  private[graft] def annSq8Probe(s: SparkSession, dir: String,
+      idxDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val params = s.read.parquet(s"$idxDir/sq8params")
+    val corpus = s.read.parquet(s"$idxDir/sq8codes")
+      .crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        zip_with(col("codes"), col("ps"), sq8Dequant).as("dv"))
+    sq8Rank(s, corpus,
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
   }
 
   /** s15 — k-NN GRAPH construction over the corpus: every vector's

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *    codebooks (tiny, broadcast) and every cell member's 4 PQ codes
   *    PARTITIONED BY cell — the probe's ADC scan reads nprobe/K of a
   *    16×-compressed table and never touches a float vector.
+  *  - `sq8params/`, `sq8codes/` — s08's SQ8 layer: the one-row
+  *    per-dimension [min,max] params and the byte-code table (4×
+  *    smaller than the float corpus; full-scan by design — SQ8 is a
+  *    compression rung, not a pruning one).
   *  - `graph/`, `gkeys/`, `gvecs/` — the s15 kNN graph as
   *    streaming.GraphIngestStream's delta layout (src-hash-bucketed
   *    edge deltas + frozen-band key index + vectors): seed-node edge
@@ -52,6 +56,12 @@ object IndexStore {
     centJ.write.mode("overwrite").parquet(s"$idxDir/codebook")
     Similarity.pqCellCodesOf(asg, centJ)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$idxDir/pqcodes")
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val params = Similarity.sq8Params(e)
+    params.write.mode("overwrite").parquet(s"$idxDir/sq8params")
+    Similarity.sq8Codes(e, params)
+      .write.mode("overwrite").parquet(s"$idxDir/sq8codes")
     graft.streaming.GraphIngestStream.seedFromLake(s, dir, idxDir)
     graft.streaming.PostingIngestStream.seedFromLake(s, dir, idxDir)
   }
@@ -65,6 +75,12 @@ object IndexStore {
     */
   def probeIvfPq(s: SparkSession, dir: String, idxDir: String): DataFrame =
     Similarity.annIvfPqProbe(s, dir, idxDir)
+
+  /** s08's answer scanning the stored `sq8codes/` (4× smaller than
+    * the float corpus; full-scan by design) + `sq8params/`.
+    */
+  def probeSq8(s: SparkSession, dir: String, idxDir: String): DataFrame =
+    Similarity.annSq8Probe(s, dir, idxDir)
 
   /** s16's answer with the graph leg read by key out of the graph
     * deltas (re-capped — exact after any number of streaming folds).

@@ -38,6 +38,16 @@ class IndexStoreSpec extends SparkSpecBase {
       s"no cell partition filter:\n${plan.take(3000)}")
   }
 
+  test("SQ8 probe over the persisted byte codes equals inline s08") {
+    val probe = sources.IndexStore.probeSq8(spark, sf0001, idx)
+    assert(rows(probe) == rows(operators.Similarity.annSq8(spark, sf0001)))
+    // the corpus side of the scan is the stored code table (the 4×
+    // compression claim), not the float embeddings
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("sq8codes"), s"probe does not scan sq8codes:\n" +
+      plan.take(3000))
+  }
+
   test("graph-expand probe over the persisted bucketed graph equals inline s16") {
     val probe = sources.IndexStore.probeGraphExpand(spark, sf0001, idx)
     assert(rows(probe) ==
