@@ -69,6 +69,9 @@ object ProbeBench {
         // footprint families are the PER-VECTOR tables — the O(1)
         // side tables (centroids, codebook, params) are broadcast
         // and re-scanned per join, which would pollute the fraction
+        ("s02 lsh", Seq("lsh"),
+          () => sources.IndexStore.probeLsh(spark, sfDir, idx),
+          () => operators.Similarity.annLsh(spark, sfDir)),
         ("s03 ivf", Seq("cells"),
           () => sources.IndexStore.probeIvf(spark, sfDir, idx),
           () => operators.Similarity.annIvf(spark, sfDir)),

@@ -78,11 +78,47 @@ object Similarity {
     * and the per-query work drops ~8× (more planes ⇒ more buckets).
     * Top-3 within bucket.
     */
+  /** s02's fixed hyperplane coordinates (shared with the persisted
+    * bucket layout in sources.IndexStore).
+    */
+  private[graft] val LshDims = Seq(1, 9, 17)
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val dims = Seq(1, 9, 17)
     val (q0, e) = queriesAndCorpus(s, dir)
-    val corpus = e.withColumn("bucket", Vector.signBucket(col("embedding"), dims))
-    val q = q0.withColumn("bucket", Vector.signBucket(col("qv"), dims))
+    val corpus = e.withColumn("bucket",
+      Vector.signBucket(col("embedding"), LshDims))
+    val q = q0.withColumn("bucket", Vector.signBucket(col("qv"), LshDims))
+    val scored = corpus.join(broadcast(q),
+        corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", pairCosine)
+    rankTopK(s, scored, 3)
+  }
+
+  /** The s02 bucket layout as a STORED artifact: `(vec_id, embedding,
+    * nrm)` partitioned by the sign bucket — what IndexStore.build
+    * lands under `lsh/`.
+    */
+  private[graft] def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Vector.norm(col("embedding")).as("nrm"),
+        Vector.signBucket(col("embedding"), LshDims).as("bucket"))
+
+  /** s02 over the persisted bucket-partitioned corpus: each query's
+    * bucket becomes a static `bucket IN` partition filter — the
+    * "bucket column is a partition key at 100 TB" shape s02's
+    * Scaladoc promises. Output-identical to [[annLsh]].
+    */
+  private[graft] def annLshProbe(s: SparkSession, dir: String,
+      idxDir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Vector.norm(col("embedding")).as("qnrm"))
+      .withColumn("bucket", Vector.signBucket(col("qv"), LshDims))
+    val buckets = q.select(col("bucket")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val corpus = s.read.parquet(s"$idxDir/lsh")
+      .filter(col("bucket").isin(buckets: _*))
     val scored = corpus.join(broadcast(q),
         corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)

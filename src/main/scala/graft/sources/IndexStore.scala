@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *    per-dimension [min,max] params and the byte-code table (4×
   *    smaller than the float corpus; full-scan by design — SQ8 is a
   *    compression rung, not a pruning one).
+  *  - `lsh/` — s02's corpus PARTITIONED BY sign bucket: a query
+  *    scans only its own bucket's partition (~1/8 of the corpus at
+  *    the fixed 3 planes; more planes ⇒ more buckets).
   *  - `graph/`, `gkeys/`, `gvecs/` — the s15 kNN graph as
   *    streaming.GraphIngestStream's delta layout (src-hash-bucketed
   *    edge deltas + frozen-band key index + vectors): seed-node edge
@@ -62,9 +65,15 @@ object IndexStore {
     params.write.mode("overwrite").parquet(s"$idxDir/sq8params")
     Similarity.sq8Codes(e, params)
       .write.mode("overwrite").parquet(s"$idxDir/sq8codes")
+    Similarity.lshBuckets(s, dir)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$idxDir/lsh")
     graft.streaming.GraphIngestStream.seedFromLake(s, dir, idxDir)
     graft.streaming.PostingIngestStream.seedFromLake(s, dir, idxDir)
   }
+
+  /** s02's answer as a partition-pruned probe of `lsh/`. */
+  def probeLsh(s: SparkSession, dir: String, idxDir: String): DataFrame =
+    Similarity.annLshProbe(s, dir, idxDir)
 
   /** s03's answer as a partition-pruned probe of `cells/`. */
   def probeIvf(s: SparkSession, dir: String, idxDir: String): DataFrame =

@@ -38,6 +38,30 @@ class IndexStoreSpec extends SparkSpecBase {
       s"no cell partition filter:\n${plan.take(3000)}")
   }
 
+  test("LSH probe over the persisted bucket partitions equals inline s02") {
+    val probe = sources.IndexStore.probeLsh(spark, sf0001, idx)
+    assert(rows(probe) == rows(operators.Similarity.annLsh(spark, sf0001)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\].*"),
+      s"no bucket partition filter:\n${plan.take(3000)}")
+  }
+
+  test("vector ingest encodes arriving batches against the STORED artifacts") {
+    import org.apache.spark.sql.functions.col
+    // the streaming encoder's static artifacts can come straight off
+    // the store — one build serves batch probes AND the ingest path
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val params = spark.read.parquet(s"$idx/sq8params")
+    val batch = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 6).select(col("vec_id"), col("embedding"))
+    val fromStore = rows(streaming.VectorIngestStream
+      .encodeBatch(batch, cent, params).orderBy(col("vec_id")))
+    val (c2, p2) = streaming.VectorIngestStream.staticArtifacts(spark, sf0001)
+    val recomputed = rows(streaming.VectorIngestStream
+      .encodeBatch(batch, c2, p2).orderBy(col("vec_id")))
+    assert(fromStore == recomputed)
+  }
+
   test("SQ8 probe over the persisted byte codes equals inline s08") {
     val probe = sources.IndexStore.probeSq8(spark, sf0001, idx)
     assert(rows(probe) == rows(operators.Similarity.annSq8(spark, sf0001)))
