@@ -95,14 +95,18 @@ object Similarity {
   }
 
   /** The s02 bucket layout as a STORED artifact: `(vec_id, embedding,
-    * nrm)` partitioned by the sign bucket — what IndexStore.build
-    * lands under `lsh/`.
+    * nrm, bucket)` of any vector frame — what IndexStore lands under
+    * `lsh/` (lake at build, arriving batches at fold; the bucket of a
+    * vector is corpus-independent, so appending is exact).
     */
+  private[graft] def lshBucketsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      Vector.norm(col("embedding")).as("nrm"),
+      Vector.signBucket(col("embedding"), LshDims).as("bucket"))
+
   private[graft] def lshBuckets(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        Vector.norm(col("embedding")).as("nrm"),
-        Vector.signBucket(col("embedding"), LshDims).as("bucket"))
+    lshBucketsOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
 
   /** s02 over the persisted bucket-partitioned corpus: each query's
     * bucket becomes a static `bucket IN` partition filter — the

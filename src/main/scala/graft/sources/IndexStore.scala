@@ -44,31 +44,80 @@ import org.apache.spark.sql.functions._
 object IndexStore {
 
   /** Build every persisted artifact under `idxDir` from the lake at
-    * `dir`.
+    * `dir`. The per-vector families (cells, lsh, pqcodes, sq8codes)
+    * land as `delta_id=base` — [[foldBatch]] appends sibling deltas
+    * for arriving vectors, and every probe reads the family root, so
+    * the union is transparent.
     */
   def build(s: SparkSession, dir: String, idxDir: String): Unit = {
     graft.plans.GraftExtensions.install(s)
     VectorAgg.centroidVectors(s, dir)
       .write.mode("overwrite").parquet(s"$idxDir/centroids")
-    val asg = Similarity.cellAssignments(s, dir)
-    asg.filter(col("rr") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$idxDir/cells")
     val centJ = VectorAgg.pqCodebook(s, dir,
       Similarity.PqSub, Similarity.PqSubLen)
     centJ.write.mode("overwrite").parquet(s"$idxDir/codebook")
-    Similarity.pqCellCodesOf(asg, centJ)
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$idxDir/pqcodes")
     val e = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val params = Similarity.sq8Params(e)
     params.write.mode("overwrite").parquet(s"$idxDir/sq8params")
-    Similarity.sq8Codes(e, params)
-      .write.mode("overwrite").parquet(s"$idxDir/sq8codes")
-    Similarity.lshBuckets(s, dir)
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$idxDir/lsh")
+    writeVectorDeltas(s, idxDir, e, "base")
     graft.streaming.GraphIngestStream.seedFromLake(s, dir, idxDir)
     graft.streaming.PostingIngestStream.seedFromLake(s, dir, idxDir)
+  }
+
+  /** Encode `e` against the STORED static artifacts and land one
+    * delta of every per-vector family (overwrite — idempotent under
+    * re-delivery). Each encode is row-local under the frozen model,
+    * so appending a delta is exact: the folded store equals a fresh
+    * encode of the union against the same artifacts (spec-asserted).
+    */
+  private def writeVectorDeltas(s: SparkSession, idxDir: String,
+      e: DataFrame, deltaId: String): Unit = {
+    val cent = s.read.parquet(s"$idxDir/centroids")
+    val centJ = s.read.parquet(s"$idxDir/codebook")
+    val params = s.read.parquet(s"$idxDir/sq8params")
+    val asg = Similarity.cellAssignmentsOf(s, e, cent)
+    asg.filter(col("rr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$idxDir/cells/delta_id=$deltaId")
+    Similarity.pqCellCodesOf(asg, centJ)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$idxDir/pqcodes/delta_id=$deltaId")
+    Similarity.sq8Codes(e, params)
+      .write.mode("overwrite").parquet(s"$idxDir/sq8codes/delta_id=$deltaId")
+    Similarity.lshBucketsOf(e)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$idxDir/lsh/delta_id=$deltaId")
+  }
+
+  /** Re-encode `e` from scratch into the per-vector families against
+    * the artifacts already stored under `idxDir` — the frozen-model
+    * rebuild [[foldBatch]] is provably equivalent to (IndexStoreSpec
+    * asserts fold == rebuild probe-for-probe).
+    */
+  def rebuildVectorFamilies(s: SparkSession, idxDir: String,
+      e: DataFrame): Unit =
+    writeVectorDeltas(s, idxDir, e, "base")
+
+  /** Fold one ARRIVING batch of vectors into the whole store: every
+    * per-vector family gains a delta encoded against the stored
+    * static artifacts, and the kNN graph folds through the
+    * GraphIngestStream delta algebra — ONE call keeps all families
+    * consistent, the maintenance shape a production vector store
+    * runs per ingest. Assumes the d10/d11 contract (batch vec_ids
+    * disjoint from everything stored); re-delivery of a batch id
+    * overwrites its deltas.
+    */
+  def foldBatch(s: SparkSession, dir: String, idxDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.select(col("vec_id"), col("embedding")).cache()
+    try {
+      writeVectorDeltas(s, idxDir, b, s"b$batchId")
+      graft.streaming.GraphIngestStream.writeBatchFold(b, idxDir,
+        s"$idxDir/graph_publish", batchId,
+        graft.streaming.GraphIngestStream.lakeBands(s, dir))
+    } finally { b.unpersist(); () }
   }
 
   /** s02's answer as a partition-pruned probe of `lsh/`. */

@@ -81,6 +81,50 @@ class IndexStoreSpec extends SparkSpecBase {
       s"no vb partition filter:\n${plan.take(3000)}")
   }
 
+  test("foldBatch keeps every per-vector family equal to a frozen-model rebuild") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-idx-fold").toString
+    val idxF = s"$base/idxF"   // built then folded
+    val idxR = s"$base/idxR"   // rebuilt from scratch over the union
+    sources.IndexStore.build(spark, sf0001, idxF)
+    // arriving batch: 5 lake vectors re-keyed to NEW ids (the d10/d11
+    // disjoint-id ingest contract)
+    val batch = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    sources.IndexStore.foldBatch(spark, sf0001, idxF, batch, 0L)
+    // the frozen-model reference: same static artifacts, the UNION
+    // encoded from scratch (exactly what a full rebuild under the
+    // frozen centroids/codebook/params would land)
+    for (a <- Seq("centroids", "codebook", "sq8params"))
+      spark.read.parquet(s"$idxF/$a").write.parquet(s"$idxR/$a")
+    val union = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).union(batch)
+    sources.IndexStore.rebuildVectorFamilies(spark, idxR, union)
+    def probes(idx: String) = Seq(
+      rows(sources.IndexStore.probeLsh(spark, sf0001, idx)),
+      rows(sources.IndexStore.probeIvf(spark, sf0001, idx)),
+      rows(sources.IndexStore.probeIvfPq(spark, sf0001, idx)),
+      rows(sources.IndexStore.probeSq8(spark, sf0001, idx)))
+    val (folded, rebuilt) = (probes(idxF), probes(idxR))
+    folded.zip(rebuilt).zipWithIndex.foreach { case ((f, r), i) =>
+      assert(f == r, s"family $i: folded store diverged from rebuild")
+    }
+    // the fold actually changed answers vs the pre-fold store (a new
+    // vector entered some query's bucket/cell) — otherwise the parity
+    // above would be vacuous
+    val preFold = Seq(
+      rows(sources.IndexStore.probeLsh(spark, sf0001, idx)),
+      rows(sources.IndexStore.probeSq8(spark, sf0001, idx)))
+    assert(preFold != Seq(folded(0), folded(3)),
+      "fold was a no-op for every probe — vacuous parity")
+    // double delivery of the batch id replaces deltas, never grows
+    val n1 = spark.read.parquet(s"$idxF/sq8codes").count()
+    sources.IndexStore.foldBatch(spark, sf0001, idxF, batch, 0L)
+    assert(spark.read.parquet(s"$idxF/sq8codes").count() == n1)
+  }
+
   test("posting probe equals inline s17 for the probed terms") {
     import spark.implicits._
     val terms = Seq("the", "table", "scan").toDF("term")
