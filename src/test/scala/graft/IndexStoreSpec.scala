@@ -125,6 +125,42 @@ class IndexStoreSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$idxF/sq8codes").count() == n1)
   }
 
+  test("StoreIngestStream drains deliveries through the whole-store fold") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("graft-idx-stream").toString
+    val idxS = s"$base/idx"; val idxR = s"$base/idxR"
+    val inDir = s"$base/in"; val ck = s"$base/ck"
+    sources.IndexStore.build(spark, sf0001, idxS)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def rekeyed(lo: Int, hi: Int) = emb
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+        col("label"))
+    rekeyed(0, 3).write.mode(SaveMode.Append).parquet(inDir)
+    rekeyed(3, 6).write.mode(SaveMode.Append).parquet(inDir)
+    val q = streaming.StoreIngestStream.startFolding(spark, inDir, sf0001,
+      idxS, ck)
+    try q.awaitTermination() finally q.stop()
+    // the drained store equals a frozen-model rebuild over the union
+    for (a <- Seq("centroids", "codebook", "sq8params"))
+      spark.read.parquet(s"$idxS/$a").write.parquet(s"$idxR/$a")
+    val union = emb.select(col("vec_id"), col("embedding"))
+      .union(rekeyed(0, 6).select(col("vec_id"), col("embedding")))
+    sources.IndexStore.rebuildVectorFamilies(spark, idxR, union)
+    assert(rows(sources.IndexStore.probeLsh(spark, sf0001, idxS)) ==
+      rows(sources.IndexStore.probeLsh(spark, sf0001, idxR)))
+    assert(rows(sources.IndexStore.probeSq8(spark, sf0001, idxS)) ==
+      rows(sources.IndexStore.probeSq8(spark, sf0001, idxR)))
+    // the deliveries landed as per-batch deltas next to the base
+    // (AvailableNow may group the files into one or two micro-batches)
+    val deltas = spark.read.parquet(s"$idxS/sq8codes")
+      .select(col("delta_id")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(deltas.contains("base") && deltas.exists(_.startsWith("b")),
+      deltas.toString)
+  }
+
   test("posting probe equals inline s17 for the probed terms") {
     import spark.implicits._
     val terms = Seq("the", "table", "scan").toDF("term")
