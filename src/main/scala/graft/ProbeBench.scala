@@ -84,6 +84,9 @@ object ProbeBench {
         ("s16 graph", Seq("graph"),
           () => sources.IndexStore.probeGraphExpand(spark, sfDir, idx),
           () => operators.Similarity.graphExpandSearch(spark, sfDir)),
+        ("d11 dedup", Seq("mhkeys", "mhsigs"),
+          () => sources.IndexStore.probeDedup(spark, sfDir, idx),
+          () => operators.Dedup.incrementalLsh(spark, sfDir)),
         ("s17 postings", Seq("postings", "df"), {
           // fix the probed term set OUTSIDE the measured frame
           import spark.implicits._

@@ -1008,6 +1008,14 @@ object Dedup {
       .select(col("doc_id").as("lake_id"), col("band"), col("bkey"))
     val cand = deltaBands.join(lakeBands, Seq("band", "bkey"))
       .select(col("delta_id"), col("lake_id")).distinct()
+    bestFromCandidates(cand, deltaSig, lakeSig)
+  }
+
+  /** The d11 verify + argmax stage over an explicit candidate frame —
+    * shared by the inline band join and the persisted-index probe.
+    */
+  private[graft] def bestFromCandidates(cand: DataFrame,
+      deltaSig: DataFrame, lakeSig: DataFrame): DataFrame = {
     val sa = deltaSig.select(col("doc_id").as("delta_id") +:
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
     val sb = lakeSig.select(col("doc_id").as("lake_id") +:
@@ -1027,6 +1035,48 @@ object Dedup {
         .as("m"))
       .select(col("delta_id"), (-col("m.nid")).as("dup_of"),
         col("m.e").as("est_sim_bp"))
+  }
+
+  /** Band-key partition fan-out of the persisted lake signature index
+    * (sources.IndexStore `mhkeys/` — the TermBuckets convention).
+    */
+  private[graft] val MhBuckets = 32
+
+  private[graft] def mhBucket(band: Column, bkey: Column): Column =
+    pmod(hash(band, bkey), lit(MhBuckets))
+
+  /** d11 over the PERSISTED lake signature index: delta docs minhash
+    * only themselves, probe the stored band-key table behind a static
+    * `mb IN` partition filter (the delta's own touched buckets), and
+    * verify against stored signatures by key — the lake is never
+    * re-minhashed, which is the "precomputed, stored bucketed by band
+    * key" production shape the d11 Scaladoc describes. Output-
+    * identical to [[incrementalLsh]].
+    */
+  private[graft] def incrementalLshProbe(s: SparkSession, dir: String,
+      idxDir: String): DataFrame = {
+    val deltaSig = minhashSignaturesOf(
+      shingles(s, dir).filter(col("doc_id") % 10 === 0)).cache()
+    val deltaBands = bandKeys(deltaSig)
+      .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))
+    val touched = deltaBands
+      .select(mhBucket(col("band"), col("bkey")).as("mb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storedKeys = s.read.parquet(s"$idxDir/mhkeys")
+      .filter(col("mb").isin(touched: _*))
+      .select(col("doc_id").as("lake_id"), col("band"), col("bkey"))
+    val cand = deltaBands.join(storedKeys, Seq("band", "bkey"))
+      .select(col("delta_id"), col("lake_id")).distinct()
+    val best = bestFromCandidates(cand, deltaSig,
+      s.read.parquet(s"$idxDir/mhsigs"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .join(best, col("doc_id") === col("delta_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "near_dup_of_index")
+          .otherwise("kept").as("status"),
+        col("dup_of"), col("est_sim_bp"))
+      .orderBy(col("doc_id"))
   }
 
   def incrementalLsh(s: SparkSession, dir: String): DataFrame = {

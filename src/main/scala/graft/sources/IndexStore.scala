@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   *    streaming.PostingIngestStream.seedFromLake so the batch build
   *    and the streaming fold share one author, and
   *    PostingIngestStream.readIndex is the probe.
+  *  - `mhsigs/`, `mhkeys/` — d11's lake MinHash signature index:
+  *    signatures by doc plus the exploded band keys bucketed by
+  *    (band, bkey) hash, so a delta batch's dedup probe reads only
+  *    its own touched buckets and the lake is never re-minhashed.
   *
   * Probes are output-identical to the inline queries (spec-asserted):
   * the stored artifacts ARE the frames the inline plans compute.
@@ -63,6 +67,13 @@ object IndexStore {
     writeVectorDeltas(s, idxDir, e, "base")
     graft.streaming.GraphIngestStream.seedFromLake(s, dir, idxDir)
     graft.streaming.PostingIngestStream.seedFromLake(s, dir, idxDir)
+    graft.operators.Dedup.minhashSignatures(s, dir)
+      .filter(col("doc_id") % 10 =!= 0) // the d10/d11 lake convention
+      .write.mode("overwrite").parquet(s"$idxDir/mhsigs")
+    graft.operators.Dedup.bandKeys(s.read.parquet(s"$idxDir/mhsigs"))
+      .withColumn("mb",
+        graft.operators.Dedup.mhBucket(col("band"), col("bkey")))
+      .write.partitionBy("mb").mode("overwrite").parquet(s"$idxDir/mhkeys")
   }
 
   /** Encode `e` against the STORED static artifacts and land one
@@ -155,4 +166,11 @@ object IndexStore {
   def probeIndex(s: SparkSession, idxDir: String,
       terms: DataFrame): DataFrame =
     graft.streaming.PostingIngestStream.readIndex(s, idxDir, terms)
+
+  /** d11's answer probing the persisted lake signature index
+    * (`mhsigs/` + band-bucketed `mhkeys/`) — the lake is never
+    * re-minhashed.
+    */
+  def probeDedup(s: SparkSession, dir: String, idxDir: String): DataFrame =
+    graft.operators.Dedup.incrementalLshProbe(s, dir, idxDir)
 }

@@ -161,6 +161,15 @@ class IndexStoreSpec extends SparkSpecBase {
       deltas.toString)
   }
 
+  test("dedup probe over the persisted signature index equals inline d11") {
+    val probe = sources.IndexStore.probeDedup(spark, sf0001, idx)
+    assert(rows(probe) == rows(operators.Dedup.incrementalLsh(spark, sf0001)))
+    // the delta's band-key probe prunes to its own touched buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*mb[^\\]]*\\].*"),
+      s"no mb partition filter:\n${plan.take(3000)}")
+  }
+
   test("posting probe equals inline s17 for the probed terms") {
     import spark.implicits._
     val terms = Seq("the", "table", "scan").toDF("term")
