@@ -170,6 +170,22 @@ class IndexStoreSpec extends SparkSpecBase {
       s"no mb partition filter:\n${plan.take(3000)}")
   }
 
+  test("incremental LSH stream classifies against the STORED signature index") {
+    import org.apache.spark.sql.functions.col
+    // the streaming dedup gate's static index can come straight off
+    // the store — same artifact-agnostic seam as the vector encoder
+    val storedSig = spark.read.parquet(s"$idx/mhsigs")
+    val delta = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 200)
+    val fromStore = rows(streaming.IncrementalLshStream
+      .classifyBatch(delta, storedSig).orderBy(col("doc_id")))
+    val recomputed = rows(streaming.IncrementalLshStream
+      .classifyBatch(delta,
+        streaming.IncrementalLshStream.lakeSignatures(spark, sf0001))
+      .orderBy(col("doc_id")))
+    assert(fromStore == recomputed)
+  }
+
   test("posting probe equals inline s17 for the probed terms") {
     import spark.implicits._
     val terms = Seq("the", "table", "scan").toDF("term")
