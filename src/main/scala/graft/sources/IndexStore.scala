@@ -52,9 +52,18 @@ object IndexStore {
     * land as `delta_id=base` — [[foldBatch]] appends sibling deltas
     * for arriving vectors, and every probe reads the family root, so
     * the union is transparent.
+    *
+    * A REBUILD starts clean: any existing store at `idxDir` is
+    * deleted first. Overwriting families piecemeal would leave the
+    * store silently inconsistent — the seedFromLake guards would skip
+    * re-seeding graph/postings, and stale streaming deltas encoded
+    * against the OLD artifacts would keep unioning into every probe.
     */
   def build(s: SparkSession, dir: String, idxDir: String): Unit = {
     graft.plans.GraftExtensions.install(s)
+    val p = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
     VectorAgg.centroidVectors(s, dir)
       .write.mode("overwrite").parquet(s"$idxDir/centroids")
     val centJ = VectorAgg.pqCodebook(s, dir,
@@ -119,15 +128,24 @@ object IndexStore {
     * runs per ingest. Assumes the d10/d11 contract (batch vec_ids
     * disjoint from everything stored); re-delivery of a batch id
     * overwrites its deltas.
+    *
+    * `bands` MUST be the frozen layout the graph was seeded under —
+    * compute it ONCE on the driving session (StoreIngestStream does;
+    * the default re-derives it via the TableStats seam, which is
+    * correct only when called on the session that seeded the store:
+    * inside foreachBatch the CLONED session would miss the memo and
+    * any injected manifest count).
     */
   def foldBatch(s: SparkSession, dir: String, idxDir: String,
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long,
+      bands: Option[Seq[Seq[Int]]] = None): Unit = {
     val b = batch.select(col("vec_id"), col("embedding")).cache()
     try {
       writeVectorDeltas(s, idxDir, b, s"b$batchId")
       graft.streaming.GraphIngestStream.writeBatchFold(b, idxDir,
         s"$idxDir/graph_publish", batchId,
-        graft.streaming.GraphIngestStream.lakeBands(s, dir))
+        bands.getOrElse(
+          graft.streaming.GraphIngestStream.lakeBands(s, dir)))
     } finally { b.unpersist(); () }
   }
 

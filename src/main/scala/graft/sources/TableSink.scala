@@ -50,15 +50,20 @@ object TableSink {
     nFiles
   }
 
-  /** Crash-safe directory replacement: materialize the new content at
+  /** CRASH-safe directory replacement: materialize the new content at
     * a sibling temp path via `write`, then swap with two checked
-    * renames — never a window with no data at `path`: the original
-    * moves aside first, so a crash leaves either the intact original
-    * (recoverable at `__compact_old`) or the new directory live.
-    * Shared by [[compact]] and the streaming index segment merges
-    * (PostingIngestStream/GraphIngestStream `compact` — a merge that
-    * read its input from the live `path` is safe because `write`
-    * fully materializes into the temp dir before any rename).
+    * renames — a crash leaves either the intact original (recoverable
+    * at `__compact_old`) or the new directory live, never a
+    * half-written mix. NOT concurrency-safe: between the two renames
+    * `path` briefly does not exist, and a reader that listed files
+    * pre-swap fails mid-scan on the deleted originals (refreshByPath
+    * below fixes only THIS session's listing cache) — quiesce
+    * readers/folds of `path` around the swap, the offline-maintenance
+    * contract every caller here runs under. Shared by [[compact]] and
+    * the streaming index segment merges (PostingIngestStream/
+    * GraphIngestStream `compact` — a merge that read its input from
+    * the live `path` is safe because `write` fully materializes into
+    * the temp dir before any rename).
     */
   def replaceDir(spark: org.apache.spark.sql.SparkSession, path: String)
       (write: String => Unit): Unit = {

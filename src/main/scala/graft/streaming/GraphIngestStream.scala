@@ -77,19 +77,22 @@ object GraphIngestStream {
   /** Current graph state: re-cap the edge deltas per src — s15's
     * exact output shape. `srcIds` (a `vec_id` frame) restricts the
     * read to those nodes' edges: the scan prunes to their hash
-    * buckets (static `vb IN` partition filter) plus an id filter
-    * over the bounded literal set.
+    * buckets (a static `vb IN` partition filter — at most
+    * [[GraphBuckets]] literals however many ids there are) and the
+    * ids themselves restrict via a semi-join (the src set can be
+    * batch-collision-sized in the per-batch publish — a collected
+    * literal list would be driver-unbounded).
     */
   def readGraph(s: SparkSession, idxDir: String, k: Int = K,
       srcIds: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val all = s.read.parquet(s"$idxDir/graph")
     val pruned = srcIds.fold(all) { idsDf =>
-      val rows = idsDf.select(col("vec_id")).distinct()
-        .select(col("vec_id"), vecBucket(col("vec_id")).as("vb")).collect()
-      val ids = rows.map(_.getLong(0)).toSeq
-      val buckets = rows.map(_.getInt(1)).distinct.toSeq
-      all.filter(col("vb").isin(buckets: _*) && col("vec_id").isin(ids: _*))
+      val ids = idsDf.select(col("vec_id")).distinct()
+      val buckets = ids.select(vecBucket(col("vec_id")).as("vb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      all.filter(col("vb").isin(buckets: _*))
+        .join(ids, Seq("vec_id"), "left_semi")
     }
     Similarity.rankEdges(graft.plans.TopK.perKey(
       pruned.select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
@@ -137,7 +140,13 @@ object GraphIngestStream {
       batchId: Long, bands: Seq[Seq[Int]], k: Int = K): Unit = {
     val ss = batch.sparkSession // foreachBatch binds a CLONED session
     graft.plans.GraftExtensions.install(ss)
-    val b = batch.select(col("vec_id"), col("embedding")).cache()
+    // cache only if the caller didn't (IndexStore.foldBatch hands in
+    // an already-cached projection — a second .cache() here would
+    // store a duplicate copy per micro-batch)
+    val owned =
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val b0 = batch.select(col("vec_id"), col("embedding"))
+    val b = if (owned) b0.cache() else b0
     try {
       val keysB = Similarity.bandKeysOf(b, bands).cache()
       try {
@@ -183,7 +192,7 @@ object GraphIngestStream {
           b.write.mode("overwrite").parquet(s"$idxDir/gvecs/delta_id=b$batchId")
         } finally { cand.unpersist(); () }
       } finally { keysB.unpersist(); () }
-    } finally { b.unpersist(); () }
+    } finally { if (owned) { b.unpersist(); () } }
   }
 
   /** SEGMENT MERGE: fold every delta of the three families into a

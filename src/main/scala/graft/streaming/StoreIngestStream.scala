@@ -28,7 +28,12 @@ object StoreIngestStream {
     * built from the lake at `dir`.
     */
   def startFolding(s: SparkSession, inDir: String, dir: String,
-      idxDir: String, checkpoint: String): StreamingQuery =
+      idxDir: String, checkpoint: String): StreamingQuery = {
+    // freeze the band layout HERE, on the caller's session — the
+    // TableStats memo/injection is session-keyed, so deriving it
+    // inside foreachBatch (a cloned session) could both re-count the
+    // lake and diverge from the layout the graph was seeded under
+    val bands = GraphIngestStream.lakeBands(s, dir)
     s.readStream.schema(schema).parquet(inDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -37,7 +42,8 @@ object StoreIngestStream {
         // foreachBatch binds a CLONED session — fold through it so
         // installed extensions and reads live on the right session
         graft.sources.IndexStore.foldBatch(batch.sparkSession, dir,
-          idxDir, batch, id)
+          idxDir, batch, id, Some(bands))
       }
       .start()
+  }
 }
