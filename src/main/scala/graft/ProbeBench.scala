@@ -57,12 +57,12 @@ object ProbeBench {
       sources.IndexStore.build(spark, sfDir, idx)
       (System.nanoTime() - t0) / 1e9 }
     println(f"[probe] index build        ${tBuild}%6.2f s (once, amortized)")
-    def storedKiB(families: Seq[String]): Long = {
+    def storedBytes(families: Seq[String]): Long = {
       val conf = spark.sparkContext.hadoopConfiguration
       families.map { f =>
         val p = new org.apache.hadoop.fs.Path(s"$idx/$f")
         p.getFileSystem(conf).getContentSummary(p).getLength
-      }.sum / 1024
+      }.sum
     }
     val pairs: Seq[(String, Seq[String], () => DataFrame, () => DataFrame)] =
       Seq(
@@ -99,9 +99,14 @@ object ProbeBench {
           () => operators.Similarity.impactIndex(spark, sfDir)))
     pairs.foreach { case (name, fams, probe, inline) =>
       val tp = time(probe); val ti = time(inline)
-      val pb = footprint(probe, fams) / 1024; val tot = storedKiB(fams)
+      val pb = footprint(probe, fams); val tot = storedBytes(fams)
+      val pct = if (tot == 0) 0.0 else 100.0 * pb / tot
       println(f"[probe] $name%-14s probe=${tp}%6.3f s  inline=${ti}%6.3f s  " +
-        f"probe read $pb%6d of $tot%7d stored KiB (${100.0 * pb / tot}%5.1f%%)")
+        f"probe read ${pb / 1024}%6d of ${tot / 1024}%7d stored KiB " +
+        f"($pct%5.1f%%)")
+      // drop frames the row's operators cached (probe seeds, delta
+      // sigs) so rows measure independently instead of accumulating
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

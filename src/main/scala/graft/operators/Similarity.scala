@@ -646,7 +646,14 @@ object Similarity {
       .collect().map(_.get(0)).toSeq
     val codes = s.read.parquet(s"$idxDir/pqcodes")
       .filter(col("cell").isin(probeCells: _*))
-    val scored = ivfPqScoreOf(codes, centJ, q)
+    rankAdc(s, ivfPqScoreOf(codes, centJ, q))
+  }
+
+  /** The s06 ADC rank tail — shared by [[annIvfPq]] and the persisted
+    * probe so the two orderings cannot drift.
+    */
+  private def rankAdc(s: SparkSession, scored: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
     graft.plans.TopK.perKey(scored, Seq(col("query_id")),
@@ -665,18 +672,8 @@ object Similarity {
     * only per-vector bytes the scan touches, full vectors never leave
     * their partition. Top-3 per query by ADC via TopKPerKey.
     */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
-    val scored = ivfPqScored(s, dir)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
-    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
-        Seq(col("adc").asc, col("vec_id").asc), 3)
-      .withColumn("rn", row_number().over(w))
-      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
-        floor(col("adc") * 1000).cast("long").as("adc_milli"))
-      .orderBy(col("query_id"), col("rn"))
-  }
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    rankAdc(s, ivfPqScored(s, dir))
 
   /** s07 — ANN with exact re-ranking: the production retrieval
     * composition every vector store ships as its accuracy lever. The

@@ -121,14 +121,18 @@ object PostingIngestStream {
     if (!fs.exists(base)) {
       val tf = Similarity.docTf(Tables.documents(s, dir)).cache()
       try {
-        Similarity.rankPostings(s, tf, cap)
-          .select(col("term"), col("doc_id"), col("tf"),
-            termBucket(col("term")).as("tb"))
-          .write.partitionBy("tb").mode("overwrite").parquet(base.toString)
+        // df FIRST: the existence guard above checks the postings
+        // base, so it must be the LAST family written — a crash
+        // between the two writes then re-seeds both on restart
+        // instead of permanently skipping df
         tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
           .withColumn("tb", termBucket(col("term")))
           .write.partitionBy("tb").mode("overwrite")
           .parquet(s"$idxDir/df/delta_id=base")
+        Similarity.rankPostings(s, tf, cap)
+          .select(col("term"), col("doc_id"), col("tf"),
+            termBucket(col("term")).as("tb"))
+          .write.partitionBy("tb").mode("overwrite").parquet(base.toString)
       } finally { tf.unpersist(); () }
     }
   }
