@@ -147,6 +147,7 @@ object SparkEntry {
     "t30_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(s, d)),
     "t31_zipf_profile" -> (TextOps.zipfProfile _),
     "t32_template_share" -> ((s, d) => TextOps.templateShare(s, d)),
+    "t33_semantic_decontam" -> (Dedup.semanticDecontam _),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -2188,6 +2189,44 @@ SELECT d.doc_id,
   CAST(coalesce(st.n_novel, 0) * 10000 // greatest(coalesce(st.n_windows, 0), 1) AS BIGINT) AS novelty_bp
 FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
     // t32: windows template-flagged per (source, sh) with >= 3 docs
+    // t33: d05's plant + adaptive-band recipe, cross-split candidates
+    // only, s15's integer-cosine scoring, d11's per-train argmax
+    "t33_semantic_decontam" ->
+      """WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000001,
+    list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.05 AS FLOAT)],
+      embedding[2:])
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 150),
+p AS (SELECT greatest(3, length(bin(count(*) - 1)) - 3) AS bits FROM e),
+p2 AS (SELECT bits, least(64 // bits, bits + 1) AS nb FROM p),
+bd AS (SELECT unnest(range(nb)) AS band, bits FROM p2),
+b AS (SELECT e.vec_id, bd.band,
+    list_sum(list_transform(range(bd.bits),
+      r -> CASE WHEN e.embedding[CAST(bd.band * bd.bits + r + 1 AS INT)] >= 0
+           THEN 1 << r ELSE 0 END)) AS bucket
+  FROM e CROSS JOIN bd),
+cand AS (SELECT DISTINCT t.vec_id AS src, bb.vec_id AS dst
+  FROM b t JOIN b bb ON t.band = bb.band AND t.bucket = bb.bucket
+  WHERE t.vec_id % 50 <> 0 AND bb.vec_id % 50 = 0),
+eq AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mq
+  FROM e),
+e3 AS (SELECT vec_id, mq,
+    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nq FROM eq),
+sc AS (SELECT c.src, c.dst,
+    CAST(floor(CAST(CAST(list_sum(list_transform(range(1, len(a.mq) + 1),
+        i -> a.mq[i] * b.mq[i])) AS BIGINT) AS DOUBLE)
+      / sqrt(CAST(a.nq * b.nq AS DOUBLE)) * 10000) AS BIGINT) AS cos_bp
+  FROM cand c JOIN e3 a ON a.vec_id = c.src
+    JOIN e3 b ON b.vec_id = c.dst),
+f AS (SELECT src, dst, cos_bp FROM sc WHERE cos_bp >= 9000),
+r AS (SELECT src, dst, cos_bp,
+    row_number() OVER (PARTITION BY src ORDER BY cos_bp DESC, dst) AS rn
+  FROM f)
+SELECT src AS vec_id, dst AS dup_of, cos_bp FROM r WHERE rn = 1
+ORDER BY vec_id""",
     "t32_template_share" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 g AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS sh

@@ -725,6 +725,60 @@ object Dedup {
     base.union(planted)
   }
 
+  /** t33 — SEMANTIC decontamination: the benchmark leakage n-gram
+    * overlap (t12) misses — a paraphrased benchmark item shares no
+    * 8-gram with its source yet sits next to it in embedding space,
+    * and modern decontamination runs BOTH passes. Train-split vectors
+    * (vec_id % 50 ≠ 0 — t12's split convention on the key the m06
+    * doc↔embedding join rides) are checked against the benchmark
+    * split (% 50 == 0) through d05's corpus-adaptive sign-LSH bands;
+    * candidates are CROSS-SPLIT collisions only (the benchmark side
+    * is 2 % of the corpus, so the equi-join output is a sliver of
+    * d05's), scored in s15's milli-quantized integer-cosine space
+    * (floor(cos·10⁴) can never straddle a float ulp), and a train
+    * vector with cos ≥ 0.9 to any benchmark vector reports its best
+    * match — highest cos_bp, smallest bench id on ties (the d11
+    * struct-argmax, no window).
+    *
+    * Gate plants (the d05 recipe): benchmark vecs 0/50/100 get a
+    * train-side near-copy (+0.05 on coordinate 1, re-keyed past
+    * [[GatePlantOffset]]; % 50 = 1 → train split) so the driver
+    * compare is never vacuous — the real corpus has no cross-split
+    * cos ≥ 0.9 pair at gate SF. The oracle replays plants, adaptive
+    * band layout and integer scoring exactly.
+    */
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 150)
+      .select((col("vec_id") + GatePlantOffset + 1L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.05d))
+            .cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    val frame = base.union(planted)
+    val bands = adaptiveBands(
+      TableStats.rowCount(s, dir, "embeddings_sdc_gate")(frame.count()))
+    val keyed = Similarity.bandKeysOf(frame, bands)
+    val isBench = col("vec_id") % 50 === 0
+    val cand = keyed.filter(!isBench)
+      .select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(keyed.filter(isBench)
+        .select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("src"), col("dst")).distinct()
+    Similarity.scoreEdges(cand, frame)
+      .select(col("src"), col("dst"),
+        floor(col("cos") * 10000).cast("long").as("cos_bp"))
+      .filter(col("cos_bp") >= 9000)
+      .groupBy(col("src"))
+      .agg(max(struct(col("cos_bp").as("e"), (-col("dst")).as("nid"))).as("m"))
+      .select(col("src").as("vec_id"), (-col("m.nid")).as("dup_of"),
+        col("m.e").as("cos_bp"))
+      .orderBy(col("vec_id"))
+  }
+
   /** d08 — keep-BEST dedup: like d01 the corpus collapses on the
     * normalized-content hash, but the survivor is the copy with the
     * highest quality score (t02's heuristic, in integer basis points

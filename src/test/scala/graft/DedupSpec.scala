@@ -568,4 +568,18 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(bySrc("src4").getAs[Long]("n_dup_docs") == 0L)
   }
+
+  test("t33 semantic decontam: plants flagged cross-split with best bench match") {
+    val out = operators.Dedup.semanticDecontam(spark, sf0001).collect()
+    // the three train-side plants report their bench source as best match
+    val plants = out
+      .filter(_.getAs[Long]("vec_id") >= operators.Dedup.GatePlantOffset)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of")))
+    assert(plants.toSet ==
+      Set((10000001L, 0L), (10000051L, 50L), (10000101L, 100L)), plants.toSeq)
+    // flags are cross-split by construction: train vec, benchmark match
+    assert(out.forall(r => r.getAs[Long]("vec_id") % 50 != 0 &&
+      r.getAs[Long]("dup_of") % 50 == 0))
+    assert(out.forall(_.getAs[Long]("cos_bp") >= 9000))
+  }
 }
