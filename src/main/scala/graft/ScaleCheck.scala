@@ -212,6 +212,11 @@ object ScaleCheck {
           Dedup.DefaultBands))),
       Growth("d05_cand_autobit", d05auto(baseDir, baseN),
         d05auto(bigDir, baseN * factor)),
+      // t33's cross-split restriction of the same band join: the
+      // benchmark side is 2% of the corpus, so candidates should be
+      // a sliver of d05's full self-join at BOTH sizes
+      Growth("t33_cand", cand(baseDir, Dedup.semanticDecontamCandidates),
+        cand(bigDir, Dedup.semanticDecontamCandidates)),
       Growth("d06_cand", cand(baseDir, Dedup.fuzzyMatchCandidates),
         cand(bigDir, Dedup.fuzzyMatchCandidates)),
       Growth("s02_max_bucket",

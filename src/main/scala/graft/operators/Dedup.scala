@@ -749,26 +749,8 @@ object Dedup {
     */
   def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 150)
-      .select((col("vec_id") + GatePlantOffset + 1L).as("vec_id"),
-        concat(
-          array((element_at(col("embedding"), 1).cast("double") + lit(0.05d))
-            .cast("float")),
-          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
-          .as("embedding"))
-    val frame = base.union(planted)
-    val bands = adaptiveBands(
-      TableStats.rowCount(s, dir, "embeddings_sdc_gate")(frame.count()))
-    val keyed = Similarity.bandKeysOf(frame, bands)
-    val isBench = col("vec_id") % 50 === 0
-    val cand = keyed.filter(!isBench)
-      .select(col("vec_id").as("src"), col("band"), col("bucket"))
-      .join(keyed.filter(isBench)
-        .select(col("vec_id").as("dst"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(col("src"), col("dst")).distinct()
-    Similarity.scoreEdges(cand, frame)
+    val frame = sdcGateFrame(s, dir)
+    Similarity.scoreEdges(semanticDecontamCandidates(s, dir), frame)
       .select(col("src"), col("dst"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
       .filter(col("cos_bp") >= 9000)
@@ -777,6 +759,44 @@ object Dedup {
       .select(col("src").as("vec_id"), (-col("m.nid")).as("dup_of"),
         col("m.e").as("cos_bp"))
       .orderBy(col("vec_id"))
+  }
+
+  /** t33's gate frame: the corpus plus three train-side near-copies
+    * of benchmark vectors 0/50/100 (the d05 plant discipline; re-keyed
+    * past [[GatePlantOffset]] to % 50 = 1 → train split).
+    */
+  private def sdcGateFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 50 === 0 && col("vec_id") < 150)
+      .select((col("vec_id") + GatePlantOffset + 1L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.05d))
+            .cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    base.union(planted)
+  }
+
+  /** t33's CROSS-SPLIT candidate pairs `(src, dst)` — train-side vec
+    * banded against benchmark-side vec under the gate frame's
+    * adaptive layout. The observability/ScaleCheck surface: the
+    * benchmark split is 2 % of the corpus, so this equi-join's output
+    * is a sliver of d05's full self-join (the t33_cand growth row
+    * measures both the linearity and the sliver).
+    */
+  private[graft] def semanticDecontamCandidates(s: SparkSession,
+      dir: String): DataFrame = {
+    val frame = sdcGateFrame(s, dir)
+    val bands = adaptiveBands(
+      TableStats.rowCount(s, dir, "embeddings_sdc_gate")(frame.count()))
+    val keyed = Similarity.bandKeysOf(frame, bands)
+    val isBench = col("vec_id") % 50 === 0
+    keyed.filter(!isBench)
+      .select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(keyed.filter(isBench)
+        .select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("src"), col("dst")).distinct()
   }
 
   /** d08 — keep-BEST dedup: like d01 the corpus collapses on the

@@ -123,6 +123,18 @@ class ScaleSpec extends SparkSpecBase {
       s"d05 auto-bit candidates ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("t33 cross-split candidates grow ~linearly and stay a sliver of d05's") {
+    val g = growth("t33_cand")
+    assert(g.inflated <= 20 * math.max(g.base, 5L),
+      s"t33 candidates ${g.base} -> ${g.inflated}: superlinear")
+    // the cross-split restriction (benchmark side = 2% of the corpus)
+    // keeps the join output well under the full self-join's — ~4% in
+    // expectation; assert a loose 5x margin against the same layout
+    val d05 = growth("d05_cand_autobit")
+    assert(g.inflated * 5L <= math.max(d05.inflated, 1L),
+      s"t33 candidates ${g.inflated} not a sliver of d05's ${d05.inflated}")
+  }
+
   test("d06 PassJoin candidates stay ~linear on entropy-bearing names") {
     val g = growth("d06_cand")
     // expected counts are tiny (random 24-hex-char names) — use an
