@@ -249,7 +249,14 @@ object Curation {
     * total — linear at any corpus size, and each input operator keeps
     * its own documented scale story.
     */
-  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+  def mixPlan(s: SparkSession, dir: String): DataFrame =
+    mixPlanFrame(s, dir).orderBy(col("doc_id"))
+
+  /** c06's unsorted body — the factored-body rule: consumers joining
+    * or re-aggregating the decision table (CorpusPipeline) ride this,
+    * not the contract query's ORDER BY.
+    */
+  private[graft] def mixPlanFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val terc = TextOps.perplexityTerciles(s, dir)
       .select(col("doc_id"), col("tercile"))
@@ -277,7 +284,6 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("tercile"), col("quality_ok"),
         col("keep_bp"), col("bucket"), col("decision"),
         (col("decision") === "keep").as("kept"))
-      .orderBy(col("doc_id"))
   }
 
   /** c08 — leakage-SAFE train/val/test SPLIT builder: splits are
@@ -301,14 +307,17 @@ object Curation {
     * longer depends on that upstream sort surviving future edits.
     */
   def safeSplit(s: SparkSession, dir: String): DataFrame =
-    Dedup.dupClusters(s, dir)
+    safeSplitFrame(s, dir).orderBy(col("doc_id"))
+
+  /** c08's unsorted body (the factored-body rule for joins over it). */
+  private[graft] def safeSplitFrame(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClustersFrame(s, dir)
       .withColumn("b", pmod(conv(substring(
           md5(concat(lit("split"), col("cluster_id").cast("string"))), 1, 8),
         16, 10).cast("long"), lit(10L)))
       .select(col("doc_id"), col("cluster_id"),
         when(col("b") <= 7, "train").when(col("b") === 8, "val")
           .otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
 
   /** c07 — the curation CASCADE report: stage-by-stage survivor
     * counts through the training-split pipeline — quality gate (t23)

@@ -747,7 +747,12 @@ object Dedup {
     * cos ≥ 0.9 pair at gate SF. The oracle replays plants, adaptive
     * band layout and integer scoring exactly.
     */
-  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame =
+    semanticDecontamFrame(s, dir).orderBy(col("vec_id"))
+
+  /** t33's unsorted body (the factored-body rule for joins over it). */
+  private[graft] def semanticDecontamFrame(s: SparkSession,
+      dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val frame = sdcGateFrame(s, dir)
     Similarity.scoreEdges(semanticDecontamCandidates(s, dir), frame)
@@ -758,7 +763,6 @@ object Dedup {
       .agg(max(struct(col("cos_bp").as("e"), (-col("dst")).as("nid"))).as("m"))
       .select(col("src").as("vec_id"), (-col("m.nid")).as("dup_of"),
         col("m.e").as("cos_bp"))
-      .orderBy(col("vec_id"))
   }
 
   /** t33's gate frame: the corpus plus three train-side near-copies
@@ -908,7 +912,11 @@ object Dedup {
           s"checkpoint $path: ${e.getMessage}")
     }
 
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersFrame(s, dir).orderBy(col("doc_id"))
+
+  /** d07's unsorted body (the factored-body rule for joins over it). */
+  private[graft] def dupClustersFrame(s: SparkSession, dir: String): DataFrame = {
     // est_sim is an exact multiple of 1/16, so >= 0.5 is float-safe
     val sims = minhashLsh(s, dir).filter(col("est_sim") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
@@ -973,7 +981,7 @@ object Dedup {
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(paired, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    labels.union(singletons).orderBy(col("doc_id"))
+    labels.union(singletons)
   }
 
   /** d09 — exact CHUNK-level dedup: the "exact substring dedup" pass
