@@ -755,7 +755,26 @@ object Dedup {
       dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val frame = sdcGateFrame(s, dir)
-    Similarity.scoreEdges(semanticDecontamCandidates(s, dir), frame)
+    val bands = adaptiveBands(
+      TableStats.rowCount(s, dir, "embeddings_sdc_gate")(frame.count()))
+    val isBench = col("vec_id") % 50 === 0
+    semanticFlagsAgainst(frame.filter(!isBench), frame.filter(isBench), bands)
+  }
+
+  /** t33's core against EXPLICIT train/bench sides and an explicit
+    * band layout: cross-split band collisions → integer-cosine score
+    * → per-train-vec best benchmark match (cos_bp desc, smallest
+    * bench id). Shared by the contract query (sides = the gate
+    * frame's splits, layout = the gate count's) and
+    * streaming.DecontamStream (bench = the frozen lake benchmark,
+    * arriving vectors checked per micro-batch — each vec arrives in
+    * exactly one batch and the bench side is static, so per-batch
+    * semantics equal the batch operator exactly).
+    */
+  private[graft] def semanticFlagsAgainst(train: DataFrame,
+      bench: DataFrame, bands: Seq[Seq[Int]]): DataFrame =
+    Similarity.scoreEdges(
+        semanticFlagCandidates(train, bench, bands), train.union(bench))
       .select(col("src"), col("dst"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
       .filter(col("cos_bp") >= 9000)
@@ -763,7 +782,16 @@ object Dedup {
       .agg(max(struct(col("cos_bp").as("e"), (-col("dst")).as("nid"))).as("m"))
       .select(col("src").as("vec_id"), (-col("m.nid")).as("dup_of"),
         col("m.e").as("cos_bp"))
-  }
+
+  /** The cross-split candidate stage of [[semanticFlagsAgainst]]. */
+  private[graft] def semanticFlagCandidates(train: DataFrame,
+      bench: DataFrame, bands: Seq[Seq[Int]]): DataFrame =
+    Similarity.bandKeysOf(train, bands)
+      .select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(Similarity.bandKeysOf(bench, bands)
+        .select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("src"), col("dst")).distinct()
 
   /** t33's gate frame: the corpus plus three train-side near-copies
     * of benchmark vectors 0/50/100 (the d05 plant discipline; re-keyed
@@ -793,14 +821,9 @@ object Dedup {
     val frame = sdcGateFrame(s, dir)
     val bands = adaptiveBands(
       TableStats.rowCount(s, dir, "embeddings_sdc_gate")(frame.count()))
-    val keyed = Similarity.bandKeysOf(frame, bands)
     val isBench = col("vec_id") % 50 === 0
-    keyed.filter(!isBench)
-      .select(col("vec_id").as("src"), col("band"), col("bucket"))
-      .join(keyed.filter(isBench)
-        .select(col("vec_id").as("dst"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(col("src"), col("dst")).distinct()
+    semanticFlagCandidates(frame.filter(!isBench), frame.filter(isBench),
+      bands)
   }
 
   /** d08 — keep-BEST dedup: like d01 the corpus collapses on the

@@ -1144,4 +1144,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(asSet(GraphIngestStream.readGraph(spark, idxDir)) == batch2,
       "post-compaction fold diverged from the frozen-band batch build")
   }
+
+  test("streaming decontam twin: arriving vectors classify exactly like the t33 core") {
+    import graft.streaming.DecontamStream
+    val dir = Files.createTempDirectory("graft-sdc").toString
+    val inDir = Files.createTempDirectory("graft-sdc-in").toString
+    val outDir = Files.createTempDirectory("graft-sdc-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-sdc-ck").toString
+    val dim = 16
+    def mk(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31.7 + i * 1.3).toFloat)
+    // lake: 60 vectors; the benchmark split is ids 0 and 50
+    (0 until 60).map(i => (i.toLong, mk(i)))
+      .toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    // arriving train vectors: two benchmark twins and one original,
+    // delivered as two files (two micro-batch groups)
+    val arriving = Seq((101L, mk(0)), (103L, mk(77)), (102L, mk(50)))
+    arriving.take(2).toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Append).parquet(inDir)
+    arriving.drop(2).toDF("vec_id", "embedding")
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = DecontamStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("status"),
+        Option(r.getAs[Any]("dup_of")), Option(r.getAs[Any]("cos_bp")))).toSet
+    val streamed = asSet(spark.read.parquet(outDir))
+    // batch parity: the t33 core over ALL arriving vectors at once,
+    // under the SAME frozen layout the stream closed over
+    val bench = DecontamStream.benchFrame(spark, dir)
+    val bands = DecontamStream.frozenBands(spark, dir)
+    val batch = asSet(DecontamStream.classifyBatch(
+      arriving.toDF("vec_id", "embedding"), bench, bands))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    val byId = streamed.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(101L) == (("benchmark_twin", Some(0L))))
+    assert(byId(102L) == (("benchmark_twin", Some(50L))))
+    assert(byId(103L)._1 == "kept")
+    // replay with the same checkpoint: no re-delivery, no duplicates
+    val q2 = DecontamStream.startToParquet(spark, inDir, dir, outDir, ckDir)
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == 3)
+    // at-least-once crash shape: same batch id delivered twice
+    // overwrites its own partition instead of appending
+    val outDir2 = Files.createTempDirectory("graft-sdc-out2").toString + "/out"
+    DecontamStream.writeBatch(spark.read.parquet(inDir), bench, bands,
+      outDir2, batchId = 0L)
+    DecontamStream.writeBatch(spark.read.parquet(inDir), bench, bands,
+      outDir2, batchId = 0L)
+    assert(spark.read.parquet(outDir2).count() == 3)
+  }
 }
