@@ -167,6 +167,11 @@ object ScaleCheck {
       Dedup.embeddingDupCandidatesFrom(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         Dedup.adaptiveBands(n)).count()
+    def s19cand(dir: String, n: Long): Long =
+      operators.Similarity.hardNegativeCandidates(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), col("label")),
+        Dedup.adaptiveBands(n)).count()
     // d12's within-cell pair volume with K = semanticK(n) (∝ corpus):
     // the quantity that is quadratic when K is pinned (the r7 label-
     // centroid bug) and ~linear when K scales with n
@@ -217,6 +222,11 @@ object ScaleCheck {
       // a sliver of d05's full self-join at BOTH sizes
       Growth("t33_cand", cand(baseDir, Dedup.semanticDecontamCandidates),
         cand(bigDir, Dedup.semanticDecontamCandidates)),
+      // s19's cross-label restriction of the directed band join:
+      // labels are near-uniform over 8 values, so candidates track
+      // d05's adaptive-band collision volume (~linear), never n²
+      Growth("s19_cand", s19cand(baseDir, baseN),
+        s19cand(bigDir, baseN * factor)),
       Growth("d06_cand", cand(baseDir, Dedup.fuzzyMatchCandidates),
         cand(bigDir, Dedup.fuzzyMatchCandidates)),
       Growth("s02_max_bucket",

@@ -114,6 +114,7 @@ object SparkEntry {
     "s16_graph_search" -> ((s, d) => Similarity.graphExpandSearch(s, d)),
     "s17_impact_index" -> ((s, d) => Similarity.impactIndex(s, d)),
     "s18_index_health" -> (Similarity.indexHealth _),
+    "s19_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "t31_zipf_profile" -> (TextOps.zipfProfile _),
     "t32_template_share" -> ((s, d) => TextOps.templateShare(s, d)),
     "t33_semantic_decontam" -> (Dedup.semanticDecontam _),
+    "t34_tokenizer_fertility" -> ((s, d) => Bpe.tokenizerFertility(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -165,7 +167,8 @@ object SparkEntry {
     "c05_dq_suite" -> (Curation.dqSuite _),
     "c06_mix_plan" -> (Curation.mixPlan _),
     "c07_cascade_report" -> (Curation.cascadeReport _),
-    "c08_safe_split" -> (Curation.safeSplit _))
+    "c08_safe_split" -> (Curation.safeSplit _),
+    "c09_token_budget" -> (Curation.tokenBudgetPlan _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -976,6 +979,27 @@ ORDER BY key_a, key_b""",
     "t18_split_leakage" -> splitLeakageSql,
     "d07_dup_clusters" -> dupClustersSql,
     "c08_safe_split" -> safeSplitSql,
+    // c09: per-source token volume -> md5 policy weight -> budgeted
+    // target with the 4-epoch repeat cap; pure integer after the agg
+    "c09_token_budget" ->
+      """WITH a AS (SELECT source,
+    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT source, avail_tokens,
+    1 + CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 10000 % 16 AS weight
+  FROM a),
+t AS (SELECT CAST(sum(avail_tokens * weight) AS BIGINT) AS sw,
+    CAST(3 * sum(avail_tokens) AS BIGINT) AS budget FROM w),
+p AS (SELECT w.source, w.avail_tokens, w.weight,
+    CAST(t.budget * (w.avail_tokens * w.weight) // t.sw AS BIGINT) AS target_tokens,
+    CAST(least(t.budget * (w.avail_tokens * w.weight) // t.sw,
+      4 * w.avail_tokens) AS BIGINT) AS served_tokens
+  FROM w, t)
+SELECT source, avail_tokens, weight, target_tokens, served_tokens,
+  CAST(served_tokens * 10000 // greatest(avail_tokens, 1) AS BIGINT) AS epochs_bp,
+  CAST((target_tokens - served_tokens) * 10000 // greatest(target_tokens, 1) AS BIGINT) AS shortfall_bp,
+  target_tokens > served_tokens AS capped
+FROM p ORDER BY source""",
     "d08_keep_best" ->
       """WITH m AS (SELECT doc_id,
     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
@@ -1118,6 +1142,39 @@ r AS (SELECT src, dst, cos,
 SELECT src AS vec_id, rn, dst AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+    // s19: s15's band layout + integer-cosine scoring, candidates
+    // restricted to CROSS-LABEL collisions, top-2 per anchor
+    "s19_hard_negatives" ->
+      """WITH p AS (SELECT greatest(3, length(bin(count(*) - 1)) - 3) AS bits FROM embeddings),
+p2 AS (SELECT bits, least(64 // bits, bits + 1) AS nb FROM p),
+bd AS (SELECT unnest(range(nb)) AS band, bits FROM p2),
+b AS (SELECT e.vec_id, bd.band,
+    list_sum(list_transform(range(bd.bits),
+      r -> CASE WHEN e.embedding[CAST(bd.band * bd.bits + r + 1 AS INT)] >= 0
+           THEN 1 << r ELSE 0 END)) AS bucket
+  FROM embeddings e CROSS JOIN bd),
+cand AS (SELECT DISTINCT a.vec_id AS src, bb.vec_id AS dst
+  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+cl AS (SELECT c.src, c.dst, la.label AS src_label, lb.label AS neg_label
+  FROM cand c JOIN embeddings la ON la.vec_id = c.src
+    JOIN embeddings lb ON lb.vec_id = c.dst
+  WHERE la.label <> lb.label),
+eq AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mq
+  FROM embeddings),
+e3 AS (SELECT vec_id, mq,
+    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nq FROM eq),
+sc AS (SELECT c.src, c.dst, c.src_label, c.neg_label,
+    CAST(CAST(list_sum(list_transform(range(1, len(ea.mq) + 1),
+        i -> ea.mq[i] * eb.mq[i])) AS BIGINT) AS DOUBLE)
+      / sqrt(CAST(ea.nq * eb.nq AS DOUBLE)) AS cos
+  FROM cl c JOIN e3 ea ON ea.vec_id = c.src
+    JOIN e3 eb ON eb.vec_id = c.dst),
+r AS (SELECT src, dst, src_label, neg_label, cos,
+    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc)
+SELECT src AS vec_id, src_label AS label, rn, dst AS negative_id, neg_label,
+  CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
+FROM r WHERE rn <= 2 ORDER BY vec_id, rn""",
     "s17_impact_index" ->
       """WITH tkn AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
 tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tkn
@@ -2136,6 +2193,27 @@ SELECT d.doc_id,
   coalesce(j.n_bpe_syms, 0) AS n_bpe_syms,
   CAST(coalesce(j.n_bpe_syms, 0) * 10000 // greatest(coalesce(j.n_char_syms, 0), 1) AS BIGINT) AS compression_bp
 FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""",
+    // t34: t25's per-doc CTEs verbatim, re-aggregated per (lang,
+    // source) — the per-domain tokenizer fit report
+    "t34_tokenizer_fertility" ->
+      raw"""WITH $bpeCtes,
+dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+dd AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k FROM dt WHERE word <> '' GROUP BY 1, 2),
+j AS (SELECT dd.doc_id,
+    CAST(sum(dd.k) AS BIGINT) AS n_tokens,
+    CAST(sum(dd.k * length(dd.word)) AS BIGINT) AS n_char_syms,
+    CAST(sum(dd.k * len(r2.arr)) AS BIGINT) AS n_bpe_syms
+  FROM dd JOIN r2 USING (word) GROUP BY 1),
+a AS (SELECT d.lang, d.source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(coalesce(j.n_tokens, 0)) AS BIGINT) AS n_tokens,
+    CAST(sum(coalesce(j.n_char_syms, 0)) AS BIGINT) AS n_char_syms,
+    CAST(sum(coalesce(j.n_bpe_syms, 0)) AS BIGINT) AS n_bpe_syms
+  FROM documents d LEFT JOIN j USING (doc_id) GROUP BY 1, 2)
+SELECT lang, source, n_docs, n_tokens, n_char_syms, n_bpe_syms,
+  CAST(n_bpe_syms * 10000 // greatest(n_tokens, 1) AS BIGINT) AS fertility_bp,
+  CAST(n_bpe_syms * 10000 // greatest(n_char_syms, 1) AS BIGINT) AS compression_bp
+FROM a ORDER BY lang, source""",
     "t26_chunk_split" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 c AS (SELECT doc_id, s AS start_pos, t

@@ -193,7 +193,15 @@ object Bpe {
     * the lookup join is key-equality on the vocab-bounded word table
     * (AQE broadcasts it while small — no forced hint, the s04 rule).
     */
-  def bpeApply(s: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+  def bpeApply(s: SparkSession, dir: String, rounds: Int = 2): DataFrame =
+    bpeApplyFrame(s, dir, rounds).orderBy(col("doc_id"))
+
+  /** t25's unsorted per-doc body (the factored-body rule) — t34
+    * re-aggregates it per (lang, source) without inheriting the
+    * contract ORDER BY's range exchange.
+    */
+  private[graft] def bpeApplyFrame(s: SparkSession, dir: String,
+      rounds: Int = 2): DataFrame = {
     val docs = Tables.documents(s, dir)
     val dd = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
@@ -212,6 +220,39 @@ object Bpe {
         coalesce(col("n_bpe_syms"), lit(0L)).as("n_bpe_syms"))
       .withColumn("compression_bp", expr(
         "CAST(n_bpe_syms * 10000 DIV greatest(n_char_syms, 1) AS BIGINT)"))
-      .orderBy(col("doc_id"))
   }
+
+  /** t34 — TOKENIZER FERTILITY audit per (lang, source): BPE symbols
+    * per whitespace word (fertility) and per character (compression)
+    * for every corpus slice — the per-domain tokenizer fit report
+    * mixed-corpus builds track (a tokenizer trained on one mix has
+    * measurably higher fertility on out-of-mix domains — code, other
+    * scripts — which inflates their effective token cost and skews
+    * any token-budgeted mix plan; corpus reports quote fertility per
+    * domain for exactly this reason, cf. the per-domain tokenizer
+    * tables in Gopher/BLOOM-style dataset cards).
+    *
+    * Scale shape: rides t25's per-doc frame (one token scan + the
+    * vocab-bounded word-table join), then ONE map-combinable
+    * aggregate over (lang, source) — the dims join is key-equality on
+    * doc_id and the output is |langs|·|sources| rows however large
+    * the corpus. Ratios in integer bp (floor division both engines
+    * replay).
+    */
+  def tokenizerFertility(s: SparkSession, dir: String,
+      rounds: Int = 2): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(bpeApplyFrame(s, dir, rounds), Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_char_syms")).cast("long").as("n_char_syms"),
+        sum(col("n_bpe_syms")).cast("long").as("n_bpe_syms"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_char_syms"), col("n_bpe_syms"),
+        expr("CAST(n_bpe_syms * 10000 DIV greatest(n_tokens, 1) AS BIGINT)")
+          .as("fertility_bp"),
+        expr("CAST(n_bpe_syms * 10000 DIV greatest(n_char_syms, 1) AS BIGINT)")
+          .as("compression_bp"))
+      .orderBy(col("lang"), col("source"))
 }

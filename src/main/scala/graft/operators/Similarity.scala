@@ -1014,6 +1014,77 @@ object Similarity {
           .as("mq"))
       .withColumn("nq", expr("aggregate(mq, 0L, (a, x) -> a + x * x)"))
 
+  /** s19 — HARD-NEGATIVE mining (r11): for every labeled anchor
+    * vector, its top-`k` most-similar vectors with a DIFFERENT label —
+    * the training-data prep every contrastive/embedding-model run
+    * needs (triplet/InfoNCE batches are built from exactly these
+    * "close but wrong-class" pairs; random negatives are too easy to
+    * carry gradient, so miners rank in-batch or ANN candidates and
+    * keep the hardest; cf. the mining step in FaceNet/Sentence-BERT
+    * style pipelines).
+    *
+    * Scale shape: candidates are s15's sign-LSH band collisions
+    * (d05's corpus-adaptive layout via [[graft.TableStats]] — work ∝
+    * n·bands, never all-pairs), with the cross-label filter applied
+    * by two thin key-equality label joins BEFORE any pair is scored
+    * (same-label collisions — the majority inside a semantic bucket —
+    * never reach the cosine stage). Scoring rides the s15
+    * milli-quantized integer-cosine contract (LongVecDot kernel;
+    * floor(cos·10⁴) never straddles a float ulp); top-`k` per anchor
+    * through the bounded TopKPerKey (≤k rows/anchor/partition cross
+    * the shuffle). The hardest negatives are exactly the collisions
+    * sign-LSH surfaces — vectors in the same semantic bucket with a
+    * different label — so the banded candidate set IS the miner's
+    * working set, not an approximation shortcut.
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 2): DataFrame =
+    hardNegativesFrame(s, dir, k).orderBy(col("vec_id"), col("rn"))
+
+  /** s19's unsorted body (the factored-body rule). */
+  private[graft] def hardNegativesFrame(s: SparkSession, dir: String,
+      k: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val bands = Dedup.adaptiveBands(
+      graft.TableStats.rowCount(s, dir, "embeddings")(emb.count()))
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val cand = hardNegativeCandidates(emb, bands)
+    val ranked = rankEdges(graft.plans.TopK.perKey(
+      scoreEdges(cand, emb.select(col("vec_id"), col("embedding"))),
+      Seq(col("src")), Seq(col("cos").desc, col("dst").asc), k))
+    ranked
+      .join(lbl, Seq("vec_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("label"), col("rn"),
+        col("neighbor_id").as("negative_id"), col("neg_label"),
+        col("cos_bp"))
+  }
+
+  /** s19's candidate stage: DIRECTED band collisions of a labeled
+    * `(vec_id, embedding, label)` frame, cross-label pairs only — the
+    * label joins are key-equality probes of the thin (vec_id, label)
+    * side, applied BEFORE any pair is scored (ScaleCheck's s19_cand
+    * growth row measures this frame).
+    */
+  private[graft] def hardNegativeCandidates(emb: DataFrame,
+      bands: Seq[Seq[Int]]): DataFrame = {
+    val keyed = bandKeysOf(emb.select(col("vec_id"), col("embedding")), bands)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    keyed.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(keyed.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .join(lbl.select(col("vec_id").as("src"), col("label").as("src_label")),
+        "src")
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("neg_label")),
+        "dst")
+      .filter(col("src_label") =!= col("neg_label"))
+      .select(col("src"), col("dst"))
+  }
+
   /** s17 — impact-ordered POSTING-LIST index build: the materialized
     * lexical index s13's BM25 scoring presumes ("in production the tf
     * frame is a posting-list probe of a term-bucketed table") — per

@@ -73,4 +73,26 @@ class BpeSpec extends SparkSpecBase {
     assert(byDoc(2L).getAs[Long]("n_bpe_syms") == 18L)
     assert(byDoc(2L).getAs[Long]("compression_bp") == 10000L)
   }
+
+  test("t34 fertility rolls up t25 per (lang, source), hand-walked") {
+    val rows = operators.Bpe.tokenizerFertility(spark, dir).collect()
+    val bySlice = rows.map(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source")) -> r).toMap
+    assert(bySlice.keySet == Set(("en", "src0"), ("en", "src1")))
+    // src0 = docs 0+1: 7 tokens, 25 chars, 5+6=11 bpe syms
+    val s0 = bySlice(("en", "src0"))
+    assert(s0.getAs[Long]("n_docs") == 2L)
+    assert(s0.getAs[Long]("n_tokens") == 7L)
+    assert(s0.getAs[Long]("n_char_syms") == 25L)
+    assert(s0.getAs[Long]("n_bpe_syms") == 11L)
+    assert(s0.getAs[Long]("fertility_bp") == 11L * 10000 / 7)  // 15714
+    assert(s0.getAs[Long]("compression_bp") == 4400L)
+    // src1 = doc 2 alone: merges don't apply → fertility 6 syms/word
+    val s1 = bySlice(("en", "src1"))
+    assert(s1.getAs[Long]("n_docs") == 1L)
+    assert(s1.getAs[Long]("n_tokens") == 3L)
+    assert(s1.getAs[Long]("n_bpe_syms") == 18L)
+    assert(s1.getAs[Long]("fertility_bp") == 60000L)
+    assert(s1.getAs[Long]("compression_bp") == 10000L)
+  }
 }

@@ -113,4 +113,35 @@ class DqSuiteSpec extends SparkSpecBase {
     assert(rows(1).getAs[Long]("n_dropped") > 0)
     assert(rows(4).getAs[Long]("n_kept") > 0)
   }
+
+  test("c09 token budget: cap arithmetic holds and all three regimes appear") {
+    val rows = operators.Curation.tokenBudgetPlan(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val budget = 3L * totalAvail
+    val sw = rows.map(r =>
+      r.getAs[Long]("avail_tokens") * r.getAs[Long]("weight")).sum
+    rows.foreach { r =>
+      val (a, w) = (r.getAs[Long]("avail_tokens"), r.getAs[Long]("weight"))
+      val (tgt, srv) = (r.getAs[Long]("target_tokens"),
+        r.getAs[Long]("served_tokens"))
+      assert(w >= 1 && w <= 16, r.toString)
+      // the budget split is exact integer floor division
+      assert(tgt == budget * (a * w) / sw, r.toString)
+      assert(srv == math.min(tgt, 4 * a), r.toString)
+      assert(r.getAs[Long]("epochs_bp") == srv * 10000 / math.max(a, 1L))
+      assert(r.getAs[Long]("shortfall_bp") ==
+        (tgt - srv) * 10000 / math.max(tgt, 1L))
+      assert(r.getAs[Boolean]("capped") == (tgt > srv), r.toString)
+      assert(r.getAs[Long]("epochs_bp") <= 40000L, r.toString)
+    }
+    // floor division can only under-spend the budget
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= budget)
+    // the md5 policy weights spread the corpus across every regime
+    // the operator must price: capped at 4 epochs, 1-4 epochs, <1
+    assert(rows.exists(_.getAs[Boolean]("capped")))
+    assert(rows.exists(r => !r.getAs[Boolean]("capped") &&
+      r.getAs[Long]("epochs_bp") >= 10000L))
+    assert(rows.exists(_.getAs[Long]("epochs_bp") < 10000L))
+  }
 }

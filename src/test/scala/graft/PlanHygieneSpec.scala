@@ -25,6 +25,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s11_mmr_rerank" -> "candidate stage IS s01's corpus × broadcast query scan; the MMR rounds are key-equality joins over the bounded pool",
     "t24_bpe_train" -> "1-row learned-merge-pair broadcast per round (the t09/t14 1-row pattern); pair counting is a vocab-bounded aggregate",
     "t25_bpe_apply" -> "t24's 1-row merge broadcasts; the apply join is key-equality on the vocab-bounded word table",
+    "t34_tokenizer_fertility" -> "t25's frame verbatim (same 1-row merge broadcasts); the dims join is key-equality on doc_id, the rollup one map-combinable aggregate",
     "t22_dsir_weights" -> "1-row split-totals broadcast; the 10k-bucket model join is key-equality",
     "s13_bm25" -> "1-row corpus-totals broadcast (t09 pattern); query/df/length joins are key-equality",
     "s18_index_health" -> "occupancy comes from s03's allowlisted broadcast-centroid assignment scan; everything after is a K-row frame",
@@ -35,6 +36,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "c05_dq_suite" -> "two 1-row metric frames cross-joined (bounded 1×1 — the final stack input); all corpus-sized work is one scan-aggregate + one left-anti broadcast join",
     "c06_mix_plan" -> "t14's 1-row corpus-total broadcast inside the |langs|-row weight frame; every doc-keyed join is key-equality",
     "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)",
+    "c09_token_budget" -> "1-row budget/weight-sum totals broadcast over the |sources|-row frame (t14's pattern); the only corpus-sized work is one scan-aggregate",
     "r12_approx_stats" -> "1-row max-cents broadcast sizing the histogram width (t09 pattern); KMV and bucket joins are key-equality on status")
 
   for ((name, fn) <- SparkEntry.queries) {

@@ -135,6 +135,17 @@ class ScaleSpec extends SparkSpecBase {
       s"t33 candidates ${g.inflated} not a sliver of d05's ${d05.inflated}")
   }
 
+  test("s19 cross-label candidates grow ~linearly under the adaptive layout") {
+    val g = growth("s19_cand")
+    assert(g.inflated <= 20 * math.max(g.base, 5L),
+      s"s19 candidates ${g.base} -> ${g.inflated}: superlinear")
+    // directed + cross-label (~7/8 of collisions on 8 near-uniform
+    // labels) ⇒ bounded by ~2x d05's undirected full self-join
+    val d05 = growth("d05_cand_autobit")
+    assert(g.inflated <= 2 * math.max(d05.inflated, 5L),
+      s"s19 candidates ${g.inflated} exceed 2x d05's ${d05.inflated}")
+  }
+
   test("d06 PassJoin candidates stay ~linear on entropy-bearing names") {
     val g = growth("d06_cand")
     // expected counts are tiny (random 24-hex-char names) — use an

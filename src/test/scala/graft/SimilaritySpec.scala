@@ -415,7 +415,8 @@ class SimilaritySpec extends SparkSpecBase {
     // candidate pair. The integer arms of RewriteHofDotProduct must
     // leave NO higher-order aggregate anywhere in either plan.
     for (df <- Seq(operators.Similarity.knnGraph(spark, dir),
-        operators.Similarity.graphExpandSearch(spark, dir))) {
+        operators.Similarity.graphExpandSearch(spark, dir),
+        operators.Similarity.hardNegatives(spark, dir))) {
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("longvecdot") || opt.contains("LongVecDot"),
         s"LongVecDot missing:\n${opt.take(2000)}")
@@ -423,6 +424,68 @@ class SimilaritySpec extends SparkSpecBase {
         s"interpreted HOF dot survived:\n${opt.take(2000)}")
       assert(!opt.toLowerCase.contains("aggregate(mq"),
         s"interpreted HOF norm survived:\n${opt.take(2000)}")
+    }
+  }
+
+  test("s19 hard negatives: nearest cross-label vectors inside the confusable cluster") {
+    // the archetypal miner corpus: ONE tight cluster whose members
+    // split two labels (near-identical vectors, different class — the
+    // pairs contrastive training needs), plus a far cluster with its
+    // own label. In-cluster cosine ≈ 1 dominates any cross-cluster
+    // bucket coincidence, so every cluster-0 anchor's top-2 negatives
+    // must be opposite-parity members of its OWN cluster.
+    val d = Files.createTempDirectory("graft-hn").toString
+    val dim = 64
+    def center(c: Int): Array[Float] = Array.tabulate(dim) { i =>
+      val s = math.sin(c * 131.7 + i * 2.3)
+      (math.signum(s) * (0.2 + 0.8 * math.abs(s))).toFloat
+    }
+    val rows = (0 until 80).map { id =>
+      val c = id / 40
+      val v = center(c).zipWithIndex.map { case (x, i) =>
+        x + 0.001f * math.sin(id * 17.3 + i).toFloat
+      }
+      val label = if (c == 0) (id % 2).toInt else 2
+      (id.toLong, v, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val out = operators.Similarity.hardNegatives(spark, d).collect()
+    val byV = out.groupBy(_.getAs[Long]("vec_id"))
+    // every cluster-0 anchor mines exactly 2 negatives
+    (0L until 40L).foreach(v => assert(byV.contains(v), s"anchor $v missing"))
+    out.foreach { r =>
+      assert(r.getAs[Int]("label") != r.getAs[Int]("neg_label"),
+        s"same-label negative: $r")
+    }
+    byV.filter(_._1 < 40).foreach { case (v, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == Seq(1, 2), s"$v")
+      rs.foreach { r =>
+        val nb = r.getAs[Long]("negative_id")
+        assert(nb < 40 && (nb % 2) != (v % 2), s"$v -> $nb")
+      }
+      val ranked = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("cos_bp"))
+      assert(ranked.zip(ranked.tail).forall { case (a, b) => a >= b }, s"$v")
+    }
+    // brute truth: rn=1 is THE most-similar opposite-label vector
+    // (exact cosine over the same milli-quantized space the operator
+    // ranks in; in-cluster candidates all share every band's bucket,
+    // so the banded set contains the full opposite-parity cluster)
+    def mq(a: Array[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * 1000).toLong)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (x, y) = (mq(a), mq(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot.toDouble / math.sqrt(
+        x.map(p => p * p).sum.toDouble * y.map(q => q * q).sum.toDouble)
+    }
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    (0L until 40L).foreach { v =>
+      val truth = (0L until 40L).filter(n => (n % 2) != (v % 2))
+        .map(n => (-cos(vecs(v), vecs(n)), n)).sorted.head._2
+      val got = byV(v).find(_.getAs[Int]("rn") == 1).get
+        .getAs[Long]("negative_id")
+      assert(got == truth, s"anchor $v: got $got, brute $truth")
     }
   }
 
