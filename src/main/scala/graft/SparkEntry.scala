@@ -115,6 +115,7 @@ object SparkEntry {
     "s17_impact_index" -> ((s, d) => Similarity.impactIndex(s, d)),
     "s18_index_health" -> (Similarity.indexHealth _),
     "s19_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "s20_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "t32_template_share" -> ((s, d) => TextOps.templateShare(s, d)),
     "t33_semantic_decontam" -> (Dedup.semanticDecontam _),
     "t34_tokenizer_fertility" -> ((s, d) => Bpe.tokenizerFertility(s, d)),
+    "t35_hashed_embedding" -> ((s, d) => TextOps.hashedEmbedding(s, d)),
     // §2.7 multimodal plumbing
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_blob_features" -> ((s, d) => Multimodal.extractFeatures(s, d)),
@@ -168,7 +170,8 @@ object SparkEntry {
     "c06_mix_plan" -> (Curation.mixPlan _),
     "c07_cascade_report" -> (Curation.cascadeReport _),
     "c08_safe_split" -> (Curation.safeSplit _),
-    "c09_token_budget" -> (Curation.tokenBudgetPlan _))
+    "c09_token_budget" -> (Curation.tokenBudgetPlan _),
+    "c10_curriculum" -> ((s, d) => Curation.curriculum(s, d)))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -1312,6 +1315,49 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    // s20: s03's centroid/assignment CTEs with the query side kept to
+    // rr <= 3, expanded over nprobe in {1,2,3}, recall vs brute truth
+    "s20_nprobe_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cm AS (SELECT label AS cid, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
+  GROUP BY label, idx),
+cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+asg AS (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c),
+cells AS (SELECT a.vec_id, a.cid, e.embedding
+  FROM asg a JOIN e ON e.vec_id = a.vec_id WHERE a.rr = 1),
+q AS (SELECT a.vec_id AS query_id, e.embedding AS qv, a.cid, a.rr AS qrr
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999) AND a.rr <= 3),
+sc AS (SELECT q.query_id, q.qrr, c.vec_id,
+    list_cosine_similarity(q.qv, c.embedding) AS cos
+  FROM cells c JOIN q ON c.cid = q.cid AND c.vec_id <> q.query_id),
+np AS (SELECT unnest([1, 2, 3]) AS nprobe),
+r AS (SELECT np.nprobe, sc.query_id, sc.vec_id,
+    row_number() OVER (PARTITION BY np.nprobe, sc.query_id
+      ORDER BY sc.cos DESC, sc.vec_id) AS rn
+  FROM sc JOIN np ON sc.qrr <= np.nprobe),
+ap AS (SELECT nprobe, query_id, vec_id FROM r WHERE rn <= 3),
+tq AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+  WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
+ts AS (SELECT tq.query_id, e.vec_id,
+    list_cosine_similarity(tq.qv, e.embedding) AS cos
+  FROM e JOIN tq ON e.vec_id <> tq.query_id),
+tr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS rn FROM ts),
+tt AS (SELECT query_id, vec_id FROM tr WHERE rn <= 3),
+j AS (SELECT np.nprobe, t.query_id, a.vec_id AS hit
+  FROM np CROSS JOIN tt t LEFT JOIN ap a
+    ON a.nprobe = np.nprobe AND a.query_id = t.query_id AND a.vec_id = t.vec_id)
+SELECT nprobe, query_id, CAST(count(*) AS INT) AS n_true,
+  CAST(count(hit) AS INT) AS n_hits,
+  CAST(count(hit) * 10000 // count(*) AS BIGINT) AS recall_bp
+FROM j GROUP BY 1, 2 ORDER BY nprobe, query_id""",
     // s18: replays s03's centroid-build + rr=1 assignment CTEs, then
     // the K-row occupancy report; centroid LEFT join keeps empty cells
     "s18_index_health" ->
@@ -2193,6 +2239,28 @@ SELECT d.doc_id,
   coalesce(j.n_bpe_syms, 0) AS n_bpe_syms,
   CAST(coalesce(j.n_bpe_syms, 0) * 10000 // greatest(coalesce(j.n_char_syms, 0), 1) AS BIGINT) AS compression_bp
 FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""",
+    // c10: t29's tercile CTEs verbatim (stage), then t16's salted-
+    // hash within-stage shuffle — easy-first, locally shuffled
+    "c10_curriculum" ->
+      s"""WITH $tercileCtes,
+st AS (SELECT ds.doc_id, b2.tercile AS stage,
+    md5('curr' || CAST(ds.doc_id AS VARCHAR)) AS shuffle_key
+  FROM ds JOIN b2 USING (mean_centibits)),
+sh AS (SELECT doc_id, stage, shuffle_key,
+    CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) % 8 AS shard_id FROM st)
+SELECT doc_id, stage, shard_id, CAST(row_number() OVER (
+    PARTITION BY stage, shard_id ORDER BY shuffle_key, doc_id) AS INT) AS pos
+FROM sh ORDER BY stage, shard_id, pos""",
+    // t35: the hashing-trick embedder — md5-derived (dim, sign) per
+    // token, signed sum per (doc, dim); sparse long form
+    "t35_hashed_embedding" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h
+  FROM tk WHERE word <> ''),
+p AS (SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h)
+SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS weight
+FROM p GROUP BY 1, 2 ORDER BY doc_id, dim""",
     // t34: t25's per-doc CTEs verbatim, re-aggregated per (lang,
     // source) — the per-domain tokenizer fit report
     "t34_tokenizer_fertility" ->

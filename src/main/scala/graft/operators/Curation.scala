@@ -431,4 +431,36 @@ object Curation {
         (col("target_tokens") > col("served_tokens")).as("capped"))
       .orderBy(col("source"))
   }
+
+  /** c10 — CURRICULUM training order: the corpus in easy-first stage
+    * order (curriculum learning, Bengio et al. 2009, as corpus builds
+    * apply it — anneal from low- to high-perplexity data), with a
+    * deterministic pseudo-random order WITHIN each stage. Stage =
+    * t29's perplexity tercile (head = easiest first); within-stage
+    * order = t16's salted-hash shuffle (shard = hash mod 8, position
+    * = rank within shard) — so a reader streams (stage, shard, pos)
+    * and gets easy→hard globally, shuffled locally, reproducibly on
+    * any engine (same salt ⇒ same permutation; a new epoch is a new
+    * salt, never a new scan pattern).
+    *
+    * Scale shape: t29's capacity-bounded histogram tercile (never an
+    * ntile over a global rank) + a broadcast tercile probe join, then
+    * ONE hash-partition shuffle with a WITHIN-(stage, shard) sort —
+    * no total-order exchange; shard count is the read-parallelism
+    * knob exactly as in t16.
+    */
+  def curriculum(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("stage"), col("shard_id"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    TextOps.perplexityTerciles(s, dir)
+      .select(col("doc_id"), col("tercile").as("stage"))
+      .withColumn("shuffle_key",
+        md5(concat(lit("curr"), col("doc_id").cast("string"))))
+      .withColumn("shard_id",
+        pmod(conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("stage"), col("shard_id"), col("pos"))
+      .orderBy(col("stage"), col("shard_id"), col("pos"))
+  }
 }

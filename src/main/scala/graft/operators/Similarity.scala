@@ -48,7 +48,15 @@ object Similarity {
     * column. Results identical to a full window, cost bounded.
     */
   private def rankTopK(s: SparkSession, scored: org.apache.spark.sql.DataFrame,
-      k: Int) = {
+      k: Int) =
+    rankTopKFrame(s, scored, k).orderBy(col("query_id"), col("rn"))
+
+  /** rankTopK's unsorted body (the factored-body rule) — s09/s20
+    * consume it under their own aggregates so the inherited contract
+    * sort never costs a range exchange.
+    */
+  private def rankTopKFrame(s: SparkSession,
+      scored: org.apache.spark.sql.DataFrame, k: Int) = {
     graft.plans.GraftExtensions.install(s)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -58,7 +66,6 @@ object Similarity {
       .select(col("query_id"), col("rn"),
         col("vec_id").as("neighbor_id"),
         floor(col("cos") * 10000).cast("long").as("cos_bp"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** s01 — brute-force cosine top-5 per query: the correctness
@@ -213,6 +220,65 @@ object Similarity {
       .select(col("family"), col("query_id"), col("n_true"),
         col("n_hits"), col("recall_bp"))
       .orderBy(col("family"), col("query_id"))
+  }
+
+  /** s20 — IVF NPROBE SWEEP: s09's recall audit turned into the
+    * TUNING CURVE every vector-store deployment actually reads —
+    * recall@3 per query at nprobe = 1, 2, 3 against shared brute
+    * truth, one row per (nprobe, query). nprobe is THE
+    * recall-vs-latency knob of an IVF index (probe more cells → see
+    * more candidates → higher recall, linearly more scan), and the
+    * production tuning loop is exactly "sweep nprobe, read this
+    * table, pick the knee". s03 pins nprobe = 2; this sweep is the
+    * evidence for that choice (s20's np=2 rows equal s09's s03 rows
+    * by construction — spec-asserted).
+    *
+    * Scale shape: the candidate scan runs ONCE at the widest setting
+    * (qrr ≤ 3 — each corpus vector still joins ≤|Q|·1 probe rows via
+    * the cid key) and is cached; each nprobe pass is a FILTER of that
+    * cached frame (qrr ≤ np) + the bounded TopKPerKey rank — the
+    * sweep costs one s03-shaped scan, not three. Truth is the s01
+    * scan, cached (the s09 rule). Query-side cell ranking is the
+    * ≤9-row query slice × broadcast K centroids — corpus-independent.
+    */
+  def nprobeSweep(s: SparkSession, dir: String, maxNp: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val (q, e) = queriesAndCorpus(s, dir)
+    val truth = rankTopKFrame(s,
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", pairCosine), 3)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
+      .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val qcells = q.join(broadcast(cent), lit(true))
+      .withColumn("ccos",
+        Vector.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("qrr", row_number().over(wq))
+      .filter(col("qrr") <= maxNp)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"),
+        col("qrr"))
+    val cells = cellAssignments(s, dir).filter(col("rr") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    val scored = cells.join(broadcast(qcells),
+        cells("cid") === qcells("cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", pairCosine)
+      .cache()
+    (1 to maxNp).map { np =>
+      val approx = rankTopKFrame(s, scored.filter(col("qrr") <= np), 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("int").as("n_true"),
+          count(col("hit")).cast("int").as("n_hits"))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_bp",
+        expr("CAST((n_hits * 10000) DIV n_true AS BIGINT)"))
+      .select(col("nprobe"), col("query_id"), col("n_true"),
+        col("n_hits"), col("recall_bp"))
+      .orderBy(col("nprobe"), col("query_id"))
   }
 
   /** s10 — radius (range) search: every corpus vector within a fixed

@@ -1085,4 +1085,40 @@ object TextOps {
         when(reasons =!= "", reasons).as("reasons"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** t35 — feature-HASHING document embedder (the hashing trick,
+    * Weinberger et al. 2009; the fastText-style bag-of-words
+    * baseline): every token hashes to one of `dims` signed
+    * coordinates (dim = h mod dims, sign = the next hash bit), and a
+    * doc's embedding is the signed occurrence sum per coordinate —
+    * the deterministic, model-free projection that closes the
+    * documents→embeddings seam: this is the "embed" step whose output
+    * shape the whole similarity ladder (s01–s19) consumes, computable
+    * on any engine with nothing but a hash function. Output is the
+    * SPARSE long form (doc_id, dim, weight) — only touched
+    * coordinates emit a row (canceled-to-zero sums stay: the
+    * coordinate was touched, and both engines agree row-for-row).
+    *
+    * Scale shape: ONE token scan → a row-local md5 projection → ONE
+    * map-combinable (doc_id, dim) aggregate — no join at all, output
+    * ≤ min(tokens, 64·docs) rows; at 100 TB this runs at parquet-scan
+    * speed exactly like t01, and the aggregate's partial combine
+    * collapses each doc's tokens executor-locally (doc_id is the
+    * natural partition key, so most docs never cross the shuffle at
+    * full width). All-integer arithmetic — md5-derived hash and
+    * signed counts, nothing to diverge cross-engine.
+    */
+  def hashedEmbedding(s: SparkSession, dir: String, dims: Int = 64): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h",
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"),
+        (col("h") % dims).cast("int").as("dim"),
+        when(expr(s"(h DIV $dims) % 2") === 0, lit(1L)).otherwise(lit(-1L))
+          .as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).cast("long").as("weight"))
+      .orderBy(col("doc_id"), col("dim"))
 }

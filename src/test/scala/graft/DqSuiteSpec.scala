@@ -144,4 +144,30 @@ class DqSuiteSpec extends SparkSpecBase {
       r.getAs[Long]("epochs_bp") >= 10000L))
     assert(rows.exists(_.getAs[Long]("epochs_bp") < 10000L))
   }
+
+  test("c10 curriculum: stages are t29 terciles, within-shard order replays the salted hash") {
+    val out = operators.Curation.curriculum(spark, sf0001).collect()
+    val t29 = operators.TextOps.perplexityBuckets(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("tercile")).toMap
+    // a permutation of the corpus, staged exactly as t29 buckets it
+    assert(out.length == t29.size)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.foreach(r =>
+      assert(r.getAs[Int]("stage") == t29(r.getAs[Long]("doc_id")), r.toString))
+    assert(out.map(_.getAs[Int]("stage")).distinct.sorted.toSeq == Seq(0, 1, 2))
+    // positions are contiguous 1..n per (stage, shard)
+    out.groupBy(r => (r.getAs[Int]("stage"), r.getAs[Long]("shard_id")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rs.length))
+      }
+    // one shard's within-stage order replays the salted md5 key
+    def key(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"curr$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val (st, sh) = (out.head.getAs[Int]("stage"), out.head.getAs[Long]("shard_id"))
+    val grp = out.filter(r =>
+      r.getAs[Int]("stage") == st && r.getAs[Long]("shard_id") == sh)
+    val got = grp.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == got.sortBy(id => (key(id), id)), s"stage=$st shard=$sh")
+  }
 }

@@ -29,6 +29,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "t22_dsir_weights" -> "1-row split-totals broadcast; the 10k-bucket model join is key-equality",
     "s13_bm25" -> "1-row corpus-totals broadcast (t09 pattern); query/df/length joins are key-equality",
     "s18_index_health" -> "occupancy comes from s03's allowlisted broadcast-centroid assignment scan; everything after is a K-row frame",
+    "s20_nprobe_sweep" -> "truth is s01's corpus × broadcast query-slice scan; candidates ride s03's broadcast-centroid assignment; the query-side cell ranking is a ≤9-row slice × broadcast K centroids",
     "t28_source_drift" -> "1-row corpus-total broadcast (t22 pattern); bucket/source joins are key-equality over capacity-bounded frames",
     "s14_rrf_fusion" -> "inputs are s02's broadcast-query bucket scan + s03's broadcast-centroid scan (both allowlisted); the fusion join is key-equality on (query, neighbor)",
     "t09_tfidf" -> "1-row corpus-count broadcast",

@@ -147,6 +147,29 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("s20 nprobe sweep: monotone recall, np=2 equals s09's s03 rows, all-cells is exact") {
+    val sweep = operators.Similarity.nprobeSweep(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id")) ->
+        (r.getAs[Int]("n_true"), r.getAs[Int]("n_hits"),
+          r.getAs[Long]("recall_bp"))).toMap
+    // full tuning grid: 3 settings × the 2 queries in this corpus
+    assert(sweep.keySet ==
+      (for (np <- Set(1, 2, 3); q <- Set(0L, 100L)) yield (np, q)))
+    // probing more cells can only add candidates: recall is monotone
+    for (q <- Seq(0L, 100L); np <- Seq(1, 2))
+      assert(sweep((np, q))._2 <= sweep((np + 1, q))._2, s"np=$np q=$q")
+    // np=2 IS s03's pinned setting — rows equal s09's s03 audit rows
+    val audit = operators.Similarity.annRecallAudit(spark, dir).collect()
+      .filter(_.getAs[String]("family") == "s03_ann_ivf")
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("n_true"), r.getAs[Int]("n_hits"),
+          r.getAs[Long]("recall_bp"))).toMap
+    for (q <- Seq(0L, 100L)) assert(sweep((2, q)) == audit(q), s"q=$q")
+    // this corpus has 3 label centroids: np=3 probes EVERY cell, so
+    // the sweep's top setting must recover brute truth exactly
+    for (q <- Seq(0L, 100L)) assert(sweep((3, q)) == ((3, 3, 10000L)), s"q=$q")
+  }
+
   test("s10 radius search covers the same-cluster ball and the brute top-3") {
     val rows = operators.Similarity.rangeSearch(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -37,6 +37,37 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows(2L) == ((0L, false)))
   }
 
+  test("t35 hashed embedding matches a hand-computed projection and keeps canceled dims") {
+    def hv(word: String): (Int, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(word.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      ((h % 64).toInt, if ((h / 64) % 2 == 0) 1L else -1L)
+    }
+    // find two words hashing to the SAME dim with OPPOSITE signs: a
+    // doc holding exactly that pair must emit its dim with weight 0
+    // (touched-but-canceled rows stay — the contract)
+    val pool = (0 until 500).map(i => s"w$i").map(w => (w, hv(w)))
+    val (wPos, wNeg) = pool.groupBy(_._2._1).values.flatMap { ws =>
+      for {
+        a <- ws.filter(_._2._2 == 1L).take(1)
+        b <- ws.filter(_._2._2 == -1L).take(1)
+      } yield (a._1, b._1)
+    }.head
+    val dir = mkDocs(Seq(
+      (1L, "alpha beta alpha", "en"), (2L, "gamma", "en"),
+      (3L, s"$wPos $wNeg", "en")))
+    val out = operators.TextOps.hashedEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val (da, sa) = hv("alpha"); val (db, sb) = hv("beta")
+    val (dg, sg) = hv("gamma"); val (dc, _) = hv(wPos)
+    val exp1 =
+      if (da == db) Map((1L, da) -> (2 * sa + sb))
+      else Map((1L, da) -> 2 * sa, (1L, db) -> sb)
+    assert(out == exp1 ++ Map((2L, dg) -> sg, (3L, dc) -> 0L))
+  }
+
   test("t17 excises merged contaminated spans and keeps the rest") {
     val bench = (1 to 10).map(i => s"eval$i").mkString(" ")
     // doc 1: clean prefix + eval1..eval6 leak + clean suffix. The leak
