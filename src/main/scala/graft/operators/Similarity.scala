@@ -869,9 +869,13 @@ object Similarity {
       p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val mn = p.getField("mn").cast("double")
     val mx = p.getField("mx").cast("double")
+    // clamped to [0, 255] BOTH ways: lake vectors sit inside the
+    // trained [mn, mx] by construction (the lower clamp is a no-op
+    // the oracle needn't replay), but an INGESTED batch outside the
+    // trained range (EmbedStream's text vectors) must clip, not wrap
     when(mx > mn,
-      least(floor(((v.cast("double") - mn) / (mx - mn)) * lit(256.0)),
-        lit(255.0)).cast("long"))
+      greatest(least(floor(((v.cast("double") - mn) / (mx - mn)) * lit(256.0)),
+        lit(255.0)), lit(0.0)).cast("long"))
       .otherwise(lit(0L))
   }
 

@@ -1109,7 +1109,16 @@ object TextOps {
     * signed counts, nothing to diverge cross-engine.
     */
   def hashedEmbedding(s: SparkSession, dir: String, dims: Int = 64): DataFrame =
-    Tables.documents(s, dir)
+    hashedEmbeddingOf(Tables.documents(s, dir), dims)
+      .orderBy(col("doc_id"), col("dim"))
+
+  /** t35's unsorted body over an EXPLICIT docs frame (the
+    * factored-body rule) — streaming.EmbedStream embeds arriving
+    * micro-batches through the identical projection.
+    */
+  private[graft] def hashedEmbeddingOf(docs: DataFrame,
+      dims: Int): DataFrame =
+    docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .withColumn("h",
@@ -1120,5 +1129,4 @@ object TextOps {
           .as("sgn"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sgn")).cast("long").as("weight"))
-      .orderBy(col("doc_id"), col("dim"))
 }

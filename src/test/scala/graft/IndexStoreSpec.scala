@@ -161,6 +161,61 @@ class IndexStoreSpec extends SparkSpecBase {
       deltas.toString)
   }
 
+  test("EmbedStream.embedBatch equals t35's sparse projection, densified") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val dense = streaming.EmbedStream.embedBatch(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val sparse = operators.TextOps.hashedEmbeddingOf(
+        docs.select(col("doc_id"), col("text")), 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every tokenful doc gets a 64-dim vector; each coordinate is the
+    // sparse weight where touched, 0 elsewhere
+    assert(dense.keySet == sparse.keySet.map(_._1))
+    dense.foreach { case (id, v) =>
+      assert(v.length == 64, s"doc $id")
+      v.zipWithIndex.foreach { case (x, i) =>
+        assert(x == sparse.getOrElse((id, i), 0L).toFloat, s"doc $id dim $i")
+      }
+    }
+  }
+
+  test("EmbedStream: arriving TEXT drains through the embedder into the whole-store fold") {
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("graft-embed-stream").toString
+    val idxS = s"$base/idx"; val idxR = s"$base/idxR"
+    val inDir = s"$base/in"; val ck = s"$base/ck"
+    sources.IndexStore.build(spark, sf0001, idxS)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def rekeyed(lo: Int, hi: Int) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    rekeyed(0, 3).write.mode(SaveMode.Append).parquet(inDir)
+    rekeyed(3, 6).write.mode(SaveMode.Append).parquet(inDir)
+    val q = streaming.EmbedStream.startIndexing(spark, inDir, sf0001,
+      idxS, ck)
+    try q.awaitTermination() finally q.stop()
+    // the drained store equals a frozen-model rebuild over the union
+    // of the lake and the EMBEDDED text batch — the embedder and the
+    // fold compose exactly
+    for (a <- Seq("centroids", "codebook", "sq8params"))
+      spark.read.parquet(s"$idxS/$a").write.parquet(s"$idxR/$a")
+    val streamed = streaming.EmbedStream.embedBatch(rekeyed(0, 6))
+    val union = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).union(streamed)
+    sources.IndexStore.rebuildVectorFamilies(spark, idxR, union)
+    assert(rows(sources.IndexStore.probeLsh(spark, sf0001, idxS)) ==
+      rows(sources.IndexStore.probeLsh(spark, sf0001, idxR)))
+    assert(rows(sources.IndexStore.probeSq8(spark, sf0001, idxS)) ==
+      rows(sources.IndexStore.probeSq8(spark, sf0001, idxR)))
+    // every embedded doc actually landed as a vector in the store
+    val landed = spark.read.parquet(s"$idxS/lsh")
+      .filter(col("vec_id") >= 20000L).select(col("vec_id"))
+      .distinct().count()
+    assert(landed == streamed.count() && landed > 0, landed.toString)
+  }
+
   test("dedup probe over the persisted signature index equals inline d11") {
     val probe = sources.IndexStore.probeDedup(spark, sf0001, idx)
     assert(rows(probe) == rows(operators.Dedup.incrementalLsh(spark, sf0001)))
