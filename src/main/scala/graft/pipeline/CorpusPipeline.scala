@@ -168,6 +168,73 @@ object CorpusPipeline {
         expr("CAST((n_in - n_kept) * 10000 DIV greatest(n_in, 1) AS BIGINT)"))
       .orderBy(col("ord"))
 
+  /** Release-over-release CHANGELOG, per doc: the governance diff a
+    * corpus team publishes next to release N+1's card (what entered,
+    * what left, what moved and WHY — the release-notes table of
+    * versioned corpus releases, and the between-builds regression
+    * alarm at doc granularity where c07's funnel is the stage-level
+    * one). Reads only the two releases' `decisions.parquet` /
+    * `documents.parquet` — it diffs PUBLISHED artifacts, so it runs
+    * without the source lakes that built them.
+    *
+    * Classes (one per doc, precedence top-down): `added_source` /
+    * `removed_source` (the doc exists in only one release's source
+    * audit), `now_kept` / `now_dropped` (the keep verdict flipped —
+    * `reasons` carries old→new), `reason_changed` (dropped in both,
+    * different stage), `unchanged_dropped`, `split_moved` (kept in
+    * both, c08 split changed — the leakage-relevant event),
+    * `text_changed` (kept in both, release text differs — an
+    * excision change), `unchanged`.
+    *
+    * Scale shape: one doc_id-keyed full-outer join of the two
+    * decision tables + two doc_id-keyed left joins for the release
+    * text hashes — all key-equality, no corpus-sized broadcast; the
+    * summary is one map-combinable aggregate.
+    */
+  def releaseDiffDocs(s: SparkSession, oldDir: String,
+      newDir: String): DataFrame = {
+    def dec(d: String, suf: String) = s.read.parquet(s"$d/decisions.parquet")
+      .select(col("doc_id"), col("decision").as(s"decision_$suf"),
+        col("split").as(s"split_$suf"), col("kept").as(s"kept_$suf"))
+    def txt(d: String, suf: String) = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as(s"h_$suf"))
+    dec(oldDir, "old").join(dec(newDir, "new"), Seq("doc_id"), "full_outer")
+      .join(txt(oldDir, "old"), Seq("doc_id"), "left")
+      .join(txt(newDir, "new"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("kept_old").isNull, lit("added_source"))
+          .when(col("kept_new").isNull, lit("removed_source"))
+          .when(col("kept_new") && !col("kept_old"), lit("now_kept"))
+          .when(col("kept_old") && !col("kept_new"), lit("now_dropped"))
+          .when(!col("kept_old") && !col("kept_new") &&
+            col("decision_old") =!= col("decision_new"),
+            lit("reason_changed"))
+          .when(!col("kept_old") && !col("kept_new"),
+            lit("unchanged_dropped"))
+          .when(col("split_old") =!= col("split_new"), lit("split_moved"))
+          .when(col("h_old") =!= col("h_new"), lit("text_changed"))
+          .otherwise(lit("unchanged")).as("change"),
+        concat_ws("->", coalesce(col("decision_old"), lit("absent")),
+          coalesce(col("decision_new"), lit("absent"))).as("reasons"),
+        concat_ws("->", coalesce(col("split_old"), lit("-")),
+          coalesce(col("split_new"), lit("-"))).as("splits"))
+  }
+
+  /** [[releaseDiffDocs]] rolled up to the per-class summary (with
+    * integer-bp share of all diffed docs — the headline table).
+    */
+  def releaseDiff(s: SparkSession, oldDir: String,
+      newDir: String): DataFrame = {
+    val d = releaseDiffDocs(s, oldDir, newDir)
+      .groupBy(col("change")).agg(count(lit(1)).cast("long").as("n_docs"))
+    val tot = d.agg(sum(col("n_docs")).cast("long").as("n_total"))
+    d.join(broadcast(tot), lit(true))
+      .select(col("change"), col("n_docs"),
+        expr("CAST(n_docs * 10000 DIV greatest(n_total, 1) AS BIGINT)")
+          .as("share_bp"))
+      .orderBy(col("change"))
+  }
+
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 

@@ -141,6 +141,59 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(dec3.length == 1)
   }
 
+  test("releaseDiff: identity is no-change; every planted release delta classifies") {
+    val base = Files.createTempDirectory("graft-reldiff").toString
+    val a = s"$base/relA"; val b = s"$base/relB"
+    CorpusPipeline.build(spark, sf0001, a)
+    // identity: a release diffed against itself reports no changes
+    val ident = CorpusPipeline.releaseDiffDocs(spark, a, a).collect()
+      .map(_.getAs[String]("change")).toSet
+    assert(ident.subsetOf(Set("unchanged", "unchanged_dropped")), ident)
+    // release B = A with one planted instance of each delta class
+    // (the diff reads published artifacts, so B is authored directly)
+    val decA = spark.read.parquet(s"$a/decisions.parquet")
+    val docsA = spark.read.parquet(s"$a/documents.parquet")
+    val kept = decA.filter(col("kept")).orderBy(col("doc_id"))
+      .limit(4).collect().map(_.getAs[Long]("doc_id"))
+    val Array(kMove, kText, kDrop, kGone) = kept
+    val dReason = decA.filter(!col("kept")).orderBy(col("doc_id"))
+      .limit(1).collect().head.getAs[Long]("doc_id")
+    val flip = when(col("split") === "train", lit("val")).otherwise(lit("train"))
+    val decB = decA.filter(col("doc_id") =!= kGone)
+      .withColumn("split",
+        when(col("doc_id") === kMove, flip).otherwise(col("split")))
+      .withColumn("kept",
+        when(col("doc_id") === kDrop, lit(false)).otherwise(col("kept")))
+      .withColumn("decision",
+        when(col("doc_id") === kDrop, lit("drop_quality"))
+          .when(col("doc_id") === dReason, lit("drop_rerun"))
+          .otherwise(col("decision")))
+      .union(decA.filter(col("doc_id") === kText)
+        .withColumn("doc_id", lit(999999L)))
+    val docsB = docsA
+      .filter(col("doc_id") =!= kGone && col("doc_id") =!= kDrop)
+      .withColumn("text",
+        when(col("doc_id") === kText, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .union(docsA.filter(col("doc_id") === kText)
+        .withColumn("doc_id", lit(999999L)))
+    decB.write.parquet(s"$b/decisions.parquet")
+    docsB.write.parquet(s"$b/documents.parquet")
+    val diff = CorpusPipeline.releaseDiffDocs(spark, a, b).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change")).toMap
+    assert(diff(999999L) == "added_source")
+    assert(diff(kGone) == "removed_source")
+    assert(diff(kDrop) == "now_dropped")
+    assert(diff(kMove) == "split_moved")
+    assert(diff(kText) == "text_changed")
+    assert(diff(dReason) == "reason_changed")
+    // the headline summary is exactly the per-doc table rolled up
+    val sum = CorpusPipeline.releaseDiff(spark, a, b).collect()
+      .map(r => r.getAs[String]("change") -> r.getAs[Long]("n_docs")).toMap
+    val byClass = diff.values.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(sum == byClass.toMap)
+  }
+
   test("sf0.001 build: funnel holds and the c08 theorem survives real clusters") {
     val out = Files.createTempDirectory("graft-release-sf").toString + "/rel"
     val rep = CorpusPipeline.build(spark, sf0001, out).collect()
