@@ -340,7 +340,12 @@ object ScaleCheck {
       // size — the K-row bound that makes its window scale-free
       Growth("s18_report_rows",
         cand(baseDir, operators.Similarity.indexHealth),
-        cand(bigDir, operators.Similarity.indexHealth)))
+        cand(bigDir, operators.Similarity.indexHealth)),
+      // s21's distortion report: exactly nSub·K codebook rows at any
+      // corpus size (the s18 bound, one level down the PQ ladder)
+      Growth("s21_report_rows",
+        cand(baseDir, operators.Similarity.pqDistortion),
+        cand(bigDir, operators.Similarity.pqDistortion)))
     (growths, (trimBp(baseDir), trimBp(bigDir)))
   }
 

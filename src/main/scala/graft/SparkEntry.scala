@@ -116,6 +116,7 @@ object SparkEntry {
     "s18_index_health" -> (Similarity.indexHealth _),
     "s19_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "s20_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
+    "s21_pq_distortion" -> (Similarity.pqDistortion _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -1315,6 +1316,35 @@ r AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+    // s21: s05's codebook + float-argmin encode CTEs, error re-summed
+    // in the milli-integer space; codebook LEFT join keeps dead codes
+    "s21_pq_distortion" ->
+      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+""" + pqCodebookCtes + """,
+enc AS (SELECT vec_id, j, cid FROM (SELECT psv.vec_id, psv.j, cj.cid,
+    row_number() OVER (PARTITION BY psv.vec_id, psv.j
+      ORDER BY list_inner_product(scv, scv) - 2*list_inner_product(sv, scv), cid) AS rr
+  FROM psv JOIN cj USING (j)) z WHERE rr = 1),
+vm AS (SELECT vec_id, j,
+    list_transform(sv, x -> CAST(floor(x * 1000) AS BIGINT)) AS mv FROM psv),
+cm AS (SELECT j, cid,
+    list_transform(scv, x -> CAST(floor(x * 1000) AS BIGINT)) AS mc FROM cj),
+er AS (SELECT enc.j, enc.cid,
+    CAST(list_sum(list_transform(range(1, len(vm.mv) + 1),
+      i -> (vm.mv[i] - cm.mc[i]) * (vm.mv[i] - cm.mc[i]))) AS BIGINT) AS err
+  FROM enc JOIN vm ON vm.vec_id = enc.vec_id AND vm.j = enc.j
+    JOIN cm ON cm.j = enc.j AND cm.cid = enc.cid),
+st AS (SELECT j, cid, CAST(count(*) AS BIGINT) AS n_vecs,
+    CAST(sum(err) AS BIGINT) AS sum_err FROM er GROUP BY 1, 2),
+tot AS (SELECT j, CAST(sum(n_vecs) AS BIGINT) AS n_j FROM st GROUP BY 1)
+SELECT cj.j, cj.cid,
+  CAST(coalesce(st.n_vecs, 0) AS BIGINT) AS n_vecs,
+  CAST(coalesce(st.n_vecs, 0) * 10000 // tot.n_j AS BIGINT) AS share_bp,
+  CAST(coalesce(st.sum_err, 0) // greatest(coalesce(st.n_vecs, 0), 1) AS BIGINT) AS mse_mu,
+  coalesce(st.n_vecs, 0) = 0 AS dead
+FROM cj LEFT JOIN st ON st.j = cj.j AND st.cid = cj.cid
+  JOIN tot ON tot.j = cj.j
+ORDER BY cj.j, cj.cid"""),
     // s20: s03's centroid/assignment CTEs with the query side kept to
     // rr <= 3, expanded over nprobe in {1,2,3}, recall vs brute truth
     "s20_nprobe_sweep" ->

@@ -261,9 +261,13 @@ object Similarity {
         col("qrr"))
     val cells = cellAssignments(s, dir).filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    // narrow BEFORE caching: the per-np rank passes need only the
+    // score tuple, never the embedding arrays — at 100 TB the cached
+    // frame is 4 thin columns, not (|Q|·np/K)·n wide vectors
     val scored = cells.join(broadcast(qcells),
         cells("cid") === qcells("cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
+      .select(col("query_id"), col("qrr"), col("vec_id"), col("cos"))
       .cache()
     (1 to maxNp).map { np =>
       val approx = rankTopKFrame(s, scored.filter(col("qrr") <= np), 3)
@@ -279,6 +283,82 @@ object Similarity {
       .select(col("nprobe"), col("query_id"), col("n_true"),
         col("n_hits"), col("recall_bp"))
       .orderBy(col("nprobe"), col("query_id"))
+  }
+
+  /** s21 — PQ CODEBOOK DISTORTION audit: per (subspace, codebook
+    * centroid), occupancy + mean squared reconstruction error of the
+    * vectors that encode to it — the codebook-health report every
+    * PQ deployment reads next to s18's cell occupancy and s09's
+    * recall (the faiss-style index stats: DEAD codes mean wasted
+    * code space and a stale training sample; high-distortion codes
+    * mean the quantizer no longer fits the data and s05/s06's
+    * ranking error grows — either is the retrain trigger).
+    *
+    * Code assignment is EXACTLY s05's float-space argmin (this
+    * audits the stored encoding, not a re-derived one); the error is
+    * measured in the engine's milli-quantized integer space (the
+    * s15/t33 recipe: floor(x·1000) per component, so the aggregate
+    * is exact integer arithmetic both engines replay — a float MSE
+    * sum would diverge cross-engine in the addition order). err =
+    * |mv|² + |mc|² − 2·mv·mc with every dot a 0L-seeded HOF fold the
+    * LongVecDot rewrite compiles (plan-asserted); units are milli²
+    * ("mu", 10⁻⁶ of squared component units).
+    *
+    * Scale shape: ONE corpus scan (the subspace explode ×
+    * broadcast 64-row codebook, an equi-join on j) collapses through
+    * a struct-argmin partial/final aggregate to one row per
+    * (vector, subspace), then a map-combinable (j, cid) count/sum —
+    * output is one row per codebook entry (≤ nSub·K at any corpus
+    * size; a seed cell that loses all members during the k-means
+    * rounds leaves the codebook itself), and the codebook LEFT join
+    * keeps FINAL-dead codes visible — entries still in the codebook
+    * that no vector encodes to after the last refinement, exactly
+    * the wasted-code-space signal (an inner join would hide the
+    * failure the report catches — s18's lesson).
+    */
+  def pqDistortion(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centJ = graft.operators.VectorAgg.pqCodebook(s, dir, PqSub, PqSubLen)
+    val subVec = e
+      .select(col("vec_id"), explode(array((0 until PqSub).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("embedding"), j * PqSubLen + 1, PqSubLen).as("sv"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col("b.j").as("j"), col("b.sv").as("sv"))
+    val vm = subVec
+      .withColumn("mv", expr(
+        "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .withColumn("nv", expr("aggregate(mv, 0L, (a, x) -> a + x * x)"))
+    val cm = centJ
+      .withColumn("mc", expr(
+        "transform(scv, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .withColumn("nc", expr("aggregate(mc, 0L, (a, x) -> a + x * x)"))
+    val chosen = vm.join(broadcast(cm), "j")
+      .withColumn("d2", Vector.dot(col("scv"), col("scv"))
+        - lit(2.0) * Vector.dot(col("sv"), col("scv")))
+      .withColumn("dotm",
+        expr("aggregate(zip_with(mv, mc, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("err", col("nv") + col("nc") - lit(2L) * col("dotm"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("cid"), col("err"))).as("m"))
+      .select(col("j"), col("m.cid").as("cid"), col("m.err").as("err"))
+    val st = chosen.groupBy(col("j"), col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("err")).cast("long").as("sum_err"))
+    val tot = st.groupBy(col("j"))
+      .agg(sum(col("n_vecs")).cast("long").as("n_j"))
+    centJ.select(col("j"), col("cid"))
+      .join(st, Seq("j", "cid"), "left")
+      .join(tot, Seq("j"))
+      .select(col("j"), col("cid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        expr("CAST(coalesce(n_vecs, 0) * 10000 DIV n_j AS BIGINT)")
+          .as("share_bp"),
+        expr("CAST(coalesce(sum_err, 0) DIV greatest(coalesce(n_vecs, 0), 1)" +
+          " AS BIGINT)").as("mse_mu"),
+        (coalesce(col("n_vecs"), lit(0L)) === 0L).as("dead"))
+      .orderBy(col("j"), col("cid"))
   }
 
   /** s10 — radius (range) search: every corpus vector within a fixed

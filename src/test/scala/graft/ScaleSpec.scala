@@ -307,6 +307,12 @@ class ScaleSpec extends SparkSpecBase {
       s"s18 rows ${g.base} -> ${g.inflated}: K-row bound broken")
   }
 
+  test("s21 distortion report stays nSub·K rows as the corpus inflates") {
+    val g = growth("s21_report_rows")
+    assert(g.base == 64 && g.inflated == 64,
+      s"s21 rows ${g.base} -> ${g.inflated}: codebook-grid bound broken")
+  }
+
   test("t09 TopK partial trim ratio is scale-invariant") {
     val (base, big) = trim
     assert(base > 0 && big > 0, s"trim metrics missing: $base, $big")

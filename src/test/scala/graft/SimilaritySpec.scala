@@ -170,6 +170,52 @@ class SimilaritySpec extends SparkSpecBase {
     for (q <- Seq(0L, 100L)) assert(sweep((3, q)) == ((3, 3, 10000L)), s"q=$q")
   }
 
+  test("s21 PQ distortion: exact (j, cid) grid, occupancy audits the stored codes") {
+    val rep = operators.Similarity.pqDistortion(spark, dir).collect()
+    // one row per codebook ENTRY (tight 3-cluster data collapses the
+    // 16 seeds to few surviving codes; the real sf corpora keep all
+    // 64 — ScaleSpec pins that bound)
+    val cb = operators.VectorAgg.pqCodebook(spark, dir).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid"))).toSet
+    val grid = rep.map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid"))).toSet
+    assert(rep.length == cb.size && grid == cb,
+      s"report grid ${grid.size} != codebook ${cb.size}")
+    rep.groupBy(_.getAs[Int]("j")).foreach { case (j, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vecs")).sum == 120L, s"j=$j")
+      val bp = rs.map(_.getAs[Long]("share_bp")).sum
+      assert(bp <= 10000 && bp > 10000 - 16, s"j=$j bp=$bp")
+    }
+    rep.foreach { r =>
+      assert(r.getAs[Long]("mse_mu") >= 0L, r.toString)
+      assert(r.getAs[Boolean]("dead") == (r.getAs[Long]("n_vecs") == 0L),
+        r.toString)
+    }
+    // occupancy IS the stored encoding's code histogram — the audit
+    // measures s05/s06's actual codes, not a re-derived assignment
+    val codes = operators.Similarity.pqCellCodesOf(
+      operators.Similarity.cellAssignments(spark, dir),
+      operators.VectorAgg.pqCodebook(spark, dir)).collect()
+    val occ = rep.map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid")) ->
+      r.getAs[Long]("n_vecs")).toMap
+    for (j <- 0 until 4) {
+      val hist = codes.groupBy(_.getAs[Int](s"code$j"))
+        .view.mapValues(_.size.toLong).toMap
+      occ.keys.filter(_._1 == j).foreach { case key @ (_, c) =>
+        assert(occ(key) == hist.getOrElse(c, 0L), s"j=$j c=$c")
+      }
+      // every stored code is a codebook entry the report covers
+      hist.keys.foreach(c =>
+        assert(occ.contains((j, c)), s"stored code $c uncovered at j=$j"))
+    }
+    // the integer error folds compile through LongVecDot, never the
+    // interpreted HOF route
+    val opt = operators.Similarity.pqDistortion(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("longvecdot") || opt.contains("LongVecDot"),
+      opt.take(2000))
+    assert(!opt.toLowerCase.contains("aggregate(zip_with"), opt.take(2000))
+  }
+
   test("s10 radius search covers the same-cluster ball and the brute top-3") {
     val rows = operators.Similarity.rangeSearch(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
