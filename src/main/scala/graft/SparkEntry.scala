@@ -172,11 +172,35 @@ object SparkEntry {
     "c07_cascade_report" -> (Curation.cascadeReport _),
     "c08_safe_split" -> (Curation.safeSplit _),
     "c09_token_budget" -> (Curation.tokenBudgetPlan _),
-    "c10_curriculum" -> ((s, d) => Curation.curriculum(s, d)))
+    "c10_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
+    "c11_weak_labels" -> (Curation.weakLabels _),
+    "c12_lf_report" -> (Curation.lfReport _),
+    "r32_interval_union" -> (Relational.intervalUnion _),
+    "s22_ood_scrub" -> (Similarity.oodScrub _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
   private val docTokens = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** c11/c12 shared CTE tail: LF votes `v` over a preceding
+    * `t(doc_id, toks)` CTE — MUST match Curation.weakLabelsFrame's
+    * thresholds integer-for-integer.
+    */
+  private val weakLabelCtes: String =
+    """s AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS nstop,
+    list_contains(toks, 'slow') AS has_slow,
+    list_contains(toks, 'spark') AS has_spark
+  FROM t),
+v AS (SELECT doc_id,
+    CAST(CASE WHEN n >= 55 THEN 1 WHEN n < 20 THEN -1 ELSE 0 END AS INT) AS lf_len,
+    CAST(CASE WHEN nstop * 100 >= n * 16 THEN -1 WHEN nstop = 0 THEN 0
+      ELSE 1 END AS INT) AS lf_stop,
+    CAST(CASE WHEN nd * 100 >= n * 40 THEN 1 WHEN nd * 100 < n * 32 THEN -1
+      ELSE 0 END AS INT) AS lf_rep,
+    CAST(CASE WHEN has_slow THEN -1 WHEN has_spark THEN 1
+      ELSE 0 END AS INT) AS lf_kw
+  FROM s)"""
 
   /** d02 helper: the 16 minhash permutation params — MUST match
     * operators.Dedup.perms.
@@ -2281,6 +2305,98 @@ sh AS (SELECT doc_id, stage, shuffle_key,
 SELECT doc_id, stage, shard_id, CAST(row_number() OVER (
     PARTITION BY stage, shard_id ORDER BY shuffle_key, doc_id) AS INT) AS pos
 FROM sh ORDER BY stage, shard_id, pos""",
+    // c11: the four LF votes + majority label; integer basis-point
+    // thresholds only (never a float ratio)
+    "c11_weak_labels" ->
+      (s"""WITH t AS (SELECT doc_id, $docTokens AS toks FROM documents),
+""" + weakLabelCtes + """
+SELECT doc_id, lf_len, lf_stop, lf_rep, lf_kw,
+  CAST(lf_len + lf_stop + lf_rep + lf_kw AS INT) AS vote,
+  CASE WHEN lf_len + lf_stop + lf_rep + lf_kw > 0 THEN 'keep'
+    WHEN lf_len + lf_stop + lf_rep + lf_kw < 0 THEN 'drop'
+    ELSE 'abstain' END AS label
+FROM v ORDER BY doc_id"""),
+    // c12: c11's votes unpivoted; coverage/agree/conflict per LF
+    "c12_lf_report" ->
+      (s"""WITH t AS (SELECT doc_id, $docTokens AS toks FROM documents),
+""" + weakLabelCtes + """,
+w AS (SELECT lf_len + lf_stop + lf_rep + lf_kw AS vote,
+    lf_len, lf_stop, lf_rep, lf_kw FROM v),
+u AS (SELECT 'lf_len' AS lf, lf_len AS lv, vote FROM w
+  UNION ALL SELECT 'lf_stop', lf_stop, vote FROM w
+  UNION ALL SELECT 'lf_rep', lf_rep, vote FROM w
+  UNION ALL SELECT 'lf_kw', lf_kw, vote FROM w)
+SELECT lf, CAST(count(*) FILTER (lv <> 0) AS BIGINT) AS n_active,
+  CAST(count(*) FILTER (lv <> 0) * 10000 // count(*) AS BIGINT) AS coverage_bp,
+  CAST(count(*) FILTER ((lv = 1 AND vote > 0) OR (lv = -1 AND vote < 0))
+    * 10000 // count(*) AS BIGINT) AS agree_bp,
+  CAST(count(*) FILTER ((lv = 1 AND vote < 0) OR (lv = -1 AND vote > 0))
+    * 10000 // count(*) AS BIGINT) AS conflict_bp
+FROM u GROUP BY lf ORDER BY lf"""),
+    // r32: gaps-and-islands interval coalesce; integer epoch seconds,
+    // unique (start_s, event_id) window order on both engines
+    "r32_interval_union" ->
+      """WITH ev AS (SELECT user_id, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      + greatest(1, CAST(floor(value) AS BIGINT)) AS end_s
+  FROM events),
+m AS (SELECT user_id, event_id, start_s, end_s,
+    max(end_s) OVER (PARTITION BY user_id ORDER BY start_s, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_end
+  FROM ev),
+i AS (SELECT user_id, event_id, start_s, end_s,
+    CASE WHEN max_prev_end IS NULL OR start_s > max_prev_end
+      THEN 1 ELSE 0 END AS is_new
+  FROM m),
+isl AS (SELECT user_id, start_s, end_s,
+    sum(is_new) OVER (PARTITION BY user_id
+      ORDER BY start_s, event_id) AS island
+  FROM i),
+g AS (SELECT user_id, island, count(*) AS n_ev,
+    min(start_s) AS i_start, max(end_s) AS i_end
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+  CAST(count(*) AS BIGINT) AS n_islands,
+  CAST(sum(i_end - i_start) AS BIGINT) AS covered_s,
+  CAST(max(i_end - i_start) AS BIGINT) AS longest_s
+FROM g GROUP BY 1 ORDER BY user_id""",
+    // s22: m04's BIGINT milli centroids, s15's milli-int cosine,
+    // argmax by (cos DESC, clab), mean via the +10^4-shifted sum
+    "s22_ood_scrub" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+cm AS (SELECT label AS clab, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS cmi
+  FROM (SELECT label, unnest(embedding) AS v,
+      unnest(range(1, len(embedding)+1)) AS idx FROM e)
+  GROUP BY 1, 2),
+cent AS (SELECT clab, list(cmi ORDER BY idx) AS mc FROM cm GROUP BY 1),
+centn AS (SELECT clab, mc,
+    CAST(list_sum(list_transform(mc, x -> x * x)) AS BIGINT) AS cn
+  FROM cent),
+mq AS (SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mv
+  FROM e),
+mqn AS (SELECT vec_id, label, mv,
+    CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT) AS nq
+  FROM mq),
+sc AS (SELECT vec_id, label, clab,
+    CAST(list_sum(list_transform(range(1, len(mv)+1),
+      i -> mv[i] * mc[i])) AS DOUBLE)
+      / sqrt(CAST(nq * cn AS DOUBLE)) AS cos
+  FROM mqn, centn),
+rk AS (SELECT vec_id, label, clab, cos, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, clab) AS rr FROM sc),
+best AS (SELECT vec_id, label, clab AS best_label,
+    CAST(floor(cos * 10000) AS BIGINT) AS best_cos_bp
+  FROM rk WHERE rr = 1),
+mn AS (SELECT CAST(sum(best_cos_bp + 10000) // count(*) AS BIGINT)
+    - 10000 AS mean_bp FROM best)
+SELECT vec_id, label, best_label, best_cos_bp,
+  best_cos_bp * 10 < mean_bp * 8 AS is_ood,
+  best_label = label AS agrees
+FROM best, mn ORDER BY vec_id""",
     // t35: the hashing-trick embedder — md5-derived (dim, sign) per
     // token, signed sum per (doc, dim); sparse long form
     "t35_hashed_embedding" ->

@@ -463,4 +463,150 @@ object Curation {
       .select(col("doc_id"), col("stage"), col("shard_id"), col("pos"))
       .orderBy(col("stage"), col("shard_id"), col("pos"))
   }
+
+  /** c11 — WEAK-SUPERVISION labeling functions + majority vote (the
+    * Snorkel/data-programming recipe: many cheap heuristic labelers,
+    * each voting keep(+1)/drop(−1)/abstain(0), combined by vote —
+    * how corpus-quality labels get bootstrapped when no hand labels
+    * exist; the voted label is what a t23-style classifier then
+    * trains on). Four LFs over one token scan:
+    *
+    *   lf_len   length prior        — ≥55 tokens keep, <20 drop
+    *   lf_stop  stopword-rate band  — 0 abstains (no evidence),
+    *            ≥16% drop (boilerplate), else keep
+    *   lf_rep   distinct-token rate — ≥40% keep, <32% drop (loops)
+    *   lf_kw    content keywords    — 'slow' drops, else 'spark'
+    *            keeps, neither abstains
+    *
+    * All thresholds are integer basis-point rules both engines replay
+    * (`nd·100 ≥ n·40`, never a float ratio). vote = Σ lf; label =
+    * keep / drop / abstain by vote sign. Every LF's three regimes and
+    * all three vote classes are populated at sf0.001/0.01/0.1
+    * (measured), so the gate compares real disagreement, not a
+    * constant column.
+    *
+    * Scale shape: row-local arithmetic on one documents scan — no
+    * join, no shuffle beyond the contract sort. 100 TB cost is the
+    * scan itself; LFs widen the projection, never the plan.
+    */
+  def weakLabels(s: SparkSession, dir: String): DataFrame =
+    weakLabelsFrame(s, dir).orderBy(col("doc_id"))
+
+  /** c11's unsorted body (the factored-body rule — c12 re-aggregates
+    * it without inheriting the contract sort).
+    */
+  private[graft] def weakLabelsFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("nd"),
+        expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").as("nstop"),
+        array_contains(col("toks"), "slow").as("has_slow"),
+        array_contains(col("toks"), "spark").as("has_spark"))
+      .select(col("doc_id"),
+        when(col("n") >= 55, 1).when(col("n") < 20, -1).otherwise(0)
+          .cast("int").as("lf_len"),
+        when(col("nstop") * 100 >= col("n") * 16, -1)
+          .when(col("nstop") === 0, 0).otherwise(1)
+          .cast("int").as("lf_stop"),
+        when(col("nd") * 100 >= col("n") * 40, 1)
+          .when(col("nd") * 100 < col("n") * 32, -1).otherwise(0)
+          .cast("int").as("lf_rep"),
+        when(col("has_slow"), -1).when(col("has_spark"), 1).otherwise(0)
+          .cast("int").as("lf_kw"))
+      .withColumn("vote",
+        (col("lf_len") + col("lf_stop") + col("lf_rep") + col("lf_kw"))
+          .cast("int"))
+      .withColumn("label",
+        when(col("vote") > 0, "keep").when(col("vote") < 0, "drop")
+          .otherwise("abstain"))
+
+  /** c12 — the LF ANALYSIS report over c11's votes (Snorkel's
+    * `LFAnalysis`): per labeling function — coverage (how often it
+    * votes at all), agreement with the majority label, and conflict
+    * (it voted keep on a majority-drop doc or vice versa), each in
+    * basis points of the corpus. This is the dashboard that tells
+    * you which heuristic is dead weight (coverage ≈ 0), which is
+    * redundant (agreement ≈ coverage) and which is actively fighting
+    * the ensemble (conflict high) — the feedback loop weak
+    * supervision is tuned by.
+    *
+    * Scale shape: c11's row-local frame unpivoted 4× via a row-local
+    * explode of a fixed-width (lf, vote) array, then ONE 4-row
+    * map-combinable aggregate. No join; the denominator rides the
+    * same aggregate (count per LF = corpus count, so no second scan
+    * or broadcast of a global total is needed).
+    */
+  def lfReport(s: SparkSession, dir: String): DataFrame =
+    weakLabelsFrame(s, dir)
+      .select(col("vote"), explode(array(
+        struct(lit("lf_len").as("lf"), col("lf_len").as("v")),
+        struct(lit("lf_stop").as("lf"), col("lf_stop").as("v")),
+        struct(lit("lf_rep").as("lf"), col("lf_rep").as("v")),
+        struct(lit("lf_kw").as("lf"), col("lf_kw").as("v")))).as("e"))
+      .select(col("e.lf").as("lf"), col("e.v").as("v"), col("vote"))
+      .groupBy(col("lf"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("v") === 1 && col("vote") > 0, 1L)
+          .when(col("v") === -1 && col("vote") < 0, 1L)
+          .otherwise(0L)).as("n_agree"),
+        sum(when(col("v") === 1 && col("vote") < 0, 1L)
+          .when(col("v") === -1 && col("vote") > 0, 1L)
+          .otherwise(0L)).as("n_conflict"))
+      .select(col("lf"),
+        col("n_active").cast("long").as("n_active"),
+        expr("CAST(n_active * 10000 DIV n_docs AS BIGINT)")
+          .as("coverage_bp"),
+        expr("CAST(n_agree * 10000 DIV n_docs AS BIGINT)")
+          .as("agree_bp"),
+        expr("CAST(n_conflict * 10000 DIV n_docs AS BIGINT)")
+          .as("conflict_bp"))
+      .orderBy(col("lf"))
+
+  /** c13 — pairwise LF CORRELATION matrix over c11's votes (the
+    * other half of Snorkel's LFAnalysis: c12 scores each heuristic
+    * against the ensemble, c13 scores them against EACH OTHER): for
+    * every unordered LF pair — overlap (both voted), agreement (both
+    * voted, same direction) and conflict (both voted, opposite
+    * directions), each in basis points of the corpus. Two LFs whose
+    * agreement ≈ overlap are redundant (drop one — labeling-function
+    * evaluation cost is real when LFs call models); a pair with high
+    * conflict marks a systematic disagreement the vote can't resolve
+    * by counting (the signal that a weighted label model should
+    * replace majority vote).
+    *
+    * Scale shape: c11's row-local frame → a row-local fixed-width
+    * explode of the 6 unordered (lf_a < lf_b) pair structs → ONE
+    * 6-row map-combinable aggregate. No join (the oracle replays the
+    * pairing as a per-doc self-join; the Spark plan never pays one —
+    * the pair set is a compile-time constant).
+    */
+  def lfCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val lfs = Seq("lf_kw", "lf_len", "lf_rep", "lf_stop")
+    val pairs = for {
+      a <- lfs; b <- lfs if a < b
+    } yield struct(lit(a).as("lf_a"), lit(b).as("lf_b"),
+      col(a).as("va"), col(b).as("vb"))
+    weakLabelsFrame(s, dir)
+      .select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.lf_a").as("lf_a"), col("p.lf_b").as("lf_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"))
+      .groupBy(col("lf_a"), col("lf_b"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("va") =!= 0 && col("vb") =!= 0, 1L).otherwise(0L))
+          .as("n_overlap"),
+        sum(when(col("va") =!= 0 && col("va") === col("vb"), 1L)
+          .otherwise(0L)).as("n_agree"),
+        sum(when(col("va") * col("vb") < 0, 1L).otherwise(0L))
+          .as("n_conflict"))
+      .select(col("lf_a"), col("lf_b"),
+        col("n_overlap").cast("long").as("n_overlap"),
+        expr("CAST(n_overlap * 10000 DIV n_docs AS BIGINT)")
+          .as("overlap_bp"),
+        expr("CAST(n_agree * 10000 DIV n_docs AS BIGINT)").as("agree_bp"),
+        expr("CAST(n_conflict * 10000 DIV n_docs AS BIGINT)")
+          .as("conflict_bp"))
+      .orderBy(col("lf_a"), col("lf_b"))
+  }
 }

@@ -1091,4 +1091,55 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n_sessions"),
         countDistinct(col("user_id")).cast("long").as("n_users"))
       .orderBy(col("hour_id"))
+
+  /** r32 — per-user INTERVAL UNION (coverage coalescing): each event
+    * holds a resource for `floor(value)` seconds (clamped to ≥ 1);
+    * overlapping holds per user merge into maximal islands (the
+    * classic gaps-and-islands coalesce every billing/uptime/SLA
+    * pipeline runs — "how long was the user actually active", which
+    * no plain aggregate over raw events can answer because holds
+    * overlap). Per user: event count, island count, total covered
+    * seconds, longest island. Differs from r08/r30: sessions chain on
+    * inter-event GAPS, islands on explicit interval OVERLAP — an
+    * event wholly inside an earlier hold never extends coverage.
+    *
+    * Island detection: running max of interval end over the
+    * (start_s, event_id)-ordered per-user window, one row lagged —
+    * a new island starts exactly when start exceeds every earlier
+    * end. Integer epoch seconds on both engines (unix_timestamp ↔
+    * floor(epoch)); the unique event_id tie-break makes the running
+    * max — and hence island ids — engine-independent.
+    *
+    * Scale shape: one event scan → per-user ordered window (the r08
+    * skew class — a pathological user serializes; the r20 chunk
+    * mitigation applies shape-identically since islands, like
+    * sessions, merge across chunk seams) → an (user, island)-keyed
+    * map-combinable agg → a per-user agg reusing the same hash
+    * partitioning (no second exchange). Output is one row per user.
+    */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("start_s"),
+        (unix_timestamp(col("ts")) +
+          greatest(lit(1L), floor(col("value")).cast("long"))).as("end_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_s"), col("event_id"))
+    val marked = ev
+      .withColumn("max_prev_end",
+        max(col("end_s")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("max_prev_end").isNull ||
+          col("start_s") > col("max_prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(w))
+    marked.groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).cast("long").as("n_ev"),
+        min(col("start_s")).as("i_start"), max(col("end_s")).as("i_end"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_ev")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(col("i_end") - col("i_start")).cast("long").as("covered_s"),
+        max(col("i_end") - col("i_start")).cast("long").as("longest_s"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1457,4 +1457,77 @@ object Similarity {
         Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
     rankTopK(s, scored, 3)
   }
+
+  /** s22 — OUT-OF-DISTRIBUTION scrub against the coarse quantizer:
+    * every vector's best integer-cosine to the label centroids (m04's
+    * milli-floored means — the same table the IVF family quantizes
+    * against), flagged OOD when it sits far below the corpus mean —
+    * the "junk vector" filter production embedding pipelines run
+    * before semantic dedup / ANN indexing (encoder garbage, empty-doc
+    * embeddings and modality mixups land far from EVERY centroid, and
+    * SemDeDup-style pruning assumes they're gone). `agrees` also
+    * surfaces coarse-quantizer label disagreement — the mislabel
+    * audit for the label column itself.
+    *
+    * Determinism: centroid components are floor(avg·1000) BIGINTs
+    * (m04's rule — the floor absorbs summation-order ulps), vectors
+    * score in the s15 milli-quantized integer space (LongVecDot
+    * kernel), argmax is a struct-min on (−cos, clab), and the OOD
+    * rule is best_bp·10 < mean_bp·8 (20% below the corpus mean) with
+    * mean_bp computed on a +10⁴-shifted nonnegative sum and then
+    * un-shifted — the shift is exact because 10⁴·n divides evenly, so
+    * trunc-vs-floor integer division can never diverge even on a
+    * hypothetical negative-mean corpus.
+    *
+    * Scale shape: one centroid build (K·64-component agg, K = label
+    * count) broadcast to a single vector scan; the K-way fan-out
+    * collapses to one row per vector by the struct-min BEFORE the
+    * shuffle (annPq's encode pattern). The per-vector scalar frame is
+    * cached because the global-mean join references it twice — it is
+    * ~1000× narrower than the embeddings it summarizes.
+    */
+  def oodScrub(s: SparkSession, dir: String): DataFrame =
+    oodScrubFrame(s, dir).orderBy(col("vec_id"))
+
+  /** s22's unsorted body (the factored-body rule). */
+  private[graft] def oodScrubFrame(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // m04's centroid rule, kept in exact BIGINT milli-units end-to-end
+    // (never through a float roundtrip — floor(float·1000) can drop a
+    // unit on the re-widen)
+    val cent = e
+      .select(col("label").as("clab"), posexplode(col("embedding"))
+        .as(Seq("pos", "x")))
+      .groupBy(col("clab"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .select(col("clab"), col("pos"),
+        floor(col("m") * 1000).cast("long").as("cmi"))
+      .groupBy(col("clab"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cmi)))," +
+        " p -> p.cmi)").as("mc"))
+      .withColumn("cn", expr("aggregate(mc, 0L, (a, x) -> a + x * x)"))
+    val best = milliQuantized(e.select(col("vec_id"), col("embedding")))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .crossJoin(broadcast(cent))
+      .withColumn("dot",
+        expr("aggregate(zip_with(mq, mc, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("nq") * col("cn")).cast("double")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("cos")).as("nc"), col("clab").as("clab"))).as("b"))
+      .select(col("vec_id"), col("label"), col("b.clab").as("best_label"),
+        floor((-col("b.nc")) * 10000).cast("long").as("best_cos_bp"))
+      .cache()
+    val meanRow = best.agg(
+      expr("CAST(sum(best_cos_bp + 10000) DIV count(*) AS BIGINT)")
+        .as("mean_shift"))
+    best.crossJoin(broadcast(meanRow))
+      .select(col("vec_id"), col("label"), col("best_label"),
+        col("best_cos_bp"),
+        (col("best_cos_bp") * 10L < (col("mean_shift") - 10000L) * 8L)
+          .as("is_ood"),
+        (col("best_label") === col("label")).as("agrees"))
+  }
 }

@@ -170,4 +170,66 @@ class DqSuiteSpec extends SparkSpecBase {
     val got = grp.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("doc_id")).toSeq
     assert(got == got.sortBy(id => (key(id), id)), s"stage=$st shard=$sh")
   }
+
+  /** Independent Scala re-derivation of every c11 LF vote from the
+    * raw text — the whole sf0.001 corpus, row for row.
+    */
+  test("c11: LF votes re-derive from raw text; all vote classes live") {
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def lfs(text: String): (Int, Int, Int, Int) = {
+      val toks = text.trim.split("\\s+").toSeq
+      val n = toks.length
+      val nd = toks.distinct.length
+      val nstop = toks.count(t => t == "the" || t == "a")
+      val lfLen = if (n >= 55) 1 else if (n < 20) -1 else 0
+      val lfStop = if (nstop * 100 >= n * 16) -1 else if (nstop == 0) 0 else 1
+      val lfRep = if (nd * 100 >= n * 40) 1 else if (nd * 100 < n * 32) -1 else 0
+      val lfKw = if (toks.contains("slow")) -1
+        else if (toks.contains("spark")) 1 else 0
+      (lfLen, lfStop, lfRep, lfKw)
+    }
+    val out = operators.Curation.weakLabels(spark, sf0001).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val exp = lfs(texts(id))
+      val got = (r.getAs[Int]("lf_len"), r.getAs[Int]("lf_stop"),
+        r.getAs[Int]("lf_rep"), r.getAs[Int]("lf_kw"))
+      assert(got == exp, s"doc $id: got $got expected $exp")
+      val vote = exp._1 + exp._2 + exp._3 + exp._4
+      assert(r.getAs[Int]("vote") == vote)
+      val lbl = if (vote > 0) "keep" else if (vote < 0) "drop" else "abstain"
+      assert(r.getAs[String]("label") == lbl)
+    }
+    val byLabel = out.groupBy(_.getAs[String]("label")).view.mapValues(_.length)
+    assert(byLabel.keySet == Set("keep", "drop", "abstain"),
+      byLabel.toMap.toString) // all three classes populated (measured)
+  }
+
+  test("c12: LF report re-aggregates c11's vote table exactly") {
+    val votes = operators.Curation.weakLabels(spark, sf0001).collect()
+    val n = votes.length.toLong
+    val cols = Seq("lf_len", "lf_stop", "lf_rep", "lf_kw")
+    val exp = cols.map { c =>
+      val vs = votes.map(r => (r.getAs[Int](c), r.getAs[Int]("vote")))
+      val active = vs.count(_._1 != 0).toLong
+      val agree = vs.count { case (v, t) =>
+        (v == 1 && t > 0) || (v == -1 && t < 0) }.toLong
+      val conflict = vs.count { case (v, t) =>
+        (v == 1 && t < 0) || (v == -1 && t > 0) }.toLong
+      c -> ((active, active * 10000 / n, agree * 10000 / n,
+        conflict * 10000 / n))
+    }.toMap
+    val out = operators.Curation.lfReport(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lf") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("coverage_bp"),
+          r.getAs[Long]("agree_bp"), r.getAs[Long]("conflict_bp")))).toMap
+    assert(out == exp, s"got $out expected $exp")
+    // every LF fires somewhere, none is unanimous noise
+    out.values.foreach { case (active, cov, _, _) =>
+      assert(active > 0L && cov > 0L)
+    }
+  }
 }

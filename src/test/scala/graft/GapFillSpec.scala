@@ -114,4 +114,41 @@ class GapFillSpec extends SparkSpecBase {
     assert(out(("view", "error")) == ((1L, 5000L)))
     assert(out(("click", "purchase")) == ((1L, 10000L)))
   }
+
+  test("r32 interval union: overlap merges, containment adds nothing, " +
+      "touching intervals coalesce, zero-duration clamps to 1s") {
+    val dir = mkEvents(Seq(
+      // u1: [0,90) ∪ [60,90) ∪ [0,10) → one island of 90 s;
+      //     [120,125) → a second island of 5 s
+      (1L, 0L, 90.0),   // [0, 90)
+      (1L, 0L, 10.0),   // [0, 10) — wholly contained, adds nothing
+      (1L, 1L, 30.0),   // [60, 90) — overlaps, extends nothing
+      (1L, 2L, 5.9),    // [120, 125) — floor(5.9) = 5; gap → new island
+      // u2: sub-second value clamps to a 1-second hold
+      (2L, 0L, 0.4),
+      // u3: [0,60) then [60,90) — touching merges (start == prev end)
+      (3L, 0L, 60.0),
+      (3L, 1L, 30.0)))
+    val out = operators.Relational.intervalUnion(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("covered_s"), r.getAs[Long]("longest_s")))).toMap
+    assert(out.size == 3, out.keySet.toString)
+    assert(out(1L) == ((4L, 2L, 95L, 90L)), out(1L).toString)
+    assert(out(2L) == ((1L, 1L, 1L, 1L)), out(2L).toString)
+    assert(out(3L) == ((2L, 1L, 90L, 90L)), out(3L).toString)
+  }
+
+  test("r32 vs r30's shape: islands never exceed events, coverage " +
+      "bounded by span, every sf0.001 user present exactly once") {
+    val rows = operators.Relational.intervalUnion(spark, sf0001).collect()
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length == users.length)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_islands") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("longest_s") <= r.getAs[Long]("covered_s"))
+      assert(r.getAs[Long]("covered_s") >= r.getAs[Long]("n_islands"))
+    }
+  }
 }

@@ -582,4 +582,53 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(2).getAs[Boolean]("empty"))
     assert(out(2).getAs[Long]("load_bp") == 0L)
   }
+
+  /** s22: full independent Scala re-derivation on sf0.001 — centroid
+    * milli-ints, milli-quantized cosine, argmax, mean and flag — row
+    * for row against the operator.
+    */
+  test("s22 OOD scrub: Scala re-derivation matches every row; both " +
+      "flag regimes populated") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    val dim = vecs.head._2.length
+    // m04's centroid rule: floor(mean * 1000) per component, BIGINT
+    val cents: Map[Int, Array[Long]] = vecs.groupBy(_._3).map {
+      case (lab, vs) =>
+        lab -> Array.tabulate(dim) { i =>
+          math.floor(vs.map(_._2(i).toDouble).sum / vs.length * 1000).toLong
+        }
+    }
+    def milli(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum.toDouble
+      dot / math.sqrt((a.map(x => x * x).sum * b.map(x => x * x).sum).toDouble)
+    }
+    val best = vecs.map { case (id, emb, lab) =>
+      val mv = milli(emb)
+      val (bl, bc) = cents.toSeq
+        .map { case (cl, mc) => (cl, cos(mv, mc)) }
+        .minBy { case (cl, c) => (-c, cl) }
+      (id, lab, bl, math.floor(bc * 10000).toLong)
+    }
+    val meanBp = best.map(_._4 + 10000L).sum / best.length - 10000L
+    val exp = best.map { case (id, lab, bl, bp) =>
+      id -> ((lab, bl, bp, bp * 10 < meanBp * 8, bl == lab))
+    }.toMap
+    val out = operators.Similarity.oodScrub(spark, sf0001).collect()
+    assert(out.length == exp.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val got = (r.getAs[Int]("label"), r.getAs[Int]("best_label"),
+        r.getAs[Long]("best_cos_bp"), r.getAs[Boolean]("is_ood"),
+        r.getAs[Boolean]("agrees"))
+      assert(got == exp(id), s"vec $id: got $got expected ${exp(id)}")
+    }
+    val flagged = out.count(_.getAs[Boolean]("is_ood"))
+    assert(flagged > 0 && flagged < out.length, s"flagged=$flagged")
+  }
 }
