@@ -176,7 +176,10 @@ object SparkEntry {
     "c11_weak_labels" -> (Curation.weakLabels _),
     "c12_lf_report" -> (Curation.lfReport _),
     "r32_interval_union" -> (Relational.intervalUnion _),
-    "s22_ood_scrub" -> (Similarity.oodScrub _))
+    "s22_ood_scrub" -> (Similarity.oodScrub _),
+    "d16_bloom_gate" -> (Dedup.bloomGate _),
+    "t36_readability" -> (TextOps.readability _),
+    "r33_experiment_readout" -> (Relational.experimentReadout _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -2698,5 +2701,83 @@ FROM documents ORDER BY doc_id""",
 SELECT shard_id, kind, CAST(count(*) AS BIGINT) AS n_items,
   CAST(sum(byte_len) AS BIGINT) AS total_bytes,
   CAST(max(byte_len) AS BIGINT) AS max_bytes
-FROM b GROUP BY 1, 2 ORDER BY shard_id, kind""")
+FROM b GROUP BY 1, 2 ORDER BY shard_id, kind""",
+    // d16: the bloom pre-gate — plants replay as a VALUES union,
+    // m = 1 << (ceil_log2(n_docs + 3) + 2) via length(bin(n-1)),
+    // k = 3 salted md5 positions; Dedup.bloomGate integer-for-integer
+    "d16_bloom_gate" ->
+      raw"""WITH docs AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES
+    (CAST(1000000001 AS BIGINT), 'graft bloom plant alpha alpha'),
+    (CAST(1000000010 AS BIGINT), 'graft bloom plant alpha alpha'),
+    (CAST(1000000020 AS BIGINT), 'graft bloom plant omega unique'))
+    v(doc_id, text)),
+h AS (SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS ch
+  FROM docs),
+c AS (SELECT (CAST(1 AS BIGINT)
+    << (length(bin((SELECT count(*) FROM h) - 1)) + 2)) AS m),
+lake AS (SELECT * FROM h WHERE doc_id % 10 <> 0),
+delta AS (SELECT * FROM h WHERE doc_id % 10 = 0),
+lp AS (SELECT DISTINCT CAST('0x' || substr(md5('bloom'
+      || CAST(i AS VARCHAR) || ch), 1, 8) AS BIGINT)
+    % (SELECT m FROM c) AS pos
+  FROM lake, range(3) r(i)),
+dp AS (SELECT doc_id, CAST('0x' || substr(md5('bloom'
+      || CAST(i AS VARCHAR) || ch), 1, 8) AS BIGINT)
+    % (SELECT m FROM c) AS pos
+  FROM delta, range(3) r(i)),
+hit AS (SELECT dp.doc_id,
+    CAST(count(*) FILTER (WHERE lp.pos IS NOT NULL) AS BIGINT) AS n_hit
+  FROM dp LEFT JOIN lp ON dp.pos = lp.pos GROUP BY 1),
+ex AS (SELECT d.doc_id, (l.ch IS NOT NULL) AS exact_dup
+  FROM delta d LEFT JOIN (SELECT DISTINCT ch FROM lake) l ON d.ch = l.ch)
+SELECT doc_id, n_hit, n_hit = 3 AS bloom_hit, exact_dup,
+  (n_hit = 3 AND NOT exact_dup) AS false_positive
+FROM hit JOIN ex USING (doc_id) ORDER BY doc_id""",
+    // t36: integer-milli Flesch reading ease — whitespace words,
+    // [.!?]+ sentence runs floored at 1, [aeiouy]+ vowel-group
+    // syllable proxy; clamp to [0, 206835] keeps aggregate operands
+    // nonnegative (trunc == floor on both engines)
+    "t36_readability" ->
+      raw"""WITH f AS (SELECT doc_id, lang, source,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+    greatest(CAST(len(regexp_extract_all(trim(text), '[.!?]+')) AS BIGINT),
+      1) AS sents,
+    CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+      AS BIGINT) AS syll
+  FROM documents),
+g AS (SELECT doc_id, lang, source,
+    greatest(CAST(0 AS BIGINT), least(CAST(206835 AS BIGINT),
+      206835 - (1015 * w) // sents - (84600 * syll) // w)) AS fre_milli
+  FROM f)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(CAST(sum(fre_milli) AS BIGINT) // count(*) AS BIGINT)
+    AS mean_fre_milli,
+  CAST(CAST(sum(CASE WHEN fre_milli >= 60000 THEN 1 ELSE 0 END)
+    AS BIGINT) * 10000 // count(*) AS BIGINT) AS easy_share_bp
+FROM g GROUP BY 1, 2 ORDER BY lang, source""",
+    // r33: salted-md5 variant assignment, per-(variant, day) rollup,
+    // floor-cents per purchase event, cumulative window on the
+    // aggregated frame
+    "r33_experiment_readout" ->
+      """WITH e AS (SELECT
+    CASE WHEN CAST('0x' || substr(md5('exp1'
+        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+      THEN 'control' ELSE 'treatment' END AS variant,
+    CAST(ts AS DATE) AS day, user_id, event_type,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+d AS (SELECT variant, day,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      AS n_purchases,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      AS BIGINT) AS revenue_cents
+  FROM e GROUP BY 1, 2)
+SELECT variant, day, n_users, n_events, n_purchases, revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY variant ORDER BY day)
+    AS BIGINT) AS cum_revenue_cents
+FROM d ORDER BY variant, day""")
 }

@@ -1495,6 +1495,90 @@ object Dedup {
       .orderBy(col("band"))
   }
 
+  /** d16 plant rows: a lake doc (%10 ≠ 0) with a delta twin (%10 = 0,
+    * the guaranteed exact-dup/bloom-hit regime — the base corpus has
+    * NO exact dup straddling the d10 lake/delta split at any test SF,
+    * measured) and a unique delta doc (the clean-miss regime).
+    * Content-deterministic literals; the oracle replays them as a
+    * VALUES union (the d05/d15 plant discipline).
+    */
+  private[graft] val bloomPlantRows: Seq[(Long, String)] = Seq(
+    (1000000001L, "graft bloom plant alpha alpha"),
+    (1000000010L, "graft bloom plant alpha alpha"),
+    (1000000020L, "graft bloom plant omega unique"))
+
+  /** Bloom layout: k salted hash functions into m bits, m = 4 × the
+    * next power of two ≥ n (integer rule both engines replay:
+    * 1 << (⌈log₂ n⌉ + 2) ↔ DuckDB 1 << (length(bin(n-1)) + 2)).
+    * Undersized ON PURPOSE relative to the classic m ≈ 10n·k/ln2
+    * sizing so the gate's false-positive regime is populated at test
+    * SFs (fill ≈ 1−e^(−kn'/m) ≈ 0.3 for the 90 % lake share → FPR
+    * ≈ 3 %); production picks m per its FPR budget — the AUDIT is
+    * what this operator is.
+    */
+  private[graft] val BloomK = 3
+  private[graft] def bloomBits(n: Long): Long = 1L << (ceilLog2(n) + 2)
+
+  /** The k salted bit positions of a content-hash column. */
+  private[graft] def bloomPositions(ch: Column, m: Long): Column =
+    array((0 until BloomK).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bloom$i"), ch)), 1, 8), 16, 10)
+        .cast("long"), lit(m))): _*)
+
+  /** d16 — BLOOM membership pre-gate + false-positive audit: the
+    * cheap set-membership filter a 100 TB ingest runs IN FRONT of
+    * d10's exact incremental dedup (a bloom miss proves the content
+    * is new — no lake join needed; only hits pay the exact check),
+    * with the audit that prices the filter: per delta doc, how many
+    * of its k salted bit positions are set in the lake's bloom
+    * (n_hit), whether all k are (bloom_hit — the "maybe seen" that
+    * must go to the exact stage), whether it truly is in the lake
+    * (exact_dup), and the cost signal false_positive = bloom_hit ∧
+    * ¬exact_dup. exact_dup ⇒ bloom_hit always (same content hash →
+    * same positions; a bloom has no false negatives) — spec-pinned.
+    *
+    * Scale shape: the bloom bit SET is the fold grain — position
+    * set-union is mergeable per batch (the streaming twin folds
+    * exactly it; a real deployment packs it to an m-bit bitmap, the
+    * relational row-set here has identical semantics), sized by the
+    * integer [[bloomBits]] rule off TableStats (never a bare count
+    * job). The probe is a key-equality join on the position (≤ 4n
+    * distinct rows lake-side, ~k rows delta-side per doc); the exact
+    * check is d10's semi-shaped hash join. No similarity machinery,
+    * no window — the gate is strictly cheaper than the stage it
+    * shields.
+    */
+  def bloomGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = base.union(s.createDataFrame(bloomPlantRows)
+      .toDF("doc_id", "text"))
+    val n = nDocs(s, dir) + bloomPlantRows.size
+    val m = bloomBits(n)
+    // referenced by the lake bit set, the delta probe and the exact
+    // check — cache the narrow (id, hash) projection
+    val hashed = docs
+      .select(col("doc_id"), md5(Text.normalize(col("text"))).as("ch"))
+      .cache()
+    val lake = hashed.filter(col("doc_id") % 10 =!= 0)
+    val delta = hashed.filter(col("doc_id") % 10 === 0)
+    val lakeBits = lake.select(explode(bloomPositions(col("ch"), m)).as("pos"))
+      .distinct().withColumn("set_bit", lit(true))
+    val hits = delta
+      .select(col("doc_id"), explode(bloomPositions(col("ch"), m)).as("pos"))
+      .join(lakeBits, Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("set_bit"), 1L).otherwise(0L)).as("n_hit"))
+    val lakeHashes = lake.select(col("ch")).distinct()
+      .withColumn("in_lake", lit(true))
+    delta.join(lakeHashes, Seq("ch"), "left")
+      .join(hits, "doc_id")
+      .select(col("doc_id"), col("n_hit"),
+        (col("n_hit") === BloomK).as("bloom_hit"),
+        coalesce(col("in_lake"), lit(false)).as("exact_dup"))
+      .withColumn("false_positive", col("bloom_hit") && !col("exact_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
     * deliberately NOT in the driver inventory: O(n²) does not scale.
     */

@@ -1142,4 +1142,47 @@ object Relational {
         max(col("i_end") - col("i_start")).cast("long").as("longest_s"))
       .orderBy(col("user_id"))
   }
+
+  /** r33 — A/B EXPERIMENT daily readout: users deterministically
+    * assigned to control/treatment by salted hash (the standard
+    * experiment bucketing — assignment is a pure function of
+    * (salt, user), so it is stable across days, replayable by any
+    * engine, and needs no assignment table), then the per-(variant,
+    * day) monitoring table every experimentation platform renders:
+    * exposed users, events, purchases, purchase revenue (floor-cents
+    * per event — the money rule) and the CUMULATIVE revenue curve.
+    * The even user split doubles as the sample-ratio-mismatch check
+    * (a skewed n_users column is the first thing an experiment
+    * review looks at).
+    *
+    * Scale: assignment is row-local; ONE map-combinable (variant,
+    * day) aggregate over the event stream (countDistinct users
+    * shuffles the (variant, day, user) grain — still one exchange);
+    * the cumulative window runs on the AGGREGATED frame (2·days
+    * rows), never on raw events — a per-variant running window over
+    * the corpus would be the r09 skew class, over the daily rollup
+    * it is free at any corpus size.
+    */
+  def experimentReadout(s: SparkSession, dir: String): DataFrame = {
+    val variant = when(
+      pmod(conv(substring(md5(concat(lit("exp1"),
+        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(2L)) === 0L, "control").otherwise("treatment")
+    val daily = Tables.events(s, dir)
+      .select(variant.as("variant"), to_date(col("ts")).as("day"),
+        col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("variant"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).cast("long").as("revenue_cents"))
+    daily
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(Window.partitionBy(col("variant"))
+          .orderBy(col("day"))).cast("long"))
+      .orderBy(col("variant"), col("day"))
+  }
 }

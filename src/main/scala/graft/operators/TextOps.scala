@@ -1129,4 +1129,58 @@ object TextOps {
           .as("sgn"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sgn")).cast("long").as("weight"))
+
+  /** t36 — READABILITY profile per (lang, source): integer-milli
+    * Flesch reading-ease over whitespace words, sentence runs
+    * ([.!?]+ matches, floored at 1) and a vowel-group syllable proxy
+    * ([aeiouy]+ runs — the standard dictionary-free estimator; vowel
+    * runs never span whitespace, so counting them over the whole doc
+    * equals the per-word sum). Education-level/readability bands are
+    * a first-class pretraining curation signal (quality-classifier
+    * features and kids/textbook-style subset mining both key off
+    * them); this is the per-slice report a mix plan reads next to
+    * t02/t14. Per doc:
+    *   fre_milli = clamp(206835 − ⌊1015·w/s⌋ − ⌊84600·syll/w⌋,
+    *               0, 206835)
+    * (the classic 206.835 − 1.015·(w/s) − 84.6·(syll/w) in exact
+    * milli units; the clamp is the conventional 0–100 range AND keeps
+    * every aggregate operand nonnegative so trunc-vs-floor division
+    * can never diverge cross-engine). Slice rows: doc count, mean
+    * fre (integer DIV), share of docs in the classic "easy" band
+    * (fre ≥ 60) in bp.
+    *
+    * Scale: row-local projection → ONE map-combinable (lang, source)
+    * aggregate — parquet-scan speed, |langs|·|sources| output rows at
+    * any corpus size; integer DIV only on aggregate operands (a
+    * float mean would diverge in addition order).
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityFrame(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fre_milli")).as("sf"),
+        sum(when(col("fre_milli") >= 60000L, 1L).otherwise(0L)).as("ne"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("sf DIV n_docs").as("mean_fre_milli"),
+        expr("(ne * 10000) DIV n_docs").as("easy_share_bp"))
+      .orderBy(col("lang"), col("source"))
+
+  /** t36's per-doc frame (spec surface): doc_id, lang, source, word/
+    * sentence/syllable counts and the clamped integer-milli FRE.
+    */
+  private[graft] def readabilityFrame(s: SparkSession,
+      dir: String): DataFrame = {
+    val w = size(Text.tokens(col("text"))).cast("long")
+    val sents = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val syll = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        w.as("n_words"), sents.as("n_sents"), syll.as("n_syll"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_words"), col("n_sents"), col("n_syll"),
+        greatest(lit(0L), least(lit(206835L),
+          lit(206835L) - expr("(1015 * n_words) DIV n_sents")
+            - expr("(84600 * n_syll) DIV n_words"))).as("fre_milli"))
+  }
 }

@@ -582,4 +582,30 @@ class DedupSpec extends SparkSpecBase {
       r.getAs[Long]("dup_of") % 50 == 0))
     assert(out.forall(_.getAs[Long]("cos_bp") >= 9000))
   }
+
+  test("d16 bloom gate: no false negatives, all regimes populated") {
+    val out = operators.Dedup.bloomGate(spark, sf0001).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every delta row; plants included
+    assert(out.forall(_.getAs[Long]("doc_id") % 10 == 0))
+    assert(out.forall { r =>
+      val h = r.getAs[Long]("n_hit"); h >= 0L && h <= 3L
+    })
+    // a bloom filter has NO false negatives: exact_dup ⇒ bloom_hit
+    assert(out.forall(r =>
+      !r.getAs[Boolean]("exact_dup") || r.getAs[Boolean]("bloom_hit")))
+    // false_positive is exactly bloom_hit ∧ ¬exact_dup
+    assert(out.forall(r => r.getAs[Boolean]("false_positive") ==
+      (r.getAs[Boolean]("bloom_hit") && !r.getAs[Boolean]("exact_dup"))))
+    // the planted lake twin is the guaranteed exact-dup regime
+    val dup = byId(1000000010L)
+    assert(dup.getAs[Boolean]("bloom_hit") && dup.getAs[Boolean]("exact_dup")
+      && !dup.getAs[Boolean]("false_positive"))
+    assert(!byId(1000000020L).getAs[Boolean]("exact_dup"))
+    // the deliberately-undersized bloom populates the FP regime at
+    // every test SF (measured: 4 at sf0.001)
+    assert(out.exists(_.getAs[Boolean]("false_positive")))
+    // and misses exist too — the gate actually filters
+    assert(out.exists(r => !r.getAs[Boolean]("bloom_hit")))
+  }
 }

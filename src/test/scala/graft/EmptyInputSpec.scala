@@ -119,4 +119,18 @@ class EmptyInputSpec extends SparkSpecBase {
       7 -> ((2L, 10000L))), rows.toString)
   }
 
+  test("d16 on empty input returns exactly its two planted delta rows") {
+    // n = 0 + 3 plants → m = 1 << (⌈log₂3⌉+2) = 16; the dup twin's
+    // positions {9,10,15} all set by its lake plant, the clean plant's
+    // {0,13,14} all clear — replayed from the md5 arithmetic by hand
+    val rows = operators.Dedup.bloomGate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Boolean]("bloom_hit"),
+          r.getAs[Boolean]("exact_dup"),
+          r.getAs[Boolean]("false_positive")))).toMap
+    assert(rows == Map(
+      1000000010L -> ((3L, true, true, false)),
+      1000000020L -> ((0L, false, false, false))), rows.toString)
+  }
+
 }

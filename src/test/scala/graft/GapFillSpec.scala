@@ -151,4 +151,38 @@ class GapFillSpec extends SparkSpecBase {
       assert(r.getAs[Long]("covered_s") >= r.getAs[Long]("n_islands"))
     }
   }
+
+  test("r33 experiment readout: hand-walked daily rollup, md5 variants, " +
+      "floor-cents revenue and cumulative curve") {
+    // md5('exp1'||uid) % 2 assignment (replayed offline): u1, u3 →
+    // control; u2, u4 → treatment
+    val d = Files.createTempDirectory("graft-r33").toString
+    val day2 = 24L * 60L // minute offset of day 2
+    Seq(
+      (0L, tsNs(0), 1L, "purchase", 1.999, "{}"),    // ctl d1: 199 cents
+      (1L, tsNs(5), 1L, "view", 9.99, "{}"),         // ctl d1: not revenue
+      (2L, tsNs(10), 3L, "purchase", 0.011, "{}"),   // ctl d1: 1 cent
+      (3L, tsNs(day2), 1L, "purchase", 2.00, "{}"),  // ctl d2: 200
+      (4L, tsNs(1), 2L, "purchase", 5.555, "{}"),    // trt d1: 555
+      (5L, tsNs(2), 4L, "click", 3.0, "{}"),         // trt d1: not revenue
+      (6L, tsNs(day2 + 1), 2L, "view", 1.0, "{}"))   // trt d2: 0 revenue
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val out = operators.Relational.experimentReadout(spark, d).collect()
+      .map(r => (r.getAs[String]("variant"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("cum_revenue_cents")))).toMap
+    assert(out.size == 4, out.keySet.toString)
+    assert(out(("control", "2024-01-01")) == ((2L, 3L, 2L, 200L, 200L)),
+      out.toString)
+    assert(out(("control", "2024-01-02")) == ((1L, 1L, 1L, 200L, 400L)),
+      out.toString)
+    assert(out(("treatment", "2024-01-01")) == ((2L, 2L, 1L, 555L, 555L)),
+      out.toString)
+    // a zero-revenue day still rides the cumulative curve
+    assert(out(("treatment", "2024-01-02")) == ((1L, 1L, 0L, 0L, 555L)),
+      out.toString)
+  }
 }

@@ -471,4 +471,32 @@ class TextOpsSpec extends SparkSpecBase {
     // all three buckets populated on the real corpus (score spread)
     assert(rows.map(_.getAs[Int]("tercile")).toSet == Set(0, 1, 2))
   }
+
+  test("t36 readability: hand-walked FRE milli, clamp, and slice rollup") {
+    val dir = mkDocs(Seq(
+      // w=5 (trailing '.' rides its token), sents=2, syll groups:
+      // he-llo(2) w-o-rld(1) it(1) is(1) g-oo-d(1) = 6
+      // fre = 206835 - (1015*5) div 2 - (84600*6) div 5
+      //     = 206835 - 2537 - 101520 = 102778 → easy (≥ 60000)
+      (1L, "Hello world. It is good.", "en"),
+      // vowel-free single token: w=1, sents floored at 1, syll=0
+      // fre = 206835 - 1015 - 0 = 205820 → easy
+      (2L, "zzz", "en"),
+      // 300 words, one sentence run → 206835 - 304500 - … < 0 → clamp 0
+      (3L, (1 to 300).map(_ => "bla").mkString(" ") + "!", "de")))
+    val perDoc = operators.TextOps.readabilityFrame(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"),
+          r.getAs[Long]("n_syll"), r.getAs[Long]("fre_milli")))).toMap
+    assert(perDoc(1L) == ((5L, 2L, 6L, 102778L)), perDoc(1L).toString)
+    assert(perDoc(2L) == ((1L, 1L, 0L, 205820L)), perDoc(2L).toString)
+    assert(perDoc(3L)._4 == 0L, perDoc(3L).toString) // clamped
+    val out = operators.TextOps.readability(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_fre_milli"),
+          r.getAs[Long]("easy_share_bp")))).toMap
+    // en slice: mean = (102778 + 205820) div 2, both docs easy
+    assert(out(("en", "s")) == ((2L, 154299L, 10000L)), out.toString)
+    assert(out(("de", "s")) == ((1L, 0L, 0L)), out.toString)
+  }
 }
