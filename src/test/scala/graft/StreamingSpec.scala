@@ -1196,4 +1196,86 @@ class StreamingSpec extends SparkSpecBase {
       outDir2, batchId = 0L)
     assert(spark.read.parquet(outDir2).count() == 3)
   }
+
+  test("bloom gate stream: seeded classify core equals batch d16") {
+    import graft.streaming.BloomGateStream
+    val bloomDir = Files.createTempDirectory("graft-bloom-idx").toString
+    // rebuild d16's exact inputs: corpus ∪ plants, d10's lake/delta
+    // split, m from n + 3 — the classify core must reproduce the
+    // contract query row-for-row
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(spark.createDataFrame(operators.Dedup.bloomPlantRows)
+        .toDF("doc_id", "text"))
+    val m = operators.Dedup.bloomBits(docs.count())
+    BloomGateStream.seed(docs.filter($"doc_id" % 10 =!= 0), bloomDir, m)
+    assert(BloomGateStream.frozenM(spark, bloomDir) == m)
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup"),
+        r.getAs[Boolean]("false_positive"))).toSet
+    val streamed = asSet(BloomGateStream.classifyBatch(
+      docs.filter($"doc_id" % 10 === 0),
+      BloomGateStream.readBits(spark, bloomDir),
+      BloomGateStream.readHashes(spark, bloomDir), m))
+    val batch = asSet(operators.Dedup.bloomGate(spark, sf0001))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
+  test("bloom gate stream: folds bits across batches, catches a " +
+      "cross-batch duplicate, idempotent under re-delivery") {
+    import graft.streaming.BloomGateStream
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    val inDir = Files.createTempDirectory("graft-bloom-in").toString
+    val outDir = Files.createTempDirectory("graft-bloom-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-bloom-ck").toString
+    val bloomDir = Files.createTempDirectory("graft-bloom-idx2").toString
+    val a = "alpha beta gamma delta epsilon"
+    val c = "fresh words never seen before anywhere"
+    def asDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the lake: two docs (ids 1, 2 — the %10 ≠ 0 slice)
+    asDocs(Seq((1L, a), (2L, "some other lake content here")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // batch 1 arrives: an exact lake copy + a new doc
+    asDocs(Seq((10L, a), (20L, c)))
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = BloomGateStream.startFolding(spark, inDir, dir, outDir, ckDir,
+      bloomDir)
+    try q.awaitTermination() finally q.stop()
+    // batch 2 arrives LATER: a copy of batch 1's new doc — only the
+    // FOLD can catch it (it is not in the lake) — plus a fresh one
+    asDocs(Seq((30L, c), (40L, "yet another novel document text")))
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q2 = BloomGateStream.startFolding(spark, inDir, dir, outDir, ckDir,
+      bloomDir)
+    try q2.awaitTermination() finally q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup"),
+          r.getAs[Boolean]("false_positive")))).toMap
+    assert(out.size == 4, out.toString)
+    assert(out(10L) == ((true, true, false)), out.toString)  // lake copy
+    assert(out(30L) == ((true, true, false)), out.toString)  // folded copy
+    assert(!out(20L)._2 && !out(40L)._2, out.toString)       // genuinely new
+    // no false negatives ever: exact_dup ⇒ bloom_hit
+    assert(out.values.forall(v => !v._2 || v._1))
+    // at-least-once crash shape: the SAME batch id re-delivered —
+    // classification excludes the batch's own folded delta, so even
+    // after a partial fold the replayed output and store state are
+    // identical (overwrite, union-idempotent fold)
+    val m = BloomGateStream.frozenM(spark, bloomDir)
+    val bitsBefore = BloomGateStream.readBits(spark, bloomDir).count()
+    val outDir2 = Files.createTempDirectory("graft-bloom-out2").toString + "/out"
+    val replay = asDocs(Seq((30L, c), (40L, "yet another novel document text")))
+    BloomGateStream.writeBatchFold(replay, bloomDir, outDir2, batchId = 1L, m)
+    val once = spark.read.parquet(outDir2).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    BloomGateStream.writeBatchFold(replay, bloomDir, outDir2, batchId = 1L, m)
+    assert(spark.read.parquet(outDir2).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == once)
+    assert(BloomGateStream.readBits(spark, bloomDir).count() == bitsBefore)
+  }
 }
