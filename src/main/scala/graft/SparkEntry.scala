@@ -179,7 +179,9 @@ object SparkEntry {
     "s22_ood_scrub" -> (Similarity.oodScrub _),
     "d16_bloom_gate" -> (Dedup.bloomGate _),
     "t36_readability" -> (TextOps.readability _),
-    "r33_experiment_readout" -> (Relational.experimentReadout _))
+    "r33_experiment_readout" -> (Relational.experimentReadout _),
+    "t37_lang_confusion" -> (TextOps.langConfusion _),
+    "r34_volume_anomaly" -> (Relational.volumeAnomaly _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -2779,5 +2781,48 @@ d AS (SELECT variant, day,
 SELECT variant, day, n_users, n_events, n_purchases, revenue_cents,
   CAST(sum(revenue_cents) OVER (PARTITION BY variant ORDER BY day)
     AS BIGINT) AS cum_revenue_cents
-FROM d ORDER BY variant, day""")
+FROM d ORDER BY variant, day""",
+    // t37: t03's marker-word prediction CTE verbatim, re-aggregated
+    // into the (labeled, predicted) matrix; row share on the tiny
+    // aggregated frame
+    "t37_lang_confusion" ->
+      raw"""WITH c AS (SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|with|fast)\b')) AS INT) AS c_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|mit)\b')) AS INT) AS c_de,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|por)\b')) AS INT) AS c_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|est|avec)\b')) AS INT) AS c_fr
+  FROM documents),
+x AS (SELECT doc_id, lang, greatest(c_en, c_de, c_es, c_fr) AS m,
+    * EXCLUDE (doc_id, lang) FROM c),
+p AS (SELECT lang AS labeled_lang,
+    CASE WHEN c_en = m AND c_en > 0 THEN 'en'
+         WHEN c_de = m AND c_de > 0 THEN 'de'
+         WHEN c_es = m AND c_es > 0 THEN 'es'
+         WHEN c_fr = m AND c_fr > 0 THEN 'fr'
+         ELSE 'und' END AS predicted_lang
+  FROM x),
+g AS (SELECT labeled_lang, predicted_lang,
+    CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2)
+SELECT labeled_lang, predicted_lang, n_docs,
+  (n_docs * 10000) // CAST(sum(n_docs)
+    OVER (PARTITION BY labeled_lang) AS BIGINT) AS row_share_bp
+FROM g ORDER BY labeled_lang, predicted_lang""",
+    // r34: (type, day) pre-aggregate, per-type rollup, 1-row frontier;
+    // max_by ties impossible (day unique within type)
+    "r34_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+f AS (SELECT max(day) AS frontier_day FROM daily),
+p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(n) AS BIGINT) AS total_events,
+    min(day) AS first_day, max(day) AS last_day,
+    CAST(max_by(n, day) AS BIGINT) AS last_day_events
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, total_events, first_day, last_day,
+  total_events // n_days AS mean_daily, last_day_events,
+  (last_day_events * 10000) // (total_events // n_days)
+    AS last_vs_mean_bp,
+  CAST(frontier_day - last_day AS BIGINT) AS stale_days
+FROM p, f ORDER BY event_type""")
 }

@@ -1185,4 +1185,43 @@ object Relational {
           .orderBy(col("day"))).cast("long"))
       .orderBy(col("variant"), col("day"))
   }
+
+  /** r34 — VOLUME/FRESHNESS anomaly report per event type: the
+    * data-observability table a 100 TB ingest reads before anything
+    * downstream is trusted — per type: active days, total volume,
+    * integer mean daily rate, the LAST day's volume vs that mean in
+    * bp (a collapsed producer shows a cratered ratio long before a
+    * schema check fires), and staleness in days behind the stream's
+    * global frontier (a type whose producer died keeps a frozen
+    * last_day while the frontier advances).
+    *
+    * Scale: one scan → (event_type, day) map-combinable pre-aggregate
+    * → |types|-row per-type rollup; the global frontier is a 1-row
+    * aggregate of the TINY daily frame broadcast back (the t14/c09
+    * totals pattern) — no window over raw events anywhere.
+    */
+  def volumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      // referenced by the per-type rollup AND the 1-row frontier
+      .cache()
+    val frontier = daily.agg(max(col("day")).as("frontier_day"))
+    val perType = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n")).cast("long").as("total_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        max_by(col("n"), col("day")).cast("long").as("last_day_events"))
+    perType.crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        col("first_day"), col("last_day"),
+        expr("total_events DIV n_days").as("mean_daily"),
+        col("last_day_events"),
+        expr("(last_day_events * 10000) DIV (total_events DIV n_days)")
+          .as("last_vs_mean_bp"),
+        datediff(col("frontier_day"), col("last_day")).cast("long")
+          .as("stale_days"))
+      .orderBy(col("event_type"))
+  }
 }

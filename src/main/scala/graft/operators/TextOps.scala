@@ -1165,6 +1165,35 @@ object TextOps {
         expr("(ne * 10000) DIV n_docs").as("easy_share_bp"))
       .orderBy(col("lang"), col("source"))
 
+  /** t37 — LANGUAGE-LABEL CONFUSION matrix: the stored `lang` label
+    * audited against t03's marker-word language-ID, one row per
+    * (labeled, predicted) cell with the row-share of the label in bp
+    * — the label-quality monitor every multilingual corpus runs
+    * before TRUSTING its lang column for mix planning (t14) or
+    * per-lang sampling (t11): a mislabeled slice shows up as
+    * off-diagonal mass concentrated in one cell, a weak heuristic as
+    * mass in the 'und' column. Complements s22's `agrees` (vector-
+    * space mislabel audit) on the text side.
+    *
+    * Scale: predicted lang is the row-local t03 projection (fixed
+    * regex set, scan speed) → ONE map-combinable (labeled, predicted)
+    * aggregate; the row-share window runs on the AGGREGATED matrix
+    * (≤ |langs|·(|langs|+1) rows) — never a corpus-sized window.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang").as("labeled_lang"),
+        Text.langId(col("text")).as("predicted_lang"))
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("lang_total", sum(col("n_docs"))
+        .over(Window.partitionBy(col("labeled_lang"))))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        expr("(n_docs * 10000) DIV lang_total").as("row_share_bp"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
   /** t36's per-doc frame (spec surface): doc_id, lang, source, word/
     * sentence/syllable counts and the clamped integer-milli FRE.
     */

@@ -185,4 +185,32 @@ class GapFillSpec extends SparkSpecBase {
     assert(out(("treatment", "2024-01-02")) == ((1L, 1L, 0L, 0L, 555L)),
       out.toString)
   }
+
+  test("r34 volume anomaly: hand-walked rates, spike ratio and staleness") {
+    val d = Files.createTempDirectory("graft-r34").toString
+    val day = 24L * 60L
+    // type A: days 1..3 with 2/1/3 events (frontier day 3, spike on
+    // the last day); type B: day 1 only with 4 events → 2 days stale
+    Seq(
+      (0L, tsNs(0), 1L, "A", 1.0, "{}"), (1L, tsNs(5), 2L, "A", 1.0, "{}"),
+      (2L, tsNs(day), 1L, "A", 1.0, "{}"),
+      (3L, tsNs(2 * day), 1L, "A", 1.0, "{}"),
+      (4L, tsNs(2 * day + 1), 2L, "A", 1.0, "{}"),
+      (5L, tsNs(2 * day + 2), 3L, "A", 1.0, "{}"),
+      (6L, tsNs(1), 1L, "B", 1.0, "{}"), (7L, tsNs(2), 2L, "B", 1.0, "{}"),
+      (8L, tsNs(3), 3L, "B", 1.0, "{}"), (9L, tsNs(4), 4L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val out = operators.Relational.volumeAnomaly(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("total_events"),
+          r.getAs[Long]("mean_daily"), r.getAs[Long]("last_day_events"),
+          r.getAs[Long]("last_vs_mean_bp"), r.getAs[Long]("stale_days"))))
+      .toMap
+    assert(out.size == 2, out.toString)
+    // A: mean = 6 div 3 = 2, last day 3 events → 15000 bp, fresh
+    assert(out("A") == ((3L, 6L, 2L, 3L, 15000L, 0L)), out.toString)
+    // B: one active day, flat ratio, 2 days behind the frontier
+    assert(out("B") == ((1L, 4L, 4L, 4L, 10000L, 2L)), out.toString)
+  }
 }

@@ -39,7 +39,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "t15_mix_resample" -> "1-row min-language-count broadcast (t14's pattern)",
     "c09_token_budget" -> "1-row budget/weight-sum totals broadcast over the |sources|-row frame (t14's pattern); the only corpus-sized work is one scan-aggregate",
     "r12_approx_stats" -> "1-row max-cents broadcast sizing the histogram width (t09 pattern); KMV and bucket joins are key-equality on status",
-    "s22_ood_scrub" -> "OOD scoring: vector scan × broadcast K-row centroid table (s03's shape; struct-argmax collapses the fan-out before the shuffle) + 1-row corpus-mean broadcast (t09 pattern)")
+    "s22_ood_scrub" -> "OOD scoring: vector scan × broadcast K-row centroid table (s03's shape; struct-argmax collapses the fan-out before the shuffle) + 1-row corpus-mean broadcast (t09 pattern)",
+    "r34_volume_anomaly" -> "1-row frontier-day broadcast over the |types|-row rollup (t09 pattern); all corpus-sized work is one (type, day) map-combinable aggregate")
 
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name plans no cartesian/nested-loop join" +

@@ -499,4 +499,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(("en", "s")) == ((2L, 154299L, 10000L)), out.toString)
     assert(out(("de", "s")) == ((1L, 0L, 0L)), out.toString)
   }
+
+  test("t37 lang confusion: hand-walked matrix cells and row shares") {
+    val dir = mkDocs(Seq(
+      (1L, "the fast cat and the dog", "en"),      // en → en
+      (2L, "der hund und die katze nicht", "en"),  // en → de (mislabel)
+      (3L, "xyzzy qwerty", "de"),                  // de → und (no markers)
+      (4L, "el que la los por", "es")))            // es → es
+    val out = operators.TextOps.langConfusion(spark, dir).collect()
+      .map(r => (r.getAs[String]("labeled_lang"),
+        r.getAs[String]("predicted_lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("row_share_bp")))).toMap
+    assert(out.size == 4, out.toString)
+    // the en label row splits 50/50 between the true cell and the
+    // planted mislabel ('hund' must NOT match \bund\b — boundary)
+    assert(out(("en", "en")) == ((1L, 5000L)), out.toString)
+    assert(out(("en", "de")) == ((1L, 5000L)), out.toString)
+    assert(out(("de", "und")) == ((1L, 10000L)), out.toString)
+    assert(out(("es", "es")) == ((1L, 10000L)), out.toString)
+  }
 }
