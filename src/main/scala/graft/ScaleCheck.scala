@@ -186,6 +186,12 @@ object ScaleCheck {
         .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("p"))
         .head().getLong(0)
     }
+    def d16FpBp(dir: String): Long = {
+      val r = Dedup.bloomGate(s, dir)
+        .agg(sum(when(col("false_positive"), 1L).otherwise(0L)).as("fp"),
+          count(lit(1)).as("n")).head()
+      r.getAs[Long]("fp") * 10000L / math.max(r.getAs[Long]("n"), 1L)
+    }
     def trimBp(dir: String): Long = {
       val df = operators.TextOps.tfidf(s, dir)
       df.collect()
@@ -304,6 +310,12 @@ object ScaleCheck {
       Growth("r27_grid",
         cand(baseDir, operators.Relational.gapFill),
         cand(bigDir, operators.Relational.gapFill)),
+      // d16's false-positive share in bp: m = 1<<(⌈log₂ n⌉+2) grows
+      // WITH the corpus, so the filter's fill — and with it the FP
+      // rate — stays bounded as the lake inflates (a pinned m would
+      // saturate toward 10000 bp); pow2 wobble moves the constant,
+      // never the boundedness
+      Growth("d16_fp_bp", d16FpBp(baseDir), d16FpBp(bigDir)),
       // t30's novel-window volume: rotation preserves within-copy
       // window structure and cross-copy windows never collide ⇒ each
       // copy's novel set replicates ⇒ ~×factor

@@ -181,7 +181,8 @@ object SparkEntry {
     "t36_readability" -> (TextOps.readability _),
     "r33_experiment_readout" -> (Relational.experimentReadout _),
     "t37_lang_confusion" -> (TextOps.langConfusion _),
-    "r34_volume_anomaly" -> (Relational.volumeAnomaly _))
+    "r34_volume_anomaly" -> (Relational.volumeAnomaly _),
+    "c13_lf_correlation" -> (Curation.lfCorrelation _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -2824,5 +2825,25 @@ SELECT event_type, n_days, total_events, first_day, last_day,
   (last_day_events * 10000) // (total_events // n_days)
     AS last_vs_mean_bp,
   CAST(frontier_day - last_day AS BIGINT) AS stale_days
-FROM p, f ORDER BY event_type""")
+FROM p, f ORDER BY event_type""",
+    // c13: c11's votes paired (6 unordered LF pairs); overlap/agree/
+    // conflict per pair — Snorkel LFAnalysis' pairwise half
+    "c13_lf_correlation" ->
+      (s"""WITH t AS (SELECT doc_id, $docTokens AS toks FROM documents),
+""" + weakLabelCtes + """,
+p AS (SELECT 'lf_kw' AS lf_a, 'lf_len' AS lf_b, lf_kw AS va, lf_len AS vb FROM v
+  UNION ALL SELECT 'lf_kw', 'lf_rep', lf_kw, lf_rep FROM v
+  UNION ALL SELECT 'lf_kw', 'lf_stop', lf_kw, lf_stop FROM v
+  UNION ALL SELECT 'lf_len', 'lf_rep', lf_len, lf_rep FROM v
+  UNION ALL SELECT 'lf_len', 'lf_stop', lf_len, lf_stop FROM v
+  UNION ALL SELECT 'lf_rep', 'lf_stop', lf_rep, lf_stop FROM v)
+SELECT lf_a, lf_b,
+  CAST(count(*) FILTER (va <> 0 AND vb <> 0) AS BIGINT) AS n_overlap,
+  CAST(count(*) FILTER (va <> 0 AND vb <> 0)
+    * 10000 // count(*) AS BIGINT) AS overlap_bp,
+  CAST(count(*) FILTER (va <> 0 AND va = vb)
+    * 10000 // count(*) AS BIGINT) AS agree_bp,
+  CAST(count(*) FILTER (va * vb < 0)
+    * 10000 // count(*) AS BIGINT) AS conflict_bp
+FROM p GROUP BY lf_a, lf_b ORDER BY lf_a, lf_b"""))
 }

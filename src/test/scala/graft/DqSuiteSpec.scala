@@ -232,4 +232,30 @@ class DqSuiteSpec extends SparkSpecBase {
       assert(active > 0L && cov > 0L)
     }
   }
+
+  test("c13: pairwise LF correlation re-aggregates c11's votes exactly") {
+    val votes = operators.Curation.weakLabels(spark, sf0001).collect()
+    val n = votes.length.toLong
+    val cols = Seq("lf_kw", "lf_len", "lf_rep", "lf_stop")
+    val exp = (for {
+      a <- cols; b <- cols if a < b
+    } yield {
+      val vs = votes.map(r => (r.getAs[Int](a), r.getAs[Int](b)))
+      val overlap = vs.count { case (va, vb) => va != 0 && vb != 0 }.toLong
+      val agree = vs.count { case (va, vb) => va != 0 && va == vb }.toLong
+      val conflict = vs.count { case (va, vb) => va * vb < 0 }.toLong
+      (a, b) -> ((overlap, overlap * 10000 / n, agree * 10000 / n,
+        conflict * 10000 / n))
+    }).toMap
+    val out = operators.Curation.lfCorrelation(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lf_a"), r.getAs[String]("lf_b")) ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Long]("overlap_bp"),
+          r.getAs[Long]("agree_bp"), r.getAs[Long]("conflict_bp")))).toMap
+    assert(out == exp, s"got $out expected $exp")
+    assert(out.size == 6) // all unordered pairs of the 4 LFs
+    // the matrix is informative: some pair overlaps, some pair
+    // disagrees somewhere (measured at every SF)
+    assert(out.values.exists(_._1 > 0L))
+    assert(out.values.exists(_._4 > 0L))
+  }
 }

@@ -307,6 +307,18 @@ class ScaleSpec extends SparkSpecBase {
       s"s18 rows ${g.base} -> ${g.inflated}: K-row bound broken")
   }
 
+  test("d16 bloom FP share stays bounded as the corpus inflates " +
+      "(adaptive m)") {
+    val g = growth("d16_fp_bp")
+    // the integer m rule re-sizes the filter with the corpus, holding
+    // fill ≈ k·0.9n/4·2^⌈log₂n⌉ ∈ [0.34, 0.68) and FPR ≈ fill³ well
+    // under 20% at ANY n (measured: 0 bp at n=200, ~1100 bp at
+    // n=2000); a filter PINNED at the base m would saturate toward
+    // 10000 bp at 10× fill
+    assert(g.base <= 2000 && g.inflated <= 2000,
+      s"d16 FP share ${g.base}bp -> ${g.inflated}bp: filter saturating")
+  }
+
   test("s21 distortion report stays nSub·K rows as the corpus inflates") {
     val g = growth("s21_report_rows")
     assert(g.base == 64 && g.inflated == 64,
