@@ -182,7 +182,9 @@ object SparkEntry {
     "r33_experiment_readout" -> (Relational.experimentReadout _),
     "t37_lang_confusion" -> (TextOps.langConfusion _),
     "r34_volume_anomaly" -> (Relational.volumeAnomaly _),
-    "c13_lf_correlation" -> (Curation.lfCorrelation _))
+    "c13_lf_correlation" -> (Curation.lfCorrelation _),
+    "t38_vocab_growth" -> (TextOps.vocabGrowth _),
+    "s23_centroid_drift" -> (Similarity.centroidDrift _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -2845,5 +2847,50 @@ SELECT lf_a, lf_b,
     * 10000 // count(*) AS BIGINT) AS agree_bp,
   CAST(count(*) FILTER (va * vb < 0)
     * 10000 // count(*) AS BIGINT) AS conflict_bp
-FROM p GROUP BY lf_a, lf_b ORDER BY lf_a, lf_b"""))
+FROM p GROUP BY lf_a, lf_b ORDER BY lf_a, lf_b"""),
+    // t38: nested random prefixes via the salted-md5 decile, distinct
+    // 3-shingle first-seen bucket, running sums on the 10-row frame
+    "t38_vocab_growth" ->
+      raw"""WITH d AS (SELECT doc_id,
+    CAST('0x' || substr(md5('t38' || CAST(doc_id AS VARCHAR)), 1, 8)
+      AS BIGINT) % 10 AS bucket,
+    regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+tk AS (SELECT bucket, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM d, unnest(range(1, len(t) - 1)) r(i)),
+fs AS (SELECT g, CAST(min(bucket) AS BIGINT) AS bucket FROM tk GROUP BY g),
+nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_shingles
+  FROM fs GROUP BY 1),
+db AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+g2 AS (SELECT db.bucket, db.n_docs,
+    coalesce(nb.new_shingles, 0) AS new_shingles
+  FROM db LEFT JOIN nb ON db.bucket = nb.bucket)
+SELECT bucket, n_docs,
+  CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+  new_shingles,
+  CAST(sum(new_shingles) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
+  CAST(sum(new_shingles) OVER (ORDER BY bucket) AS BIGINT) * 1000
+    // CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+    AS vocab_per_doc_milli
+FROM g2 ORDER BY bucket""",
+    // s23: m04's BIGINT-milli centroids per (label, even/odd half),
+    // integer squared distance, drift share on the |labels|-row frame
+    "s23_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS half,
+    embedding FROM embeddings),
+u AS (SELECT label, half, unnest(embedding) AS v,
+    unnest(range(1, len(embedding)+1)) AS idx FROM e),
+cm AS (SELECT label, half, idx,
+    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS c
+  FROM u GROUP BY 1, 2, 3),
+d AS (SELECT a.label,
+    CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2_milli
+  FROM cm a JOIN cm b ON a.label = b.label AND a.idx = b.idx
+    AND a.half = 0 AND b.half = 1 GROUP BY 1),
+n AS (SELECT label, CAST(count(*) FILTER (half = 0) AS BIGINT) AS n_a,
+    CAST(count(*) FILTER (half = 1) AS BIGINT) AS n_b FROM e GROUP BY 1),
+t AS (SELECT greatest(CAST(sum(dist2_milli) AS BIGINT), 1) AS tot FROM d)
+SELECT d.label, n_a, n_b, dist2_milli,
+  (dist2_milli * 10000) // tot AS share_bp
+FROM d JOIN n USING (label), t ORDER BY d.label""")
 }

@@ -1530,4 +1530,58 @@ object Similarity {
           .as("is_ood"),
         (col("best_label") === col("label")).as("agrees"))
   }
+
+  /** s23 — embedding CENTROID DRIFT monitor: per label, the squared
+    * integer-milli distance between the label's centroid computed on
+    * the even-vec_id half and the odd-vec_id half of the corpus (the
+    * deterministic stand-in for last-ingest vs this-ingest — the
+    * production monitor splits by ingest time). This is the
+    * distribution-shift trigger for the quantizer family: s03/s05/
+    * s06's centroids and codebooks were trained on yesterday's data,
+    * and a drifted label (encoder update, source change, modality
+    * leak) silently degrades their recall (s09) and occupancy (s18/
+    * s21) — the drift table is the RETRAIN alarm read next to those
+    * audits. t28 watches the text distribution; this is its vector
+    * twin.
+    *
+    * Centroids in m04's exact BIGINT-milli space (floor(avg·1000) per
+    * component — floor at milli granularity is the established
+    * cross-engine-stable aggregate), the distance entirely integer
+    * after. Scale: one posexplode scan → (label, half, idx)
+    * map-combinable aggregate (output ≤ |labels|·2·dims rows at any
+    * corpus size, cached — referenced by both half slices) → a
+    * key-equality join of two tiny slices → |labels|-row report; the
+    * drift-share window runs over that tiny frame.
+    */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % 2).cast("int").as("half"), col("embedding"))
+    val cm = e
+      .select(col("label"), col("half"),
+        posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(col("label"), col("half"), col("idx"))
+      .agg(floor(avg(col("v").cast("double")) * 1000).cast("long").as("c"))
+      // ≤ |labels|·2·dims rows, referenced by both half slices
+      .cache()
+    val a = cm.filter(col("half") === 0)
+      .select(col("label"), col("idx"), col("c").as("ca"))
+    val b = cm.filter(col("half") === 1)
+      .select(col("label"), col("idx"), col("c").as("cb"))
+    val counts = e.groupBy(col("label"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+    val dist = a.join(b, Seq("label", "idx"))
+      .groupBy(col("label"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .cast("long").as("dist2_milli"))
+    val w = Window.partitionBy()
+    dist.join(counts, "label")
+      .withColumn("tot",
+        greatest(sum(col("dist2_milli")).over(w), lit(1L)))
+      .select(col("label"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("dist2_milli"),
+        expr("(dist2_milli * 10000) DIV tot").as("share_bp"))
+      .orderBy(col("label"))
+  }
 }

@@ -1165,6 +1165,50 @@ object TextOps {
         expr("(ne * 10000) DIV n_docs").as("easy_share_bp"))
       .orderBy(col("lang"), col("source"))
 
+  /** t38 — VOCABULARY GROWTH curve (Heaps' law monitor): distinct
+    * 3-token shingles discovered per nested random 10%-prefix of the
+    * corpus — the data-diversity saturation signal corpus builds
+    * track (Heaps: V(n) ≈ K·n^β; when the marginal new-vocabulary
+    * column flattens, more of the SAME source stops adding diversity
+    * and the mix plan should reweight — the c06/c09 upstream signal).
+    * Prefixes are nested by a salted-hash decile (the t11/t16 bucket
+    * rule — a random nested sample is the statistically right way to
+    * draw a growth curve; ingest order would confound it with source
+    * ordering): bucket k's row reports docs and FIRST-SEEN shingles
+    * in bucket k, cumulative docs/vocabulary through k, and the
+    * vocabulary-per-doc density in milli.
+    *
+    * Scale shape: one shingle scan (d04's codegen'd slice explode) →
+    * ONE (shingle) min-aggregate — the t19/d04 shuffle class, ~linear
+    * in corpus tokens — then everything else happens on 10-row
+    * frames (the running sums are windows over 10 rows, never a
+    * corpus-sized range exchange).
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    def bucketOf(id: Column): Column =
+      pmod(conv(substring(md5(concat(lit("t38"), id.cast("string"))),
+        1, 8), 16, 10).cast("long"), lit(10L))
+    val nb = Dedup.shinglesOf(Tables.documents(s, dir))
+      .select(bucketOf(col("doc_id")).as("bucket"), col("shingle"))
+      .groupBy(col("shingle"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("new_shingles"))
+    val db = Tables.documents(s, dir)
+      .select(bucketOf(col("doc_id")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.orderBy(col("bucket"))
+    db.join(nb, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_shingles"), lit(0L)).as("new_shingles"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w).cast("long"))
+      .withColumn("cum_vocab", sum(col("new_shingles")).over(w).cast("long"))
+      .withColumn("vocab_per_doc_milli",
+        expr("(cum_vocab * 1000) DIV cum_docs"))
+      .orderBy(col("bucket"))
+  }
+
   /** t37 — LANGUAGE-LABEL CONFUSION matrix: the stored `lang` label
     * audited against t03's marker-word language-ID, one row per
     * (labeled, predicted) cell with the row-share of the label in bp

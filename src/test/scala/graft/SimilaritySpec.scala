@@ -631,4 +631,28 @@ class SimilaritySpec extends SparkSpecBase {
     val flagged = out.count(_.getAs[Boolean]("is_ood"))
     assert(flagged > 0 && flagged < out.length, s"flagged=$flagged")
   }
+
+  test("s23 centroid drift: hand-walked exact-value halves, zero-drift " +
+      "label, shares over the total") {
+    val d = Files.createTempDirectory("graft-s23").toString
+    // dyadic values: exact in float AND double, so the milli-floored
+    // centroid averages are order-independent and exact by hand
+    Seq(
+      (0L, Array(1.0f, 3.0f), 0),   // label 0, even half
+      (2L, Array(3.0f, 5.0f), 0),   //   → centroid (2.0, 4.0)
+      (1L, Array(2.0f, 8.0f), 0),   // label 0, odd half → (2.0, 8.0)
+      (4L, Array(1.0f, 1.0f), 1),   // label 1: identical halves
+      (5L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val out = operators.Similarity.centroidDrift(spark, d).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("dist2_milli"), r.getAs[Long]("share_bp")))).toMap
+    assert(out.size == 2, out.toString)
+    // label 0: dist² = (2000-2000)² + (4000-8000)² = 16,000,000
+    assert(out(0) == ((2L, 1L, 16000000L, 10000L)), out.toString)
+    // label 1: zero drift, zero share (total guarded > 0)
+    assert(out(1) == ((1L, 1L, 0L, 0L)), out.toString)
+  }
 }

@@ -518,4 +518,48 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(("de", "und")) == ((1L, 10000L)), out.toString)
     assert(out(("es", "es")) == ((1L, 10000L)), out.toString)
   }
+
+  test("t38 vocab growth: re-derived from raw text over the md5 buckets") {
+    def bucketOf(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t38$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % 10
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val byBucket = docs.groupBy(d => bucketOf(d._1))
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, text) =>
+      val b = bucketOf(id)
+      val t = text.trim.split("\\s+")
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).foreach { g =>
+        firstSeen.get(g) match {
+          case Some(prev) if prev <= b => ()
+          case _ => firstSeen(g) = b
+        }
+      }
+    }
+    val expNew = firstSeen.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val out = operators.TextOps.vocabGrowth(spark, sf0001).collect()
+    assert(out.length == byBucket.size)
+    var cumDocs = 0L; var cumVocab = 0L
+    out.sortBy(_.getAs[Long]("bucket")).foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("n_docs") == byBucket(b).length.toLong, s"b$b docs")
+      assert(r.getAs[Long]("new_shingles") == expNew.getOrElse(b, 0L),
+        s"b$b new")
+      cumDocs += r.getAs[Long]("n_docs"); cumVocab += r.getAs[Long]("new_shingles")
+      assert(r.getAs[Long]("cum_docs") == cumDocs)
+      assert(r.getAs[Long]("cum_vocab") == cumVocab)
+      assert(r.getAs[Long]("vocab_per_doc_milli") == cumVocab * 1000 / cumDocs)
+    }
+    // the curve actually bends: later buckets discover less than the
+    // first (Heaps saturation is visible even at sf0.001 — measured)
+    val marg = out.sortBy(_.getAs[Long]("bucket"))
+      .map(_.getAs[Long]("new_shingles"))
+    assert(marg.head > marg.last, marg.mkString(","))
+  }
 }
