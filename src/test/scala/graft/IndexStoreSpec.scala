@@ -250,4 +250,85 @@ class IndexStoreSpec extends SparkSpecBase {
       .filter(col("term").isin("the", "table", "scan")))
     assert(stored == inline, s"stored=${stored.take(3)} inline=${inline.take(3)}")
   }
+
+  test("IngestPipeline: gate → embed → fold; duplicates never reach " +
+      "the store, re-delivery exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("graft-ingest-pipe").toString
+    val idxS = s"$base/idx"; val idxR = s"$base/idxR"
+    val bloomDir = s"$base/bloom"; val inDir = s"$base/in"
+    val ck = s"$base/ck"; val outP = s"$base/out"
+    sources.IndexStore.build(spark, sf0001, idxS)
+    val lakeText1 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") === 1L).select(col("text"))
+      .head().getString(0)
+    val freshA = "ingest pipeline fresh document alpha entirely new words"
+    val freshB = "ingest pipeline twin document beta shared by two arrivals"
+    val freshC = "ingest pipeline final fresh document gamma"
+    def asDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch 1: a lake copy (drop), a fresh doc (admit), a
+    // batch-internal twin pair (admit the smaller id only)
+    asDocs(Seq((30010L, lakeText1), (30020L, freshA),
+      (30030L, freshB), (30040L, freshB)))
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q = streaming.IngestPipeline.startFolding(spark, inDir, sf0001,
+      idxS, bloomDir, outP, ck)
+    try q.awaitTermination() finally q.stop()
+    // batch 2 LATER: a copy of batch 1's fresh doc (drop — caught
+    // only via the bloom/exact fold) + one more fresh doc (admit)
+    asDocs(Seq((30050L, freshA), (30060L, freshC)))
+      .write.mode(SaveMode.Append).parquet(inDir)
+    val q2 = streaming.IngestPipeline.startFolding(spark, inDir, sf0001,
+      idxS, bloomDir, outP, ck)
+    try q2.awaitTermination() finally q2.stop()
+    val dec = spark.read.parquet(outP).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("admitted"))))
+      .toMap
+    assert(dec.size == 6, dec.toString)
+    assert(dec(30010L) == ((true, false)), dec.toString)  // lake copy
+    assert(dec(30020L) == ((false, true)), dec.toString)
+    assert(dec(30030L) == ((false, true)), dec.toString)  // twin: min id
+    assert(dec(30040L) == ((false, false)), dec.toString) // twin: dropped
+    assert(dec(30050L) == ((true, false)), dec.toString)  // cross-batch dup
+    assert(dec(30060L) == ((false, true)), dec.toString)
+    // the store holds vectors for EXACTLY the admitted docs
+    val landed = spark.read.parquet(s"$idxS/lsh")
+      .filter(col("vec_id") >= 30000L).select(col("vec_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed == Set(30020L, 30030L, 30060L), landed.toString)
+    // and equals a frozen-model rebuild over lake ∪ admitted-embedded
+    for (a <- Seq("centroids", "codebook", "sq8params"))
+      spark.read.parquet(s"$idxS/$a").write.parquet(s"$idxR/$a")
+    val admittedEmb = streaming.EmbedStream.embedBatch(
+      asDocs(Seq((30020L, freshA), (30030L, freshB), (30060L, freshC))))
+    val union = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).union(admittedEmb)
+    sources.IndexStore.rebuildVectorFamilies(spark, idxR, union)
+    assert(rows(sources.IndexStore.probeLsh(spark, sf0001, idxS)) ==
+      rows(sources.IndexStore.probeLsh(spark, sf0001, idxR)))
+    assert(rows(sources.IndexStore.probeSq8(spark, sf0001, idxS)) ==
+      rows(sources.IndexStore.probeSq8(spark, sf0001, idxR)))
+    // at-least-once crash shape: re-deliver batch 2's content under
+    // its own batch id — decisions, store deltas and bloom bits all
+    // replace, never grow
+    val m = streaming.BloomGateStream.frozenM(spark, bloomDir)
+    val bands = streaming.GraphIngestStream.lakeBands(spark, sf0001)
+    val codesBefore = spark.read.parquet(s"$idxS/sq8codes").count()
+    val bitsBefore = streaming.BloomGateStream.readBits(spark, bloomDir)
+      .count()
+    streaming.IngestPipeline.writeBatch(
+      asDocs(Seq((30050L, freshA), (30060L, freshC))), sf0001, idxS,
+      bloomDir, outP, batchId = 1L, m, bands)
+    assert(spark.read.parquet(s"$idxS/sq8codes").count() == codesBefore)
+    assert(streaming.BloomGateStream.readBits(spark, bloomDir).count()
+      == bitsBefore)
+    val dec2 = spark.read.parquet(outP).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted"))
+      .toMap
+    assert(dec2.size == 6 && dec2(30050L) == false && dec2(30060L) == true)
+  }
 }
