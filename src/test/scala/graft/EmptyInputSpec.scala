@@ -101,7 +101,14 @@ class EmptyInputSpec extends SparkSpecBase {
     // Spark grouping-sets aggregation emits NO rows on empty input
     // (DuckDB emits the () grand total — the oracle filters it with
     // WHERE n_docs > 0, a no-op on any non-empty corpus)
-    "c03" -> (operators.Curation.corpusCard _))
+    "c03" -> (operators.Curation.corpusCard _),
+    "t36" -> (operators.TextOps.readability _),
+    "t37" -> (operators.TextOps.langConfusion _),
+    "t38" -> (operators.TextOps.vocabGrowth _),
+    "r33" -> (operators.Relational.experimentReadout _),
+    "r34" -> (operators.Relational.volumeAnomaly _),
+    "c13" -> (operators.Curation.lfCorrelation _),
+    "s23" -> (operators.Similarity.centroidDrift _))
 
   for ((name, fn) <- ops)
     test(s"$name returns an empty result on empty input") {
