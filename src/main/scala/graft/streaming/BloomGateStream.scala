@@ -42,12 +42,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object BloomGateStream {
 
+  /** A delta family (`path/delta_id=*`) as one frame, or an EMPTY
+    * frame with the family's schema when nothing has landed yet —
+    * the BatchReads rule: schema inference on a partitionless path
+    * throws, and a dashboard polling a pre-seed store must survive
+    * (round-10 advice, applied here from birth).
+    */
+  private def familyOrEmpty(s: SparkSession, path: String,
+      valueField: org.apache.spark.sql.types.StructField): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasDelta = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("delta_id="))
+    if (hasDelta) s.read.parquet(path)
+    else s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(valueField, StructField("delta_id", StringType))))
+  }
+
   /** Current bloom bit set: distinct positions over base + every
     * folded delta, optionally excluding one batch's own delta.
     */
   def readBits(s: SparkSession, bloomDir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
-    val all = s.read.parquet(s"$bloomDir/pos")
+    val all = familyOrEmpty(s, s"$bloomDir/pos",
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType))
     val kept = excludeBatch match {
       case Some(id) => all.filter(col("delta_id") =!= s"b$id")
       case None     => all
@@ -58,7 +79,9 @@ object BloomGateStream {
   /** Current exact content-hash set (the FP audit's truth side). */
   def readHashes(s: SparkSession, bloomDir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
-    val all = s.read.parquet(s"$bloomDir/ch")
+    val all = familyOrEmpty(s, s"$bloomDir/ch",
+      org.apache.spark.sql.types.StructField("ch",
+        org.apache.spark.sql.types.StringType))
     val kept = excludeBatch match {
       case Some(id) => all.filter(col("delta_id") =!= s"b$id")
       case None     => all

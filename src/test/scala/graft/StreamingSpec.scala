@@ -1277,5 +1277,10 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(outDir2).collect()
       .map(_.getAs[Long]("doc_id")).sorted.toSeq == once)
     assert(BloomGateStream.readBits(spark, bloomDir).count() == bitsBefore)
+    // a dashboard polling a PRE-SEED store gets empty typed frames,
+    // never an AnalysisException (the BatchReads rule)
+    val virgin = Files.createTempDirectory("graft-bloom-virgin").toString
+    assert(BloomGateStream.readBits(spark, virgin).count() == 0L)
+    assert(BloomGateStream.readHashes(spark, virgin).count() == 0L)
   }
 }
