@@ -187,7 +187,7 @@ object ScaleCheck {
         .head().getLong(0)
     }
     def d16FpBp(dir: String): Long = {
-      val r = Dedup.bloomGate(s, dir)
+      val r = Dedup.bloomGateFrame(s, dir)
         .agg(sum(when(col("false_positive"), 1L).otherwise(0L)).as("fp"),
           count(lit(1)).as("n")).head()
       r.getAs[Long]("fp") * 10000L / math.max(r.getAs[Long]("n"), 1L)

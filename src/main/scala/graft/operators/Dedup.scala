@@ -1548,7 +1548,14 @@ object Dedup {
     * no window — the gate is strictly cheaper than the stage it
     * shields.
     */
-  def bloomGate(s: SparkSession, dir: String): DataFrame = {
+  def bloomGate(s: SparkSession, dir: String): DataFrame =
+    bloomGateFrame(s, dir).orderBy(col("doc_id"))
+
+  /** d16's unsorted body (the factored-body rule — ScaleCheck's FP
+    * telemetry re-aggregates it without inheriting the contract
+    * sort).
+    */
+  private[graft] def bloomGateFrame(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val docs = base.union(s.createDataFrame(bloomPlantRows)
       .toDF("doc_id", "text"))
@@ -1576,7 +1583,6 @@ object Dedup {
         (col("n_hit") === BloomK).as("bloom_hit"),
         coalesce(col("in_lake"), lit(false)).as("exact_dup"))
       .withColumn("false_positive", col("bloom_hit") && !col("exact_dup"))
-      .orderBy(col("doc_id"))
   }
 
   /** Exactness baseline for d05 (all-pairs) — spec-only cross-check,
