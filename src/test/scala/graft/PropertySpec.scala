@@ -325,4 +325,60 @@ class PropertySpec extends SparkSpecBase {
       assert(r.getDouble(0) >= -1.0000001 && r.getDouble(0) <= 1.0000001)
     }
   }
+
+  test("d16 bloom gate never false-negatives on random corpora with " +
+      "planted cross-split duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-bloom")
+      .toString
+    def doc(): String =
+      (0 until 5 + rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(400)}")
+        .mkString(" ")
+    // lake docs (ids ≡ 1..9 mod 10) + delta docs (ids ≡ 0), a third
+    // of which copy a random lake doc's text verbatim
+    val lake = (0 until 90).map(i => (i * 10L + 1 + (i % 9), doc()))
+    val delta = (0 until 30).map { i =>
+      val t = if (i % 3 == 0) lake(rnd.nextInt(lake.size))._2 else doc()
+      (1000L + i * 10L, t)
+    }
+    val planted = delta.filter(d => lake.exists(_._2 == d._2))
+      .map(_._1).toSet
+    (lake ++ delta).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.Dedup.bloomGate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup"))))
+      .toMap
+    assert(planted.nonEmpty)
+    // every planted duplicate is caught by BOTH the filter and the
+    // exact check, and no exact dup anywhere escapes the bloom
+    planted.foreach(id => assert(out(id) == ((true, true)), s"doc $id"))
+    out.foreach { case (id, (hit, ex)) => assert(!ex || hit, s"doc $id") }
+  }
+
+  test("t36 FRE stays clamped and re-derives row-wise on random text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-t36")
+      .toString
+    val alphabet = "abcdefgxyz.!? "
+    def noisy(): String =
+      (0 until 20 + rnd.nextInt(200))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 120).map(i => (i.toLong, noisy()))
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val byId = docs.toMap
+    val out = operators.TextOps.readabilityFrame(spark, dir).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val t = byId(r.getAs[Long]("doc_id"))
+      val w = t.trim.split("\\s+").length.toLong
+      val sents = math.max("[.!?]+".r.findAllIn(t.trim).length.toLong, 1L)
+      val syll = "[aeiouy]+".r.findAllIn(t.trim.toLowerCase).length.toLong
+      val fre = math.max(0L, math.min(206835L,
+        206835L - 1015L * w / sents - 84600L * syll / w))
+      assert(r.getAs[Long]("fre_milli") == fre, s"doc ${r.get(0)}")
+      assert(fre >= 0L && fre <= 206835L)
+    }
+  }
 }
