@@ -177,6 +177,26 @@ object BloomGateStream {
     } finally { hashed.unpersist(); () }
   }
 
+  /** Segment merge: fold every pos/ch delta into a fresh base (set
+    * union is associative, commutative and idempotent, so the merge
+    * is EXACT — reads are unchanged and later folds against the
+    * merged base stay exact), swapped in crash-safe via
+    * TableSink.replaceDir. At 100 TB this is the small-file
+    * compaction the delta layout needs periodically; m is untouched
+    * (a bloom cannot be resized without rehashing — a saturated
+    * filter is rebuilt via [[seed]] at a new m, not compacted).
+    */
+  def compact(s: SparkSession, bloomDir: String): Unit = {
+    val pos = readBits(s, bloomDir)
+    graft.sources.TableSink.replaceDir(s, s"$bloomDir/pos") { tmp =>
+      pos.write.parquet(s"$tmp/delta_id=base")
+    }
+    val ch = readHashes(s, bloomDir)
+    graft.sources.TableSink.replaceDir(s, s"$bloomDir/ch") { tmp =>
+      ch.write.parquet(s"$tmp/delta_id=base")
+    }
+  }
+
   /** Drain `inDir` (arriving docs, documents schema) through the
     * folding gate: seed the store from `dir`'s lake if absent, freeze
     * m, then classify + fold per micro-batch. Gate rows land under

@@ -1282,5 +1282,20 @@ class StreamingSpec extends SparkSpecBase {
     val virgin = Files.createTempDirectory("graft-bloom-virgin").toString
     assert(BloomGateStream.readBits(spark, virgin).count() == 0L)
     assert(BloomGateStream.readHashes(spark, virgin).count() == 0L)
+    // segment merge: set union is exact — reads unchanged, and a
+    // post-compact fold still catches a duplicate of pre-compact
+    // content (the store is one base delta afterwards)
+    val hashesBefore = BloomGateStream.readHashes(spark, bloomDir)
+      .collect().map(_.getString(0)).toSet
+    BloomGateStream.compact(spark, bloomDir)
+    assert(BloomGateStream.readBits(spark, bloomDir).count() == bitsBefore)
+    assert(BloomGateStream.readHashes(spark, bloomDir)
+      .collect().map(_.getString(0)).toSet == hashesBefore)
+    val outDir3 = Files.createTempDirectory("graft-bloom-out3").toString + "/out"
+    BloomGateStream.writeBatchFold(asDocs(Seq((50L, c))), bloomDir,
+      outDir3, batchId = 7L, m)
+    val post = spark.read.parquet(outDir3).collect()
+      .map(r => (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup")))
+    assert(post.toSeq == Seq((true, true)), post.mkString(","))
   }
 }
