@@ -184,7 +184,8 @@ object SparkEntry {
     "r34_volume_anomaly" -> (Relational.volumeAnomaly _),
     "c13_lf_correlation" -> (Curation.lfCorrelation _),
     "t38_vocab_growth" -> (TextOps.vocabGrowth _),
-    "s23_centroid_drift" -> (Similarity.centroidDrift _))
+    "s23_centroid_drift" -> (Similarity.centroidDrift _),
+    "r35_cohort_ltv" -> (Relational.cohortLtv _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -2892,5 +2893,31 @@ n AS (SELECT label, CAST(count(*) FILTER (half = 0) AS BIGINT) AS n_a,
 t AS (SELECT greatest(CAST(sum(dist2_milli) AS BIGINT), 1) AS tot FROM d)
 SELECT d.label, n_a, n_b, dist2_milli,
   (dist2_milli * 10000) // tot AS share_bp
-FROM d JOIN n USING (label), t ORDER BY d.label""")
+FROM d JOIN n USING (label), t ORDER BY d.label""",
+    // r35: first-order-month cohorts, floor-cents revenue, cumulative
+    // window down the age axis of the aggregated triangle; cohort
+    // size = the triangle's own age-0 active_users
+    "r35_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS om,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+c AS (SELECT o_custkey, min(om) AS cohort FROM o GROUP BY 1),
+j AS (SELECT o.o_custkey, c.cohort,
+    CAST((year(om) * 12 + month(om))
+      - (year(cohort) * 12 + month(cohort)) AS BIGINT) AS age_months,
+    cents
+  FROM o JOIN c USING (o_custkey)),
+g AS (SELECT cohort, age_months,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_users,
+    CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM j GROUP BY 1, 2),
+cs AS (SELECT cohort, active_users AS cohort_users FROM g
+  WHERE age_months = 0)
+SELECT g.cohort, g.age_months, cohort_users, active_users,
+  revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY g.cohort
+    ORDER BY g.age_months) AS BIGINT) AS cum_revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY g.cohort
+    ORDER BY g.age_months) AS BIGINT) // cohort_users AS ltv_cents
+FROM g JOIN cs USING (cohort) ORDER BY cohort, age_months""")
 }

@@ -1200,6 +1200,52 @@ object Relational {
     * aggregate of the TINY daily frame broadcast back (the t14/c09
     * totals pattern) — no window over raw events anywhere.
     */
+  /** r35 — cohort LTV TRIANGLE: the lifetime-value matrix every
+    * subscription/marketplace analytics stack renders next to r23's
+    * retention counts — cohort = a customer's first order month, one
+    * row per (cohort, months-since-first-order) with cohort size,
+    * still-active buyers, period revenue (floor-cents), CUMULATIVE
+    * revenue down the age axis and integer LTV per cohort user. r23
+    * answers "do they come back", this answers "what are they worth
+    * over time" — the pair is how acquisition spend gets priced.
+    *
+    * Scale: cohort assignment is one (custkey) aggregate + a
+    * key-equality join back (both shuffles on the customer key, AQE
+    * coalesces); everything after runs on the AGGREGATED cohort×age
+    * triangle (≤ months² rows — cached, since cohort sizes are read
+    * off its own age-0 slice rather than re-scanning orders), where
+    * the cumulative window is free. No corpus-sized window anywhere.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("om"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = o.groupBy(col("o_custkey")).agg(min(col("om")).as("cohort"))
+    val g = o.join(c, "o_custkey")
+      .select(col("o_custkey"), col("cohort"),
+        ((year(col("om")) * 12 + month(col("om"))) -
+          (year(col("cohort")) * 12 + month(col("cohort"))))
+          .cast("long").as("age_months"),
+        col("cents"))
+      .groupBy(col("cohort"), col("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("active_users"),
+        sum(col("cents")).cast("long").as("revenue_cents"))
+      // tiny (cohorts × ages); referenced by its own age-0 slice
+      .cache()
+    val cs = g.filter(col("age_months") === 0L)
+      .select(col("cohort"), col("active_users").as("cohort_users"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_months"))
+    g.join(cs, "cohort")
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(w).cast("long"))
+      .select(col("cohort"), col("age_months"), col("cohort_users"),
+        col("active_users"), col("revenue_cents"),
+        col("cum_revenue_cents"),
+        expr("cum_revenue_cents DIV cohort_users").as("ltv_cents"))
+      .orderBy(col("cohort"), col("age_months"))
+  }
+
   def volumeAnomaly(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"))

@@ -213,4 +213,37 @@ class GapFillSpec extends SparkSpecBase {
     // B: one active day, flat ratio, 2 days behind the frontier
     assert(out("B") == ((1L, 4L, 4L, 4L, 10000L, 2L)), out.toString)
   }
+
+  test("r35 cohort LTV: hand-walked triangle, floor-cents, churned " +
+      "user still carried in the cohort denominator") {
+    val d = Files.createTempDirectory("graft-r35").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // c1: Jan cohort, buys in Jan (10.005 + 20.00) and Mar (30.00);
+    // c3: Jan cohort, buys ONCE in Jan (40.00) then churns;
+    // c2: Mar cohort, single 5.999 order
+    Seq(
+      (1L, 1L, "O", 10.005, ts("2024-01-05"), "p"),
+      (2L, 1L, "O", 20.00, ts("2024-01-20"), "p"),
+      (3L, 1L, "O", 30.00, ts("2024-03-02"), "p"),
+      (4L, 3L, "O", 40.00, ts("2024-01-09"), "p"),
+      (5L, 2L, "O", 5.999, ts("2024-03-15"), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$d/orders.parquet")
+    val out = operators.Relational.cohortLtv(spark, d).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort").toString,
+        r.getAs[Long]("age_months")) ->
+        ((r.getAs[Long]("cohort_users"), r.getAs[Long]("active_users"),
+          r.getAs[Long]("revenue_cents"), r.getAs[Long]("cum_revenue_cents"),
+          r.getAs[Long]("ltv_cents")))).toMap
+    assert(out.size == 3, out.toString)
+    // Jan age 0: both users, 1000 (floor of 1000.5) + 2000 + 4000
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 7000L, 7000L, 3500L)),
+      out.toString)
+    // Jan age 2: only c1 still buys, but LTV divides by the COHORT
+    assert(out(("2024-01-01", 2L)) == ((2L, 1L, 3000L, 10000L, 5000L)),
+      out.toString)
+    assert(out(("2024-03-01", 0L)) == ((1L, 1L, 599L, 599L, 599L)),
+      out.toString)
+  }
 }
