@@ -108,7 +108,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "r33" -> (operators.Relational.experimentReadout _),
     "r34" -> (operators.Relational.volumeAnomaly _),
     "c13" -> (operators.Curation.lfCorrelation _),
-    "s23" -> (operators.Similarity.centroidDrift _))
+    "s23" -> (operators.Similarity.centroidDrift _),
+    "r35" -> (operators.Relational.cohortLtv _))
 
   for ((name, fn) <- ops)
     test(s"$name returns an empty result on empty input") {
