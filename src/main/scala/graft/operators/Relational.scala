@@ -1253,6 +1253,15 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n"))
       // referenced by the per-type rollup AND the 1-row frontier
       .cache()
+    volumeReportOf(daily)
+  }
+
+  /** r34's report over an EXPLICIT (event_type, day, n) daily frame
+    * (the factored-body rule) — streaming.VolumeStream re-derives the
+    * identical report from its folded per-batch grains. Callers cache
+    * `daily` (it feeds both the rollup and the frontier).
+    */
+  private[graft] def volumeReportOf(daily: DataFrame): DataFrame = {
     val frontier = daily.agg(max(col("day")).as("frontier_day"))
     val perType = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_days"),

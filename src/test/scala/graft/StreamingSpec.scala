@@ -1298,4 +1298,45 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup")))
     assert(post.toSeq == Seq((true, true)), post.mkString(","))
   }
+
+  test("volume stream: folded day grains re-derive batch r34 exactly; " +
+      "re-delivery never double-counts") {
+    import graft.streaming.VolumeStream
+    val dir = Files.createTempDirectory("graft-vol").toString
+    val inDir = Files.createTempDirectory("graft-vol-in").toString
+    val outDir = Files.createTempDirectory("graft-vol-out").toString + "/out"
+    val ckDir = Files.createTempDirectory("graft-vol-ck").toString
+    def ts(day: Int, min: Int) = new Timestamp(
+      1704067200000L + day * 86400000L + min * 60000L)
+    val rows = Seq(
+      (0L, ts(0, 1), 1L, "A", 1.0, "{}"), (1L, ts(0, 2), 2L, "A", 1.0, "{}"),
+      (2L, ts(1, 1), 1L, "A", 1.0, "{}"),
+      (3L, ts(2, 1), 1L, "A", 1.0, "{}"), (4L, ts(2, 2), 2L, "A", 1.0, "{}"),
+      (5L, ts(2, 3), 3L, "A", 1.0, "{}"),
+      (6L, ts(0, 5), 1L, "B", 1.0, "{}"), (7L, ts(0, 6), 2L, "B", 1.0, "{}"))
+    val df = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    // pre-first-batch: empty typed report, no exception
+    assert(VolumeStream.readReport(spark, outDir).count() == 0L)
+    // the same day split ACROSS deliveries — the grains must merge
+    df.filter($"event_id" < 4).write.mode(SaveMode.Append).parquet(inDir)
+    df.filter($"event_id" >= 4).write.mode(SaveMode.Append).parquet(inDir)
+    val q = VolumeStream.startToParquet(spark, inDir, outDir, ckDir)
+    try q.awaitTermination() finally q.stop()
+    def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(_.toSeq.map(String.valueOf)).toSet
+    val streamed = asSet(VolumeStream.readReport(spark, outDir))
+    val batch = asSet(operators.Relational.volumeAnomaly(spark, dir))
+    assert(streamed == batch, s"stream/batch diverged: " +
+      s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(streamed.nonEmpty)
+    // at-least-once: the same batch id re-delivered overwrites its
+    // grain partition — the report is unchanged, never doubled
+    val outDir2 = Files.createTempDirectory("graft-vol-out2").toString + "/out"
+    VolumeStream.writeBatch(df.filter($"event_id" < 4), outDir2, batchId = 0L)
+    VolumeStream.writeBatch(df.filter($"event_id" >= 4), outDir2, batchId = 1L)
+    VolumeStream.writeBatch(df.filter($"event_id" >= 4), outDir2, batchId = 1L)
+    assert(asSet(VolumeStream.readReport(spark, outDir2)) == batch)
+  }
 }
