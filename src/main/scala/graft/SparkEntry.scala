@@ -185,7 +185,8 @@ object SparkEntry {
     "c13_lf_correlation" -> (Curation.lfCorrelation _),
     "t38_vocab_growth" -> (TextOps.vocabGrowth _),
     "s23_centroid_drift" -> (Similarity.centroidDrift _),
-    "r35_cohort_ltv" -> (Relational.cohortLtv _))
+    "r35_cohort_ltv" -> (Relational.cohortLtv _),
+    "d17_lsh_precision" -> (Dedup.lshPrecisionAudit _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -252,6 +253,26 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN 
   private def matchesExpr: String = (0 until 16)
     .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
     .mkString(" + ")
+
+  /** The d15/d17 shared gate-corpus chain: documents ∪ planted rows →
+    * the full minhash chain (sh/sig/bands/cand) → d04's df-capped
+    * shingle-intersection frame (sizes/cap/rare/shr/inter). Both
+    * audits tail their own truth/aggregate onto it — one text, zero
+    * drift.
+    */
+  private def recallGateCtes: String =
+    s"""docs_g AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES ${Dedup.recallPlantRows
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")}) AS v(doc_id, text)),
+${minhashCtesFrom("docs_g")},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cap AS (SELECT greatest(8, length(bin(count(*) - 1))) AS c FROM docs_g),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= (SELECT c FROM cap)),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)"""
 
   private def minhashLshSql: String =
     s"""WITH $minhashCtes
@@ -1097,18 +1118,7 @@ ORDER BY doc_a, doc_b""",
     // replayed from the shared minhash/shingle CTEs), per-decile
     // recall — the audit and the audited generators cannot drift
     "d15_lsh_recall" ->
-      s"""WITH docs_g AS (SELECT doc_id, text FROM documents
-  UNION ALL SELECT * FROM (VALUES ${Dedup.recallPlantRows
-        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
-        .mkString(", ")}) AS v(doc_id, text)),
-${minhashCtesFrom("docs_g")},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-cap AS (SELECT greatest(8, length(bin(count(*) - 1))) AS c FROM docs_g),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= (SELECT c FROM cap)),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+      s"""WITH $recallGateCtes,
 truth AS (SELECT doc_a, doc_b,
     CAST(CAST(floor(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) // 1000 AS INT) AS band
   FROM inter JOIN sizes sa ON sa.doc_id = doc_a
@@ -1121,6 +1131,28 @@ aud AS (SELECT t.band, CAST(count(*) AS BIGINT) AS n_true,
 SELECT band, n_true, n_found,
   CAST(n_found * 10000 // n_true AS BIGINT) AS recall_bp
 FROM aud ORDER BY band""",
+    // d17: d15's other half — precision of the band candidates and
+    // the ≥8/16-verified set against the same d04 truth, same planted
+    // gate corpus, same shared CTEs (audit and audited cannot drift)
+    "d17_lsh_precision" ->
+      s"""WITH $recallGateCtes,
+truth AS (SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 5 >= (sa.sz + sb.sz - inter)),
+pm AS (SELECT c.doc_a, c.doc_b, ($matchesExpr) AS matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b),
+st AS (SELECT '1_candidate' AS stage, doc_a, doc_b FROM pm
+  UNION ALL SELECT '2_verified', doc_a, doc_b FROM pm WHERE matches >= 8),
+a AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_true
+  FROM st LEFT JOIN truth t ON st.doc_a = t.doc_a AND st.doc_b = t.doc_b
+  GROUP BY 1)
+SELECT stage, n_pairs, n_true,
+  CAST(n_true * 10000 // n_pairs AS BIGINT) AS precision_bp
+FROM a ORDER BY stage""",
     // corpus-adaptive banding replayed in SQL with INTEGER arithmetic
     // only: ceil(log2 n) = length(bin(n-1)) — same value as the Scala
     // side's numberOfLeadingZeros formula on every boundary (a float

@@ -136,8 +136,13 @@ object Dedup {
   /** LSH candidate pairs with their matching-minhash count — the
     * shared verification stage of d02 and t18.
     */
-  private def pairMatchCounts(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir).cache()
+  private def pairMatchCounts(s: SparkSession, dir: String): DataFrame =
+    pairMatchCountsOf(minhashSignatures(s, dir).cache())
+
+  /** [[pairMatchCounts]] over an explicit signature frame — d17's
+    * precision audit runs it on the planted gate corpus.
+    */
+  private[graft] def pairMatchCountsOf(sig: DataFrame): DataFrame = {
     val cand = bandPairs(sig)
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -1493,6 +1498,50 @@ object Dedup {
       .withColumn("recall_bp",
         expr("CAST(n_found * 10000 DIV n_true AS BIGINT)"))
       .orderBy(col("band"))
+  }
+
+  /** d17 — LSH PRECISION audit: d15's other half. d15 asks "of the
+    * TRUE near-dup pairs, how many does the band join surface"
+    * (recall, per similarity band); d17 asks "of the pairs each LSH
+    * stage SURFACES, how many are true" — precision of the raw band
+    * candidates and of the signature-verified (≥ 8/16 matches) set
+    * against d04's certified τ-Jaccard truth. Together they are the
+    * complete tuning loop of a MinHash deployment: recall says the
+    * bands are wide enough, precision says how much wasted work the
+    * downstream exact verifier pays per stage (the verified stage's
+    * precision is what prices skipping FULL Jaccard at 100 TB).
+    * Runs on the SAME planted gate corpus as d15 ([[recallPlantRows]]
+    * — identical pairs band-collide with 16/16 matches, so both
+    * stages are populated on ANY corpus including an empty one) and
+    * composes the same shared chains (shingles → signatures → bands →
+    * candidates; df-capped Jaccard truth) — audit and audited cannot
+    * drift.
+    *
+    * Scale: the stages ARE d02's documented linear band join + the
+    * bounded signature re-join; truth is d04's df-capped equi-join;
+    * the audit adds one (doc_a, doc_b) key-equality left join and a
+    * 2-row aggregate.
+    */
+  def lshPrecisionAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = lshRecallGateFrame(s, dir)
+    val n = TableStats.rowCount(s, dir, "documents_recall_gate")(docs.count())
+    val sh = shinglesOf(docs)
+    // referenced by both stages (candidate + verified slices)
+    val pm = pairMatchCountsOf(minhashSignaturesOf(sh).cache()).cache()
+    val truth = jaccardFrameOf(sh, jaccardDfCap(n))
+      .select(col("doc_a"), col("doc_b")).withColumn("is_true", lit(true))
+    val stages = pm
+      .select(lit("1_candidate").as("stage"), col("doc_a"), col("doc_b"))
+      .union(pm.filter(col("matches") >= 8)
+        .select(lit("2_verified").as("stage"), col("doc_a"), col("doc_b")))
+    stages.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).cast("long")
+          .as("n_true"))
+      .select(col("stage"), col("n_pairs"), col("n_true"),
+        expr("(n_true * 10000) DIV n_pairs").as("precision_bp"))
+      .orderBy(col("stage"))
   }
 
   /** d16 plant rows: a lake doc (%10 ≠ 0) with a delta twin (%10 = 0,

@@ -608,4 +608,24 @@ class DedupSpec extends SparkSpecBase {
     // and misses exist too — the gate actually filters
     assert(out.exists(r => !r.getAs[Boolean]("bloom_hit")))
   }
+
+  test("d17 LSH precision: verification can only raise precision, " +
+      "never invent true pairs") {
+    val out = operators.Dedup.lshPrecisionAudit(spark, sf0001).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("precision_bp")))).toMap
+    assert(out.keySet == Set("1_candidate", "2_verified"), out.toString)
+    val (cp, ct, cb) = out("1_candidate")
+    val (vp, vt, vb) = out("2_verified")
+    // verified ⊆ candidates, true-hits can only be kept or lost
+    assert(vp <= cp && vt <= ct, out.toString)
+    // the verifier's whole point: precision never drops
+    assert(vb >= cb, out.toString)
+    // the planted identical pairs keep both stages populated (they
+    // band-collide with 16/16 matches) on any corpus
+    assert(vp >= 1L && cp >= 1L, out.toString)
+    assert(out.values.forall { case (p, t, bp) =>
+      bp == t * 10000L / p && t <= p })
+  }
 }
