@@ -186,7 +186,8 @@ object SparkEntry {
     "t38_vocab_growth" -> (TextOps.vocabGrowth _),
     "s23_centroid_drift" -> (Similarity.centroidDrift _),
     "r35_cohort_ltv" -> (Relational.cohortLtv _),
-    "d17_lsh_precision" -> (Dedup.lshPrecisionAudit _))
+    "d17_lsh_precision" -> (Dedup.lshPrecisionAudit _),
+    "r36_basket_affinity" -> (Relational.basketAffinity _))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -2951,5 +2952,24 @@ SELECT g.cohort, g.age_months, cohort_users, active_users,
     ORDER BY g.age_months) AS BIGINT) AS cum_revenue_cents,
   CAST(sum(revenue_cents) OVER (PARTITION BY g.cohort
     ORDER BY g.age_months) AS BIGINT) // cohort_users AS ltv_cents
-FROM g JOIN cs USING (cohort) ORDER BY cohort, age_months""")
+FROM g JOIN cs USING (cohort) ORDER BY cohort, age_months""",
+    // r36: order-key self-join pairs (fanout bounded by basket size),
+    // co >= 2 screen, margins + 1-row order-total broadcast,
+    // integer bp/milli association metrics
+    "r36_basket_affinity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+pr AS (SELECT a.p AS part_a, b.p AS part_b,
+    CAST(count(*) AS BIGINT) AS co
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+f AS (SELECT * FROM pr WHERE co >= 2)
+SELECT part_a, part_b, co, ca.c AS n_a, cb.c AS n_b,
+  (co * 10000) // n_orders AS support_bp,
+  (co * 10000) // ca.c AS conf_a_bp,
+  (co * 10000) // cb.c AS conf_b_bp,
+  (co * n_orders * 1000) // (ca.c * cb.c) AS lift_milli
+FROM f JOIN pc ca ON ca.p = part_a JOIN pc cb ON cb.p = part_b, n
+ORDER BY part_a, part_b""")
 }

@@ -1186,6 +1186,50 @@ object Relational {
       .orderBy(col("variant"), col("day"))
   }
 
+  /** r36 — MARKET-BASKET affinity: co-purchase association metrics
+    * for every part pair bought together in ≥ 2 orders — support
+    * (share of orders containing both, bp), directional confidence
+    * (P(b|a) in bp) and lift in milli (co·N/(n_a·n_b) — >1000 means
+    * the pair co-occurs more than independence predicts; the classic
+    * Agrawal association-rule screen every retail/recsys stack runs
+    * before collaborative filtering).
+    *
+    * Scale: pairs come from a SELF-JOIN ON THE ORDER KEY — fanout is
+    * bounded by order size squared (~tens), never corpus-quadratic;
+    * the (order, part) distinct, the part margins and the pair count
+    * are all map-combinable shuffles on their keys; N is the t09
+    * 1-row totals broadcast (allowlisted). Integer note: lift's
+    * co·N·1000 stays in BIGINT while co·N < 9·10¹⁵ — beyond that a
+    * production job moves the numerator to log/decimal space (both
+    * engines would need it at the same point).
+    */
+  def basketAffinity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      // feeds the order total, the part margins and BOTH pair sides
+      .cache()
+    val nOrders = li.agg(countDistinct(col("o")).as("n_orders"))
+    val pc = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = li.select(col("o"), col("p").as("part_a"))
+      .join(li.select(col("o"), col("p").as("part_b")), "o")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).cast("long").as("co"))
+      .filter(col("co") >= 2L)
+    pairs
+      .join(pc.select(col("p").as("part_a"), col("c").as("n_a")), "part_a")
+      .join(pc.select(col("p").as("part_b"), col("c").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("co"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        expr("(co * 10000) DIV n_orders").as("support_bp"),
+        expr("(co * 10000) DIV n_a").as("conf_a_bp"),
+        expr("(co * 10000) DIV n_b").as("conf_b_bp"),
+        expr("(co * n_orders * 1000) DIV (n_a * n_b)").as("lift_milli"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   /** r34 — VOLUME/FRESHNESS anomaly report per event type: the
     * data-observability table a 100 TB ingest reads before anything
     * downstream is trusted — per type: active days, total volume,

@@ -246,4 +246,27 @@ class GapFillSpec extends SparkSpecBase {
     assert(out(("2024-03-01", 0L)) == ((1L, 1L, 599L, 599L, 599L)),
       out.toString)
   }
+
+  test("r36 basket affinity: hand-walked support/confidence/lift, " +
+      "co<2 screened, duplicate lines deduped") {
+    val d = Files.createTempDirectory("graft-r36").toString
+    // o1{p1,p2,p3} o2{p1,p1,p2} o3{p1,p2} o4{p3} — the repeated
+    // (o2,p1) line must count once; only (p1,p2) reaches co ≥ 2
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$d/lineitem.parquet")
+    val out = operators.Relational.basketAffinity(spark, d).collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+      r.getAs[Long]("co"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) ==
+      ((1L, 2L, 3L, 3L, 3L)), r.toString)
+    // support 3/4 orders; both confidences 3/3; lift 3·4/(3·3)
+    assert(r.getAs[Long]("support_bp") == 7500L)
+    assert(r.getAs[Long]("conf_a_bp") == 10000L)
+    assert(r.getAs[Long]("conf_b_bp") == 10000L)
+    assert(r.getAs[Long]("lift_milli") == 1333L)
+  }
 }
