@@ -29,8 +29,9 @@ class EmptyInputSpec extends SparkSpecBase {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/orders.parquet")
-    Seq.empty[(Long, Double, Double, Double)]
-      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    Seq.empty[(Long, Long, Double, Double, Double)]
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_tax")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/lineitem.parquet")
     d
   }
@@ -109,7 +110,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "r34" -> (operators.Relational.volumeAnomaly _),
     "c13" -> (operators.Curation.lfCorrelation _),
     "s23" -> (operators.Similarity.centroidDrift _),
-    "r35" -> (operators.Relational.cohortLtv _))
+    "r35" -> (operators.Relational.cohortLtv _),
+    "r36" -> (operators.Relational.basketAffinity _))
 
   for ((name, fn) <- ops)
     test(s"$name returns an empty result on empty input") {
