@@ -79,7 +79,14 @@ object Bench {
       "d04_ngram_jaccard" -> (() => operators.Dedup.ngramJaccardCandidates(spark, sfDir)),
       "d05_embedding_dup" -> (() => operators.Dedup.embeddingDupCandidates(spark, sfDir)),
       "d06_fuzzy_match" -> (() => operators.Dedup.fuzzyMatchCandidates(spark, sfDir)),
-      "d13_multiblock_simhash" -> (() => operators.Dedup.multiblockSimhashCandidates(spark, sfDir))
+      "d13_multiblock_simhash" -> (() => operators.Dedup.multiblockSimhashCandidates(spark, sfDir)),
+      // d14's one-sided prefix generator (r11 item 2's other consumer)
+      "d14_containment" -> (() => operators.Dedup.containmentCandidates(spark, sfDir)),
+      // the ANN probe workloads (r11 items 1+7): candidates each gated
+      // query scores — with the adaptive layouts these stay ~|Q|·const
+      // as the corpus grows; a regression here is a layout regression
+      "s02_probe" -> (() => operators.Similarity.lshProbeCandidates(spark, sfDir)),
+      "s03_probe" -> (() => operators.Similarity.ivfProbeCandidates(spark, sfDir))
     ).flatMap { case (name, mk) =>
       try Some(name -> mk().count())
       catch { case e: Throwable =>

@@ -123,10 +123,16 @@ object ScaleCheck {
   }
 
 
-  /** Max LSH bucket occupancy over s02's single 3-bit bucket. */
+  /** Max LSH bucket occupancy over s02's single adaptive-bits bucket
+    * (r11 verdict item 1): with bits = max(3, ⌈log₂ n⌉ − 3) the
+    * expected occupancy n/2^bits is ~8 at EVERY corpus size, so this
+    * metric should stay ~flat under 10× inflation — the sublinear-
+    * probe-work evidence (the old 3 pinned planes grew it ~10×).
+    */
   private def maxBucket(emb: DataFrame): Long = {
     import graft.functions.Vector
-    emb.select(Vector.signBucket(col("embedding"), Seq(1, 9, 17)).as("bucket"))
+    emb.select(Vector.signBucket(col("embedding"),
+        operators.Similarity.lshDims(emb.count())).as("bucket"))
       .groupBy(col("bucket")).count()
       .agg(max(col("count"))).head().getLong(0)
   }
@@ -192,6 +198,15 @@ object ScaleCheck {
           count(lit(1)).as("n")).head()
       r.getAs[Long]("fp") * 10000L / math.max(r.getAs[Long]("n"), 1L)
     }
+    // mean probed candidates per ACTIVE query of an ANN probe frame
+    def perQueryCand(dir: String,
+        f: (SparkSession, String) => DataFrame): Long = {
+      val agg = f(s, dir)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("query_id")).as("q")).head()
+      val q = agg.getAs[Long]("q")
+      if (q == 0L) 0L else agg.getAs[Long]("n") / q
+    }
     def trimBp(dir: String): Long = {
       val df = operators.TextOps.tfidf(s, dir)
       df.collect()
@@ -238,6 +253,20 @@ object ScaleCheck {
       Growth("s02_max_bucket",
         maxBucket(Tables.embeddings(s, baseDir)),
         maxBucket(Tables.embeddings(s, bigDir))),
+      // the r11 verdict's sublinearity criterion, measured end-to-end:
+      // candidates each gated ANN probe scores PER ACTIVE QUERY (the
+      // fixed ≤9-id set activates more ids as the corpus covers them,
+      // so the per-query normalization isolates layout behavior).
+      // s02's bucket join gains ~3 bits under 10× (occupancy flat);
+      // s03's coarse K(n)=max(10, n/50) holds per-query cell
+      // population ~constant (the 10 pinned label centroids made
+      // both exactly linear)
+      Growth("s02_probe_cand",
+        perQueryCand(baseDir, operators.Similarity.lshProbeCandidates),
+        perQueryCand(bigDir, operators.Similarity.lshProbeCandidates)),
+      Growth("s03_probe_cand",
+        perQueryCand(baseDir, operators.Similarity.ivfProbeCandidates),
+        perQueryCand(bigDir, operators.Similarity.ivfProbeCandidates)),
       // s04's queries are a FIXED id set (r8): on content-disjoint
       // inflation its lexical candidates should stay ~constant — the
       // old doc_id % 10 rule grew them with the corpus

@@ -117,6 +117,7 @@ object SparkEntry {
     "s19_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "s20_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "s21_pq_distortion" -> (Similarity.pqDistortion _),
+    "s24_ann_ivfsq8" -> (Similarity.annIvfSq8 _),
     // §2.6 text analysis
     "t01_token_count" -> (TextOps.tokenCount _),
     "t02_quality_score" -> (TextOps.qualityScore _),
@@ -416,29 +417,40 @@ cj AS (SELECT j, ck AS cid, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
     """e AS (SELECT vec_id, embedding FROM embeddings),
 kk AS (SELECT greatest(10, count(*) // 50) AS k FROM e),
 ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
-c0m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+kc0m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
   FROM (SELECT CAST(vec_id % (SELECT k FROM kk) AS INT) AS ck, unnest(v) AS x,
       unnest(range(1, len(v)+1)) AS idx FROM ev) z
   GROUP BY ck, idx),
-c0 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c0m GROUP BY ck),
-a1 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
+kc0 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc0m GROUP BY ck),
+ka1 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
     row_number() OVER (PARTITION BY ev.vec_id
       ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
-  FROM ev, c0 c) z WHERE rr = 1),
-c1m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT a1.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
-    FROM ev JOIN a1 USING (vec_id)) z
+  FROM ev, kc0 c) z WHERE rr = 1),
+kc1m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT ka1.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
+    FROM ev JOIN ka1 USING (vec_id)) z
   GROUP BY ck, idx),
-c1 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c1m GROUP BY ck),
-a2 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
+kc1 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc1m GROUP BY ck),
+ka2 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
     row_number() OVER (PARTITION BY ev.vec_id
       ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
-  FROM ev, c1 c) z WHERE rr = 1),
-c2m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT a2.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
-    FROM ev JOIN a2 USING (vec_id)) z
+  FROM ev, kc1 c) z WHERE rr = 1),
+kc2m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
+  FROM (SELECT ka2.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
+    FROM ev JOIN ka2 USING (vec_id)) z
   GROUP BY ck, idx),
-c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM c2m GROUP BY ck)"""
+c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc2m GROUP BY ck)"""
+
+  /** The IVF coarse layer's centroid table as a CTE chain — the
+    * kmeans rounds (renamed internals so they compose with
+    * pqCodebookCtes inside one WITH clause) plus the (cid, cv) alias
+    * the s03-family oracles consume. Replays
+    * Similarity.coarseCentroids: K = greatest(10, n//50), vec_id%K
+    * seed, two milli-floored assign→mean rounds.
+    */
+  private def coarseCtes: String =
+    kmeansCtes + """,
+cent AS (SELECT ck AS cid, cv FROM c2)"""
 
   /** Shared by r08 and its skew-resistant twin r20 — both must equal
     * the single-window formulation exactly.
@@ -492,25 +504,50 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY 1, 2"""
   }
 
-  private val langMarkers = Seq(
-    "en" -> "the|and|of|with|fast",
-    "de" -> "der|die|und|nicht|mit",
-    "es" -> "el|la|los|que|por",
-    "fr" -> "le|les|des|est|avec")
+  /** Single-source language-ID oracle pieces: marker regexes derive
+    * from functions.Text.markers (the table t03/t37's Spark side
+    * reads), and the gate corpus is documents ∪ the planted rows
+    * (TextOps.langPlantRows — the d15 VALUES-replay recipe).
+    */
+  private def langMarkers: Seq[(String, String)] =
+    graft.functions.Text.markers.map { case (l, ws) => l -> ws.mkString("|") }
 
-  private def langIdSql: String = {
-    val cnts = langMarkers.map { case (l, ws) =>
-      s"CAST(len(regexp_extract_all(lower(text), '\\b($ws)\\b')) AS INT) AS c_$l"
-    }.mkString(", ")
+  private def langGateCtes: String =
+    s"""docs_lg AS (SELECT doc_id, lang, text FROM documents
+  UNION ALL SELECT * FROM (VALUES ${operators.TextOps.langPlantRows
+      .map { case (id, l, t) => s"(CAST($id AS BIGINT), '$l', '$t')" }
+      .mkString(", ")}) AS v(doc_id, lang, text))"""
+
+  private def langCountCols: String = langMarkers.map { case (l, ws) =>
+    s"CAST(len(regexp_extract_all(lower(text), '\\b($ws)\\b')) AS INT) AS c_$l"
+  }.mkString(", ")
+
+  private def langPickCase: String = {
     val maxE = "greatest(" + langMarkers.map("c_" + _._1).mkString(", ") + ")"
     val pick = langMarkers.map { case (l, _) =>
       s"WHEN c_$l = m AND c_$l > 0 THEN '$l'"
     }.mkString(" ")
-    s"""WITH c AS (SELECT doc_id, lang, $cnts FROM documents),
-x AS (SELECT doc_id, lang, $maxE AS m, * EXCLUDE (doc_id, lang) FROM c)
-SELECT doc_id, lang AS labeled_lang, CASE $pick ELSE 'und' END AS predicted_lang
-FROM x ORDER BY doc_id"""
+    s"x AS (SELECT *, $maxE AS m FROM c)," +
+      s"\np AS (SELECT doc_id, lang, CASE $pick ELSE 'und' END AS predicted_lang FROM x)"
   }
+
+  private def langIdSql: String =
+    s"""WITH $langGateCtes,
+c AS (SELECT doc_id, lang, $langCountCols FROM docs_lg),
+$langPickCase
+SELECT doc_id, lang AS labeled_lang, predicted_lang
+FROM p ORDER BY doc_id"""
+
+  private def langConfusionSql: String =
+    s"""WITH $langGateCtes,
+c AS (SELECT doc_id, lang, $langCountCols FROM docs_lg),
+$langPickCase,
+g AS (SELECT lang AS labeled_lang, predicted_lang,
+    CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2)
+SELECT labeled_lang, predicted_lang, n_docs,
+  (n_docs * 10000) // CAST(sum(n_docs)
+    OVER (PARTITION BY labeled_lang) AS BIGINT) AS row_share_bp
+FROM g ORDER BY labeled_lang, predicted_lang"""
 
   def oracleSql: Map[String, String] =
     baseOracleSql +
@@ -1340,12 +1377,16 @@ sc AS (SELECT q.qid, tf.doc_id,
 r AS (SELECT qid, doc_id, score_milli,
     row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id) AS rn FROM sc)
 SELECT qid, CAST(rn AS INT) AS rn, doc_id, score_milli FROM r WHERE rn <= 10 ORDER BY qid, rn""",
+    // adaptive bit count (r11 verdict item 1): the d05 layout rule
+    // greatest(3, length(bin(n-1)) - 3) over the contiguous plane
+    // block 1..bits — Similarity.lshBits replayed in SQL
     "s02_ann_lsh" ->
-      """WITH b AS (SELECT vec_id, embedding,
-    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN embedding[9] >= 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END) AS bucket
-  FROM embeddings),
+      """WITH p AS (SELECT greatest(3, length(bin(count(*) - 1)) - 3) AS bits FROM embeddings),
+b AS (SELECT e.vec_id, e.embedding,
+    list_sum(list_transform(range(p.bits),
+      r -> CASE WHEN e.embedding[CAST(r + 1 AS INT)] >= 0
+           THEN 1 << r ELSE 0 END)) AS bucket
+  FROM embeddings e CROSS JOIN p),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999)),
 s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
   FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
@@ -1356,14 +1397,10 @@ SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
 FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
 
+    // coarse layer = the k-means chain (r11 verdict item 1: K(n)
+    // centroids via coarseCtes, replacing the 10 pinned label means)
     "s03_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+      ("""WITH """ + coarseCtes + """,
 asg AS (SELECT e.vec_id, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
@@ -1381,7 +1418,7 @@ r AS (SELECT query_id, vec_id, cos,
   FROM s)
 SELECT query_id, rn, vec_id AS neighbor_id,
   CAST(floor(cos * 10000) AS BIGINT) AS cos_bp
-FROM r WHERE rn <= 3 ORDER BY query_id, rn""",
+FROM r WHERE rn <= 3 ORDER BY query_id, rn"""),
     // s21: s05's codebook + float-argmin encode CTEs, error re-summed
     // in the milli-integer space; codebook LEFT join keeps dead codes
     "s21_pq_distortion" ->
@@ -1414,13 +1451,7 @@ ORDER BY cj.j, cj.cid"""),
     // s20: s03's centroid/assignment CTEs with the query side kept to
     // rr <= 3, expanded over nprobe in {1,2,3}, recall vs brute truth
     "s20_nprobe_sweep" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+      ("""WITH """ + coarseCtes + """,
 asg AS (SELECT e.vec_id, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
@@ -1453,17 +1484,11 @@ j AS (SELECT np.nprobe, t.query_id, a.vec_id AS hit
 SELECT nprobe, query_id, CAST(count(*) AS INT) AS n_true,
   CAST(count(hit) AS INT) AS n_hits,
   CAST(count(hit) * 10000 // count(*) AS BIGINT) AS recall_bp
-FROM j GROUP BY 1, 2 ORDER BY nprobe, query_id""",
+FROM j GROUP BY 1, 2 ORDER BY nprobe, query_id"""),
     // s18: replays s03's centroid-build + rr=1 assignment CTEs, then
     // the K-row occupancy report; centroid LEFT join keeps empty cells
     "s18_index_health" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+      ("""WITH """ + coarseCtes + """,
 asg AS (SELECT e.vec_id, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
@@ -1480,7 +1505,7 @@ SELECT h.cid, h.n_vecs,
   CAST(h.n_vecs * t.n_cells * 10000 // t.n_total AS BIGINT) AS load_bp,
   h.n_vecs * t.n_cells > 2 * t.n_total AS hot,
   h.n_vecs = 0 AS empty
-FROM h, t ORDER BY h.cid""",
+FROM h, t ORDER BY h.cid"""),
     "s05_ann_pq" ->
       ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
 """ + pqCodebookCtes + """,
@@ -1517,13 +1542,7 @@ SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
 FROM r WHERE rn <= 3 ORDER BY query_id, rn"""),
     "s06_ann_ivfpq" ->
-      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+      ("""WITH """ + coarseCtes + """,
 asg AS (SELECT e.vec_id, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
@@ -1568,13 +1587,7 @@ SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
 FROM r WHERE rn <= 3 ORDER BY query_id, rn"""),
     "s07_ann_refine" ->
-      ("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-cm AS (SELECT label AS cid, idx,
-    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT label, unnest(embedding) AS v,
-      unnest(range(1, len(embedding)+1)) AS idx FROM embeddings)
-  GROUP BY label, idx),
-cent AS (SELECT cid, list(comp ORDER BY idx) AS cv FROM cm GROUP BY cid),
+      ("""WITH """ + coarseCtes + """,
 asg AS (SELECT e.vec_id, c.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
@@ -1654,6 +1667,43 @@ rk AS (SELECT query_id, vec_id, adc,
 SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
   CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
 FROM rk WHERE rn <= 3 ORDER BY query_id, rn""",
+    // s24: s08's quantize/dequantize CTEs verbatim, the scan joined
+    // through the coarse rr=1 cells on the query's rr<=2 probe cells
+    "s24_ann_ivfsq8" ->
+      ("""WITH """ + coarseCtes + """,
+asg AS (SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rr
+  FROM e, cent c),
+cl AS (SELECT vec_id, cid AS cell FROM asg WHERE rr = 1),
+dims AS (SELECT vec_id, unnest(embedding) AS v,
+    unnest(range(1, len(embedding)+1)) AS idx FROM e),
+mnx AS (SELECT idx, min(v) AS mn, max(v) AS mx FROM dims GROUP BY idx),
+q8 AS (SELECT d.vec_id, d.idx,
+    CASE WHEN m.mx > m.mn
+      THEN least(CAST(floor(((CAST(d.v AS DOUBLE) - CAST(m.mn AS DOUBLE))
+        / (CAST(m.mx AS DOUBLE) - CAST(m.mn AS DOUBLE))) * 256.0) AS BIGINT), 255)
+      ELSE 0 END AS code,
+    CAST(m.mn AS DOUBLE) AS mn, CAST(m.mx AS DOUBLE) AS mx
+  FROM dims d JOIN mnx m USING (idx)),
+dq AS (SELECT vec_id, idx,
+    CAST(floor((mn + (code + 0.5) * (mx - mn) / 256.0) * 1000) / 1000.0 AS FLOAT) AS dv
+  FROM q8),
+dqv AS (SELECT vec_id, CAST(list(CAST(dv AS DOUBLE) ORDER BY idx) AS DOUBLE[]) AS dvec
+  FROM dq GROUP BY vec_id),
+qv AS (SELECT a.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qvec, a.cid AS cell
+  FROM asg a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id IN (0, 100, 200, 300, 400, 799, 1203, 1607, 1999) AND a.rr <= 2),
+scored AS (SELECT q.query_id, c.vec_id,
+    list_inner_product(q.qvec, q.qvec) + list_inner_product(c.dvec, c.dvec)
+      - 2 * list_inner_product(q.qvec, c.dvec) AS adc
+  FROM qv q JOIN cl ON cl.cell = q.cell JOIN dqv c ON c.vec_id = cl.vec_id
+  WHERE c.vec_id <> q.query_id),
+rk AS (SELECT query_id, vec_id, adc,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn FROM scored)
+SELECT query_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
+  CAST(floor(adc * 1000) AS BIGINT) AS adc_milli
+FROM rk WHERE rn <= 3 ORDER BY query_id, rn"""),
     "s04_hybrid_search" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks WHERE len(t) >= 3),
@@ -2822,28 +2872,7 @@ FROM d ORDER BY variant, day""",
     // t37: t03's marker-word prediction CTE verbatim, re-aggregated
     // into the (labeled, predicted) matrix; row share on the tiny
     // aggregated frame
-    "t37_lang_confusion" ->
-      raw"""WITH c AS (SELECT doc_id, lang,
-    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|with|fast)\b')) AS INT) AS c_en,
-    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|mit)\b')) AS INT) AS c_de,
-    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|por)\b')) AS INT) AS c_es,
-    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|est|avec)\b')) AS INT) AS c_fr
-  FROM documents),
-x AS (SELECT doc_id, lang, greatest(c_en, c_de, c_es, c_fr) AS m,
-    * EXCLUDE (doc_id, lang) FROM c),
-p AS (SELECT lang AS labeled_lang,
-    CASE WHEN c_en = m AND c_en > 0 THEN 'en'
-         WHEN c_de = m AND c_de > 0 THEN 'de'
-         WHEN c_es = m AND c_es > 0 THEN 'es'
-         WHEN c_fr = m AND c_fr > 0 THEN 'fr'
-         ELSE 'und' END AS predicted_lang
-  FROM x),
-g AS (SELECT labeled_lang, predicted_lang,
-    CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2)
-SELECT labeled_lang, predicted_lang, n_docs,
-  (n_docs * 10000) // CAST(sum(n_docs)
-    OVER (PARTITION BY labeled_lang) AS BIGINT) AS row_share_bp
-FROM g ORDER BY labeled_lang, predicted_lang""",
+    "t37_lang_confusion" -> langConfusionSql,
     // r34: (type, day) pre-aggregate, per-type rollup, 1-row frontier;
     // max_by ties impossible (day unique within type)
     "r34_volume_anomaly" ->

@@ -34,13 +34,27 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  /** NULL semantics match the HOF formulation EXACTLY (r11 advice;
+    * see LongVecDot): NULL on length mismatch or any null element, so
+    * the session-wide rewrite is result-preserving on every input.
+    */
+  override def nullable: Boolean = true
+
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType
+    match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -52,13 +66,22 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val elemCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemCheck
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -41,13 +41,37 @@ case class LongVecDot(left: Expression, right: Expression)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  /** NULL semantics match the HOF formulation EXACTLY (r11 advice):
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, ...)` null-pads
+    * ragged arrays and propagates null elements, so one null product
+    * nulls the whole fold — this kernel therefore returns NULL on a
+    * length mismatch or any null element, making the session-wide
+    * optimizer rewrite result-preserving on EVERY input, not just the
+    * fixed-width non-null vectors in-repo callers pass. The result
+    * can thus be null even for non-null inputs ⇒ nullable is
+    * unconditionally true.
+    */
+  override def nullable: Boolean = true
+
+  /** Element null-checks are emitted only when a child's type admits
+    * null elements — the fixed-vector hot path pays one extra int
+    * compare per row, nothing per element.
+    */
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType
+    match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -59,13 +83,22 @@ case class LongVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val elemCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemCheck
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

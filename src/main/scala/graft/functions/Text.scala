@@ -49,11 +49,24 @@ object Text {
       + lit(0.2) * (lit(1.0) - least(punctRatio, lit(1.0))), 4)
   }
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "with", "fast"),
-    "de" -> Seq("der", "die", "und", "nicht", "mit"),
-    "es" -> Seq("el", "la", "los", "que", "por"),
-    "fr" -> Seq("le", "les", "des", "est", "avec"))
+  /** Marker stopwords per language (public stopword lists; r11
+    * verdict item 6). Two deliberate properties: (a) NONE of the
+    * words appears in the synthetic corpus's shared 31-token tech
+    * vocabulary (the old list's "the"/"fast" made every label predict
+    * 'en' — the degenerate matrix the verdict flagged; with disjoint
+    * lists the signal-free corpus honestly abstains to 'und'), and
+    * (b) zh rides romanized (pinyin) function words — the regex
+    * engines' \b boundaries aren't portable across CJK, and the
+    * testdata is ASCII. Shared single-source by t03, t37 AND the
+    * oracle SQL builder (SparkEntry derives both engines' regexes
+    * from THIS table).
+    */
+  private[graft] val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("and", "of", "to", "is", "that", "for"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "mit"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "avec"),
+    "zh" -> Seq("wo", "ni", "ta", "shi", "zai"))
 
   private def markerCount(c: Column, ws: Seq[String]): Column =
     regexp_count(lower(c), lit("\\b(" + ws.mkString("|") + ")\\b"))

@@ -29,6 +29,14 @@ object Vector {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Merge-intersection count of two SORTED long-array columns
+    * (SortedLongIntersectCount — codegen two-pointer merge; the
+    * PPJoin verification kernel).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Cosine similarity (null-safe via NaN on zero vectors). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))

@@ -396,7 +396,8 @@ object Curation {
     * desirability weight is an EXTERNAL input in production (human or
     * model-judged domain quality feeding the mix policy, the t14/c06
     * seam); the gate derives one deterministically from the source
-    * name (1 + md5 % 16, the t23 integer-hash idiom) precisely so the
+    * name (1 + (md5 % 10000) % 16 — the double-mod IS the contract
+    * constant, oracle-mirrored; the t23 integer-hash idiom) so the
     * plan spans all three regimes the operator must price: CAPPED
     * sources (target > 4× available — the plan reports the shortfall
     * the budget cannot buy), fitting sources (1–4 epochs), and

@@ -289,15 +289,6 @@ object Dedup {
     * measured at sf0.1 (n=5000, cap=13): all 256 τ-passing pairs
     * survive while the candidate join drops 1.13M → 0.83M.
     */
-  /** d04's (doc_id, shingle) pairs surviving the stop-shingle df cap. */
-  private def rareShingles(s: SparkSession, dir: String,
-      maxDf: Int): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shingle"))
-    sh.join(rare, "shingle")
-  }
-
   /** d04/d15's contract stop-shingle cap: max(8, ⌈log₂ n⌉) — binding
     * exactly when df can threaten the join (the floor keeps tiny
     * corpora uncapped; sf0.1's dup families share shingles of df ≤
@@ -325,39 +316,119 @@ object Dedup {
   /** d04's candidate pairs — docs sharing ≥1 rare shingle
     * (observability/spec surface; the bench's cand_pairs telemetry).
     */
-  def ngramJaccardCandidates(s: SparkSession, dir: String): DataFrame = {
-    val shRare = rareShingles(s, dir, jaccardDfCap(nDocs(s, dir)))
-    shRare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+  def ngramJaccardCandidates(s: SparkSession, dir: String): DataFrame =
+    prefixCandidatesOf(
+      rankedRareShingles(shingles(s, dir), jaccardDfCap(nDocs(s, dir))),
+      1, 6, bothSides = true)
+
+  /** d14's candidate pairs under the one-sided prefix filter
+    * (telemetry twin of [[ngramJaccardCandidates]]).
+    */
+  def containmentCandidates(s: SparkSession, dir: String): DataFrame =
+    prefixCandidatesOf(
+      rankedRareShingles(shingles(s, dir), containmentDfCap(nDocs(s, dir))),
+      4, 5, bothSides = false)
+
+  /** The df-capped shingle universe with the PPJoin global order:
+    * (doc_id, shingle, pr, rsz) — shingles ranked per doc by (df,
+    * shingle) ascending (rarest first; the total order the filter's
+    * pigeonhole argument runs on), rsz = the doc's capped-set size.
+    * One shuffle on doc_id serves both window functions.
+    */
+  private def rankedRareShingles(sh0: DataFrame, maxDf: Int): DataFrame = {
+    val sh = sh0.cache()
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    // cached: every consumer references it 3× in one plan (both
+    // prefix join sides / prefix+full, plus the per-doc array agg)
+    sh.join(dfc, "shingle")
+      .withColumn("pr", row_number().over(
+        wDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("rsz", count(lit(1)).over(wDoc))
+      .cache()
+  }
+
+  /** PPJoin/AllPairs prefix-filtered candidate pairs (r11 verdict
+    * item 2; Bayardo/Ma/Srikant "Scaling up all pairs similarity
+    * search" WWW'07, Xiao et al. PPJoin ICDE'08 — public recipes).
+    * A doc's PREFIX is its rsz − α + 1 rarest capped shingles in the
+    * global (df, shingle) order, α = ⌈num·rsz/den⌉ the
+    * pair-independent lower bound on the capped intersection any
+    * threshold-passing pair must reach; by pigeonhole the last α − 1
+    * ordered shingles cannot hold all ≥ α shared ones, so every true
+    * pair collides inside the prefix join:
+    *  - d04 (Jaccard ≥ 1/5 on full sizes): 6·inter ≥ sz_a + sz_b ⇒
+    *    inter ≥ ⌈rsz_x/6⌉ for BOTH endpoints ⇒ prefix×prefix
+    *    (`bothSides`), each side keeping only its ~5/6 rarest;
+    *  - d14 (containment ≥ 4/5 on the better side): the bound holds
+    *    for ONE endpoint only ⇒ prefix×full, the prefix side keeping
+    *    its ~1/5 rarest.
+    * EXACT by construction, and the gate PROVES it: the oracle
+    * deliberately replays the UNPRUNED equi-join, so a single lost
+    * τ-passing pair hash-fails correctness. Pruning power comes from
+    * the order: the highest-df (biggest join-fanout) shingles sort
+    * LAST and drop out of most prefixes.
+    */
+  private def prefixCandidatesOf(ranked: DataFrame, num: Int, den: Int,
+      bothSides: Boolean): DataFrame = {
+    val alpha = expr(s"($num * rsz + ${den - 1}) DIV $den")
+    val pfx = ranked.filter(col("pr") <= col("rsz") - alpha + 1)
+      .select(col("doc_id"), col("shingle"))
+    val right = (if (bothSides) pfx else ranked)
+      .select(col("doc_id").as("doc_r"), col("shingle"))
+    pfx.select(col("doc_id").as("doc_l"), col("shingle"))
+      .join(right, "shingle")
+      .filter(col("doc_l") =!= col("doc_r"))
+      .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"))
+      .distinct()
   }
 
   /** Shared d04/d14 pair-overlap frame: (doc_a, doc_b, inter, sz_a,
-    * sz_b) for every candidate pair sharing ≥ 1 df-capped shingle —
-    * the candidate equi-join + intersection count + the two per-doc
-    * size joins. d04 scores Jaccard on it (cap [[jaccardDfCap]]),
-    * d14 scores containment (cap [[containmentDfCap]]).
+    * sz_b) — prefix-filtered candidate pairs verified by a row-local
+    * capped-set intersection, plus the two per-doc size joins. d04
+    * scores Jaccard on it (cap [[jaccardDfCap]], both-prefix rule
+    * 1/6), d14 scores containment (cap [[containmentDfCap]],
+    * one-sided rule 4/5) — see [[prefixCandidatesOf]] for why each
+    * rule is exact for its consumer's τ filter.
     */
-  private def shingleOverlap(s: SparkSession, dir: String,
-      maxDf: Int): DataFrame =
-    shingleOverlapOf(shingles(s, dir), maxDf)
+  private def shingleOverlap(s: SparkSession, dir: String, maxDf: Int,
+      num: Int, den: Int, bothSides: Boolean): DataFrame =
+    shingleOverlapOf(shingles(s, dir), maxDf, num, den, bothSides)
 
-  /** The pair-overlap frame over an explicit (doc_id, shingle) frame
-    * — one cached shingle scan feeds sizes, the df cap AND both join
-    * sides.
+  /** The pair-overlap frame over an explicit (doc_id, shingle) frame.
+    * Verification is row-local instead of the old count-the-equi-join
+    * (with candidates pruned, re-counting through the full join would
+    * pay the fanout the prefix just saved): each doc's capped shingle
+    * set is collected ONCE as a sorted xxhash64 array, and a pair's
+    * intersection is the SortedLongIntersectCount codegen merge
+    * (~|A|+|B| long compares, no per-pair allocation — the first
+    * array_intersect-over-strings cut made d04/d14 SLOWER than the
+    * join they replaced; hashing the sets once fixed it). inter over
+    * 64-bit hashes equals the true string intersection unless two
+    * DISTINCT shingles of one candidate pair collide in xxhash64 —
+    * p ≈ |A|·|B|/2⁶⁴ per pair, ~10⁻¹² across the whole corpus, and
+    * the oracle gate (which counts true string matches) would
+    * hash-fail the query if it ever happened.
     */
-  private def shingleOverlapOf(sh0: DataFrame, maxDf: Int): DataFrame = {
+  private def shingleOverlapOf(sh0: DataFrame, maxDf: Int, num: Int,
+      den: Int, bothSides: Boolean): DataFrame = {
     val sh = sh0.cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shingle"))
-    val shRare = sh.join(rare, "shingle")
-    val inter = shRare.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(shRare.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val ranked = rankedRareShingles(sh, maxDf)
+    val cand = prefixCandidatesOf(ranked, num, den, bothSides)
+    val docArr = ranked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("arr"))
+    val inter = cand
+      .join(docArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")),
+        "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Vector.sortedIntersectCount(col("arr_a"), col("arr_b")).as("inter"))
+      .filter(col("inter") >= 1L)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
@@ -375,7 +446,7 @@ object Dedup {
 
   /** The τ-passing Jaccard pairs of an explicit shingle frame. */
   private def jaccardFrameOf(sh: DataFrame, maxDf: Int): DataFrame =
-    shingleOverlapOf(sh, maxDf)
+    shingleOverlapOf(sh, maxDf, 1, 6, bothSides = true)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
         // basis points via floor: integer-exact across engines (no
@@ -1169,11 +1240,9 @@ object Dedup {
       shingles(s, dir).filter(col("doc_id") % 10 === 0)).cache()
     val deltaBands = bandKeys(deltaSig)
       .select(col("doc_id").as("delta_id"), col("band"), col("bkey"))
-    val touched = deltaBands
-      .select(mhBucket(col("band"), col("bkey")).as("mb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val storedKeys = s.read.parquet(s"$idxDir/mhkeys")
-      .filter(col("mb").isin(touched: _*))
+    val storedKeys = graft.sources.PartitionPrune.filterByKeys(
+        s.read.parquet(s"$idxDir/mhkeys"), "mb",
+        deltaBands.select(mhBucket(col("band"), col("bkey")).as("mb")))
       .select(col("doc_id").as("lake_id"), col("band"), col("bkey"))
     val cand = deltaBands.join(storedKeys, Seq("band", "bkey"))
       .select(col("delta_id"), col("lake_id")).distinct()
@@ -1415,7 +1484,8 @@ object Dedup {
     * families (see the cap's Scaladoc).
     */
   def containment(s: SparkSession, dir: String): DataFrame =
-    shingleOverlap(s, dir, containmentDfCap(nDocs(s, dir)))
+    shingleOverlap(s, dir, containmentDfCap(nDocs(s, dir)), 4, 5,
+        bothSides = false)
       // τ = 0.8 on the BETTER-contained side, integer-exact
       .filter(col("inter") * 5 >= col("sz_a") * 4 ||
         col("inter") * 5 >= col("sz_b") * 4)

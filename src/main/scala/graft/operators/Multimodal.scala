@@ -169,10 +169,15 @@ object Multimodal {
     */
   object ImageIoDecoder extends BlobDecoder {
     override def decode(b: Blob): Iterator[StripeFeature] = {
+      // NonFatal, not just IOException (r11 advice): corrupt-but-
+      // recognized payloads throw RuntimeExceptions (CMMException /
+      // IllegalArgumentException from broken JPEG color profiles) —
+      // an undecodable blob must fall back to the stub, never fail
+      // the whole job
       val img =
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(b.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth < 4 || img.getHeight < 4)
         StripeStubDecoder.decode(b)
       else {

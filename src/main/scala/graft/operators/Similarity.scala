@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Tables, TableStats}
 import graft.functions.{Text, Vector}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -80,21 +80,43 @@ object Similarity {
   }
 
   /** s02 — LSH-bucketed ANN (scale path): corpus bucketed by the sign
-    * pattern of 3 fixed coordinates (8 buckets); each query only scans
-    * its own bucket — at 100 TB the bucket column is a partition key
-    * and the per-query work drops ~8× (more planes ⇒ more buckets).
-    * Top-3 within bucket.
+    * pattern of [[lshBits]] coordinates; each query only scans its own
+    * bucket — at 100 TB the bucket column is a partition key and the
+    * per-query work is ~n/2^bits, held ~CONSTANT by the adaptive bit
+    * count (r11 verdict item 1: the old 3 pinned planes meant probe
+    * work ∝ n/8, linear in the corpus). Top-3 within bucket.
     */
-  /** s02's fixed hyperplane coordinates (shared with the persisted
-    * bucket layout in sources.IndexStore).
+  /** s02's corpus-adaptive hyperplane count — d05's adaptiveBands rule
+    * (Dedup.adaptiveBands) applied to the single query band:
+    * bits = max(3, ⌈log₂ n⌉ − 3), so expected bucket occupancy
+    * n/2^bits ≈ 8 at every corpus size (10× the data ⇒ ~3 more bits ⇒
+    * flat per-probe work — ScaleSpec's s02 row measures it). Integer
+    * arithmetic only (Dedup.ceilLog2 ↔ the oracle's
+    * `greatest(3, length(bin(n−1)) − 3)`); planes are the contiguous
+    * coordinate block 1..bits (the d05 band-0 convention). The
+    * persisted layout (sources.IndexStore `lsh/`) FREEZES the build's
+    * bit count in `lshlayout/` so streaming folds and probes encode
+    * against the stored layout, not a re-derived one.
     */
-  private[graft] val LshDims = Seq(1, 9, 17)
+  private[graft] def lshBits(n: Long): Int =
+    math.max(3, Dedup.ceilLog2(n) - 3)
+
+  private[graft] def lshDims(n: Long): Seq[Int] = (1 to lshBits(n))
+
+  /** The embeddings row count the adaptive ANN layouts derive from —
+    * injected table stat with a memoized count fallback (the
+    * TableStats seam; at 100 TB this is a manifest read, not a scan).
+    */
+  private[graft] def nVecs(s: SparkSession, dir: String): Long =
+    TableStats.rowCount(s, dir, "embeddings")(
+      Tables.embeddings(s, dir).count())
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val dims = lshDims(nVecs(s, dir))
     val (q0, e) = queriesAndCorpus(s, dir)
     val corpus = e.withColumn("bucket",
-      Vector.signBucket(col("embedding"), LshDims))
-    val q = q0.withColumn("bucket", Vector.signBucket(col("qv"), LshDims))
+      Vector.signBucket(col("embedding"), dims))
+    val q = q0.withColumn("bucket", Vector.signBucket(col("qv"), dims))
     val scored = corpus.join(broadcast(q),
         corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
@@ -102,34 +124,38 @@ object Similarity {
   }
 
   /** The s02 bucket layout as a STORED artifact: `(vec_id, embedding,
-    * nrm, bucket)` of any vector frame — what IndexStore lands under
-    * `lsh/` (lake at build, arriving batches at fold; the bucket of a
-    * vector is corpus-independent, so appending is exact).
+    * nrm, bucket)` of any vector frame under an EXPLICIT plane layout
+    * — what IndexStore lands under `lsh/` (lake at build with the
+    * build-time adaptive dims, arriving batches at fold with the
+    * FROZEN stored dims; under a fixed layout the bucket of a vector
+    * is corpus-independent, so appending is exact).
     */
-  private[graft] def lshBucketsOf(e: DataFrame): DataFrame =
+  private[graft] def lshBucketsOf(e: DataFrame, dims: Seq[Int]): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       Vector.norm(col("embedding")).as("nrm"),
-      Vector.signBucket(col("embedding"), LshDims).as("bucket"))
+      Vector.signBucket(col("embedding"), dims).as("bucket"))
 
   private[graft] def lshBuckets(s: SparkSession, dir: String): DataFrame =
     lshBucketsOf(Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding")), lshDims(nVecs(s, dir)))
 
   /** s02 over the persisted bucket-partitioned corpus: each query's
     * bucket becomes a static `bucket IN` partition filter — the
     * "bucket column is a partition key at 100 TB" shape s02's
-    * Scaladoc promises. Output-identical to [[annLsh]].
+    * Scaladoc promises. Buckets are computed under the STORE's frozen
+    * plane layout (`lshlayout/`), so the probe stays exact after any
+    * number of streaming folds. Output-identical to [[annLsh]] when
+    * the store was built on the probed lake.
     */
   private[graft] def annLshProbe(s: SparkSession, dir: String,
       idxDir: String): DataFrame = {
+    val dims = graft.sources.IndexStore.storedLshDims(s, idxDir)
     val q = Tables.embeddings(s, dir).filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         Vector.norm(col("embedding")).as("qnrm"))
-      .withColumn("bucket", Vector.signBucket(col("qv"), LshDims))
-    val buckets = q.select(col("bucket")).distinct()
-      .collect().map(_.get(0)).toSeq
-    val corpus = s.read.parquet(s"$idxDir/lsh")
-      .filter(col("bucket").isin(buckets: _*))
+      .withColumn("bucket", Vector.signBucket(col("qv"), dims))
+    val corpus = graft.sources.PartitionPrune.filterByKeys(
+      s.read.parquet(s"$idxDir/lsh"), "bucket", q.select(col("bucket")))
     val scored = corpus.join(broadcast(q),
         corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
@@ -248,7 +274,7 @@ object Similarity {
         e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .withColumn("cos", pairCosine), 3)
       .select(col("query_id"), col("neighbor_id")).cache()
-    val cent = graft.operators.VectorAgg.centroidVectors(s, dir)
+    val cent = coarseCentroids(s, dir)
       .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid"))
@@ -788,10 +814,8 @@ object Similarity {
     val qs = Tables.embeddings(s, dir).filter(isQuery)
       .select(col("vec_id"), col("embedding"))
     val q = pqProbesOf(cellAssignmentsOf(s, qs, cent))
-    val probeCells = q.select(col("cell")).distinct()
-      .collect().map(_.get(0)).toSeq
-    val codes = s.read.parquet(s"$idxDir/pqcodes")
-      .filter(col("cell").isin(probeCells: _*))
+    val codes = graft.sources.PartitionPrune.filterByKeys(
+      s.read.parquet(s"$idxDir/pqcodes"), "cell", q.select(col("cell")))
     rankAdc(s, ivfPqScoreOf(codes, centJ, q))
   }
 
@@ -850,30 +874,57 @@ object Similarity {
     rankTopK(s, exact, 3)
   }
 
-  /** s03 — IVF-style ANN (coarse quantization) with REAL centroids:
-    * the 10 per-label mean vectors (VectorAgg.centroidVectors — the
-    * un-exploded m04 aggregate, components floored to milli-units so
-    * the oracle rebuilds bit-identical centroids). Corpus vectors are
-    * assigned to their nearest centroid's cell; a query probes its
-    * top-2 cells (the standard nprobe>1 recall lever). At 100 TB the
-    * cell id is the partition key: the assignment pass is one
-    * broadcast scan (centroids are tiny) and each query touches
-    * ~2/K of the corpus. Top-3 within probed cells.
+  /** s03 — IVF-style ANN (coarse quantization) with REAL k-means
+    * centroids: K = [[coarseK]] cells from the deterministic K-free
+    * clusterer (VectorAgg.kmeansCentroids — milli-floored means, no
+    * RNG, so the oracle rebuilds bit-identical centroids CTE-for-CTE;
+    * the d12 machinery). Corpus vectors are assigned to their nearest
+    * centroid's cell; a query probes its top-2 cells (the standard
+    * nprobe>1 recall lever). At 100 TB the cell id is the partition
+    * key: the assignment pass is one broadcast scan (centroids are
+    * tiny) and each query touches ~nprobe/K of the corpus — with K
+    * GROWING as n/50, per-probe work stays ~100 vectors at every
+    * corpus size (r11 verdict item 1: the 10 pinned label centroids
+    * made probe work ∝ n/10, linear). Top-3 within probed cells.
     */
+  /** K(n) for the IVF coarse layer: Dedup.semanticK's max(10, n/50)
+    * — the same integer rule d12 replays in SQL, shared so the two
+    * cell structures can never drift in scale behavior.
+    */
+  def coarseK(n: Long): Int = Dedup.semanticK(n)
+
+  private val coarseMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** The coarse IVF centroid table (cid, cv): deterministic k-means
+    * over the corpus with K = [[coarseK]](n). Memoized per (session,
+    * dir) — every s03-family query, the recall/health audits and the
+    * IndexStore build reuse ONE materialized K-row frame instead of
+    * re-running the clusterer per query (kmeansCentroids caches and
+    * materializes its output before returning).
+    */
+  def coarseCentroids(s: SparkSession, dir: String): DataFrame =
+    coarseMemo.getOrElseUpdate((s, dir), {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.VectorAgg.kmeansCentroids(s, emb,
+        coarseK(nVecs(s, dir)))
+    })
+
   /** Centroid-cell ranking per vector: the TOP-2 (vec_id, cid) pairs
     * with `ccos` (cosine to that centroid) and `rr` (rank of the cell
     * for that vector; rr=1 is the IVF cell assignment, rr=2 the
     * second probe cell — no consumer looks deeper). Centroids are the
-    * 10 per-label milli-floored means (VectorAgg.centroidVectors),
-    * broadcast — one scan of the corpus. Shared by s03/s06/s07/d12.
+    * [[coarseK]] milli-floored k-means centroids ([[coarseCentroids]]),
+    * broadcast — one scan of the corpus. Shared by s03/s06/s07.
     * The K-way centroid fan-out is trimmed to 2 rows per vector
     * BEFORE the rank shuffle by TopKPerKey: each row carries the full
     * embedding array, so at 100 TB the window formulation would
     * shuffle K×n wide rows where this moves 2×n.
     */
   def cellAssignments(s: SparkSession, dir: String): DataFrame =
-    cellAssignmentsWith(s, dir,
-      graft.operators.VectorAgg.centroidVectors(s, dir))
+    cellAssignmentsWith(s, dir, coarseCentroids(s, dir))
 
   /** cellAssignments against an EXPLICIT (cid, cv) centroid table —
     * the K-as-a-parameter path: pass VectorAgg.kmeansCentroids(_, _,
@@ -998,7 +1049,17 @@ object Similarity {
       e: DataFrame): DataFrame = {
     val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    sq8AdcRank(s, corpus.join(broadcast(q), col("vec_id") =!= col("query_id")))
+  }
+
+  /** The SQ8 ADC scoring + top-3 rank tail over explicit (query_id,
+    * qv, vec_id, dv) pairs — shared by s08 (full scan), s24 (cell-
+    * pruned scan) and both persisted probes so the four orderings
+    * cannot drift.
+    */
+  private[graft] def sq8AdcRank(s: SparkSession, pairs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val scored = pairs
       .withColumn("adc",
         Vector.dot(col("qv"), col("qv")) + Vector.dot(col("dv"), col("dv"))
           - lit(2.0) * Vector.dot(col("qv"), col("dv")))
@@ -1010,6 +1071,73 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
         floor(col("adc") * 1000).cast("long").as("adc_milli"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** (vec_id, cell, codes): the SQ8 byte codes tagged with the IVF
+    * cell — the STORED artifact of s24's layout (IndexStore lands it
+    * cell-PARTITIONED under `sq8codes/`). Built from an explicit
+    * assignment frame so the inline query and the persisted build
+    * share one construction.
+    */
+  private[graft] def sq8CellCodesOf(e: DataFrame, params: DataFrame,
+      asg: DataFrame): DataFrame =
+    sq8Codes(e, params)
+      .join(asg.filter(col("rr") === 1)
+        .select(col("vec_id"), col("cid").as("cell")), "vec_id")
+
+  /** s24 — IVF-SQ8: the memory ladder's 4× rung WITH coarse pruning
+    * (r11 verdict item 3). s08's scalar-quantized ADC scan restricted
+    * to the query's 2 probed IVF cells (s03's coarse k-means
+    * assignment): at 100 TB the cell id is the partition key over the
+    * BYTE-CODE table, so a probe reads nprobe/K of a 4×-compressed
+    * corpus and never touches a float vector — where s08 (full-scan
+    * by design) pays bandwidth for the whole code table, s24 pays
+    * nprobe/K of it, completing the pruned row of the quantization
+    * ladder (s03 floats / s24 SQ8 / s06 PQ). Scoring, dequantization
+    * and ordering are EXACTLY s08's (shared sq8AdcRank/sq8Dequant),
+    * so s24's result is s08's ADC ranking computed over the probed
+    * cells only.
+    */
+  def annIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val params = sq8Params(e)
+    val asg = cellAssignments(s, dir)
+    val corpus = sq8CellCodesOf(e, params, asg)
+      .crossJoin(broadcast(params))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("codes"), col("ps"), sq8Dequant).as("dv"))
+    val q = asg.filter(isQuery && col("rr") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cid").as("cell"))
+    sq8AdcRank(s, corpus.join(broadcast(q),
+      corpus("cell") === q("cell") && col("vec_id") =!= col("query_id")))
+  }
+
+  /** s24 recomputed as a PROBE of the persisted layout: queries rank
+    * against the stored coarse centroids, their probe cells become a
+    * static `cell IN` partition filter on the cell-partitioned
+    * `sq8codes/`, and the ADC scan dequantizes byte codes alone —
+    * the 100 TB shape s24's Scaladoc promises. Output-identical to
+    * [[annIvfSq8]].
+    */
+  private[graft] def annIvfSq8Probe(s: SparkSession, dir: String,
+      idxDir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val cent = s.read.parquet(s"$idxDir/centroids")
+    val params = s.read.parquet(s"$idxDir/sq8params")
+    val qs = Tables.embeddings(s, dir).filter(isQuery)
+      .select(col("vec_id"), col("embedding"))
+    val qAsg = cellAssignmentsOf(s, qs, cent).filter(col("rr") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cid").as("cell"))
+    val corpus = graft.sources.PartitionPrune.filterByKeys(
+        s.read.parquet(s"$idxDir/sq8codes"), "cell", qAsg.select(col("cell")))
+      .crossJoin(broadcast(params))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("codes"), col("ps"), sq8Dequant).as("dv"))
+    sq8AdcRank(s, corpus.join(broadcast(qAsg),
+      corpus("cell") === qAsg("cell") && col("vec_id") =!= col("query_id")))
   }
 
   /** s08 recomputed as a PROBE of the persisted SQ8 codes: the scan
@@ -1385,7 +1513,7 @@ object Similarity {
   def indexHealth(s: SparkSession, dir: String): DataFrame =
     indexHealthOf(s,
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-      graft.operators.VectorAgg.centroidVectors(s, dir))
+      coarseCentroids(s, dir))
 
   /** s18 over EXPLICIT (vec_id, embedding) / (cid, cv) frames — the
     * cellAssignmentsOf seam, so specs can plant hot and empty cells
@@ -1429,6 +1557,40 @@ object Similarity {
     rankTopK(s, scored, 3)
   }
 
+  /** s03's probed (query, candidate) pairs — observability surface
+    * (the bench's cand_pairs.s03_probe telemetry, ScaleSpec's
+    * sublinearity row): exactly the pairs the gated query scores.
+    * With K = coarseK(n) ∝ n, per-query candidates ~nprobe·50 stay
+    * ~constant as the corpus grows (the r11 verdict's criterion; the
+    * 10 pinned label centroids made this ∝ n/10).
+    */
+  def ivfProbeCandidates(s: SparkSession, dir: String): DataFrame = {
+    val asg = cellAssignments(s, dir)
+    val cells = asg.filter(col("rr") === 1)
+      .select(col("vec_id"), col("cid"))
+    val q = asg.filter(isQuery && col("rr") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    cells.join(broadcast(q),
+        cells("cid") === q("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  /** s02's probed (query, candidate) pairs — the LSH twin of
+    * [[ivfProbeCandidates]]: per-query bucket occupancy ~n/2^bits,
+    * held ~8 by the adaptive bit count.
+    */
+  def lshProbeCandidates(s: SparkSession, dir: String): DataFrame = {
+    val dims = lshDims(nVecs(s, dir))
+    val (q0, e) = queriesAndCorpus(s, dir)
+    val corpus = e.select(col("vec_id"),
+      Vector.signBucket(col("embedding"), dims).as("bucket"))
+    val q = q0.select(col("query_id"),
+      Vector.signBucket(col("qv"), dims).as("bucket"))
+    corpus.join(broadcast(q),
+        corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** s03 recomputed as a PROBE of the persisted IVF layout
     * (sources.IndexStore): queries rank against the STORED centroid
     * table, their ≤2·|Q| probe cell ids become a static `cid IN`
@@ -1447,10 +1609,8 @@ object Similarity {
     val qAsg = cellAssignmentsOf(s, qs, cent).filter(col("rr") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
-    val probeCids = qAsg.select(col("cid")).distinct()
-      .collect().map(_.get(0)).toSeq
-    val cells = s.read.parquet(s"$idxDir/cells")
-      .filter(col("cid").isin(probeCids: _*))
+    val cells = graft.sources.PartitionPrune.filterByKeys(
+      s.read.parquet(s"$idxDir/cells"), "cid", qAsg.select(col("cid")))
     val scored = cells.join(broadcast(qAsg),
         cells("cid") === qAsg("cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",

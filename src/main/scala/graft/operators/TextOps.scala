@@ -32,8 +32,50 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** t03 — marker-word language ID vs the labeled lang column. */
+  /** Offset separating t03/t37's planted gate docs from real ids. */
+  val LangPlantOffset = 30000000L
+
+  /** The language-ID gate's PLANTED docs (the d15 thin-gate recipe;
+    * r11 verdict item 6). The synthetic corpus carries NO lexical
+    * language signal — all five labels draw from ONE shared 31-token
+    * tech vocabulary (measured: per-label token shares are uniform
+    * noise), so an honest content classifier can only abstain on it
+    * and the confusion matrix was degenerate (every label's modal
+    * prediction 'en' through the old tech-colliding markers). The
+    * audit's regimes therefore live in plants, replayed by the oracle
+    * as literal VALUES: per language l, 8 CORRECT plants (labeled l,
+    * text = l's markers cycled to 12·(j+1) tokens so marker counts
+    * vary) and 1 MISLABELED plant (labeled l, text = the next
+    * language's markers — the mislabel regime t37 exists to catch).
+    * Real docs populate the 'und' abstention column. With the plants,
+    * every labeled language's modal prediction AMONG DETECTIONS
+    * (predicted ≠ 'und') sits on the diagonal at every SF.
+    */
+  def langPlantRows: Seq[(Long, String, String)] = {
+    val langs = Text.markers
+    langs.zipWithIndex.flatMap { case ((l, ws), i) =>
+      val correct = (0 until 8).map { j =>
+        val toks = Iterator.continually(ws).flatten.take(12 * (j + 1)).toSeq
+        (LangPlantOffset + 10L * i + j, l, toks.mkString(" "))
+      }
+      val nxt = langs((i + 1) % langs.size)._2
+      correct :+ ((LangPlantOffset + 10L * i + 8, l,
+        (nxt ++ nxt).mkString(" ")))
+    }
+  }
+
+  /** The gate's augmented (doc_id, lang, text) corpus: base ∪ the 45
+    * planted docs — shared by t03 and t37 so prediction and audit run
+    * over one population.
+    */
+  def langGateFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .union(langPlantRows.toDF("doc_id", "lang", "text"))
+  }
+
   def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    langGateFrame(s, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         Text.langId(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
@@ -1224,8 +1266,16 @@ object TextOps {
     * aggregate; the row-share window runs on the AGGREGATED matrix
     * (≤ |langs|·(|langs|+1) rows) — never a corpus-sized window.
     */
-  def langConfusion(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(s, dir)
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langConfusionOf(langGateFrame(s, dir))
+
+  /** t37 over an explicit (lang, text) frame — the hand-walkable
+    * body; the gated query runs it on [[langGateFrame]] (base ∪
+    * plants — see [[langPlantRows]] for why the audit's signal is
+    * planted).
+    */
+  private[graft] def langConfusionOf(docs: DataFrame): DataFrame = {
+    val cells = docs
       .select(col("lang").as("labeled_lang"),
         Text.langId(col("text")).as("predicted_lang"))
       .groupBy(col("labeled_lang"), col("predicted_lang"))

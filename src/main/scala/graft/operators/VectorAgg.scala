@@ -64,25 +64,6 @@ object VectorAgg {
       .orderBy(col("label"), col("idx"))
   }
 
-  /** Internal (s03 IVF): per-label mean centroid as a float array —
-    * the un-exploded form of m04, reused as real IVF centroids.
-    */
-  def centroidVectors(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, dir)
-      .select(col("label"), col("embedding"))
-      .as[LabeledVec]
-      .groupByKey(_.label)
-      .mapValues(_.embedding)
-      .agg(MeanVector.toColumn.name("centroid"))
-      .toDF("label", "centroid")
-      // floor to milli-units BEFORE use so downstream cosine math is
-      // bit-identical to an oracle that rebuilds the same centroids
-      .select(col("label").as("cid"),
-        transform(col("centroid"), x =>
-          (floor(x * 1000) / lit(1000.0)).cast("float")).as("cv"))
-  }
-
   /** FULL-VECTOR deterministic k-means with K a free parameter — the
     * r7 verdict's d12 fix: cells were the 10 per-LABEL centroids, so K
     * was pinned at label cardinality and the within-cell pairwise cost

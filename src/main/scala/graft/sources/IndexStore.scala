@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   *    codebooks (tiny, broadcast) and every cell member's 4 PQ codes
   *    PARTITIONED BY cell — the probe's ADC scan reads nprobe/K of a
   *    16×-compressed table and never touches a float vector.
-  *  - `sq8params/`, `sq8codes/` — s08's SQ8 layer: the one-row
+  *  - `sq8params/`, `sq8codes/` — the SQ8 layer: the one-row
   *    per-dimension [min,max] params and the byte-code table (4×
-  *    smaller than the float corpus; full-scan by design — SQ8 is a
-  *    compression rung, not a pruning one).
-  *  - `lsh/` — s02's corpus PARTITIONED BY sign bucket: a query
-  *    scans only its own bucket's partition (~1/8 of the corpus at
-  *    the fixed 3 planes; more planes ⇒ more buckets).
+  *    smaller than the float corpus), PARTITIONED BY the IVF cell —
+  *    s08 reads the whole compressed table (full-scan by design),
+  *    s24's probe prunes to its nprobe cells (compression AND
+  *    pruning on one artifact).
+  *  - `lshlayout/`, `lsh/` — s02's frozen sign-plane count and the
+  *    corpus PARTITIONED BY sign bucket: a query scans only its own
+  *    bucket's partition (~n/2^bits ≈ 8 vectors at the adaptive bit
+  *    count, whatever the corpus size).
   *  - `graph/`, `gkeys/`, `gvecs/` — the s15 kNN graph as
   *    streaming.GraphIngestStream's delta layout (src-hash-bucketed
   *    edge deltas + frozen-band key index + vectors): seed-node edge
@@ -64,7 +67,17 @@ object IndexStore {
     val p = new org.apache.hadoop.fs.Path(idxDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
-    VectorAgg.centroidVectors(s, dir)
+    // the ADAPTIVE layouts are derived ONCE here from the lake count
+    // (TableStats seam) and FROZEN into the store: `centroids/` holds
+    // K(n) k-means centroids, `lshlayout/` the sign-plane count —
+    // probes and streaming folds read the stored layout, never
+    // re-derive it (a lake that grew since the build would otherwise
+    // encode deltas under a DIFFERENT layout than the stored corpus)
+    import s.implicits._
+    Seq(Similarity.lshBits(graft.TableStats.rowCount(s, dir, "embeddings")(
+        graft.Tables.embeddings(s, dir).count())))
+      .toDF("bits").write.mode("overwrite").parquet(s"$idxDir/lshlayout")
+    Similarity.coarseCentroids(s, dir)
       .write.mode("overwrite").parquet(s"$idxDir/centroids")
     val centJ = VectorAgg.pqCodebook(s, dir,
       Similarity.PqSub, Similarity.PqSubLen)
@@ -104,12 +117,21 @@ object IndexStore {
     Similarity.pqCellCodesOf(asg, centJ)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$idxDir/pqcodes/delta_id=$deltaId")
-    Similarity.sq8Codes(e, params)
-      .write.mode("overwrite").parquet(s"$idxDir/sq8codes/delta_id=$deltaId")
-    Similarity.lshBucketsOf(e)
+    Similarity.sq8CellCodesOf(e, params, asg)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$idxDir/sq8codes/delta_id=$deltaId")
+    Similarity.lshBucketsOf(e, storedLshDims(s, idxDir))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$idxDir/lsh/delta_id=$deltaId")
   }
+
+  /** The store's FROZEN s02 plane layout (`lshlayout/`, one row) —
+    * the dims every delta encodes against and every probe hashes
+    * queries with. A 1-row read, bounded by construction.
+    */
+  private[graft] def storedLshDims(s: SparkSession,
+      idxDir: String): Seq[Int] =
+    1 to s.read.parquet(s"$idxDir/lshlayout").head().getAs[Int]("bits")
 
   /** Re-encode `e` from scratch into the per-vector families against
     * the artifacts already stored under `idxDir` — the frozen-model
@@ -168,6 +190,12 @@ object IndexStore {
     */
   def probeSq8(s: SparkSession, dir: String, idxDir: String): DataFrame =
     Similarity.annSq8Probe(s, dir, idxDir)
+
+  /** s24's answer as a partition-pruned probe of the cell-partitioned
+    * `sq8codes/` — the byte-code scan touches nprobe/K of the store.
+    */
+  def probeIvfSq8(s: SparkSession, dir: String, idxDir: String): DataFrame =
+    Similarity.annIvfSq8Probe(s, dir, idxDir)
 
   /** s16's answer with the graph leg read by key out of the graph
     * deltas (re-capped — exact after any number of streaming folds).

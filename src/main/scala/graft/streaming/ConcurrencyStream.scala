@@ -104,13 +104,25 @@ object ConcurrencyStream {
     * triggers a batch under that watermark so the timeouts fire —
     * then stops. The sentinel's own session ends the run open, so it
     * is never emitted and cannot contaminate the profile
-    * (spec-asserted); the sentinel EVENTS do land in `inDir`, which
-    * is why the drain is terminal by contract (a live gate uses
-    * [[startToParquet]] and inherits the dashboard lag instead).
+    * (spec-asserted). The heartbeats land in a SIBLING sentinel dir
+    * `<inDir>-drain` unioned into the stream's read glob (r11
+    * advice: writing them into `inDir` itself put synthetic rows in
+    * front of every OTHER consumer of the event dir — batch
+    * operators, a restarted stream); `inDir` is never modified, so
+    * the drain is safely re-runnable against the same events.
     */
   def drainToParquet(spark: SparkSession, inDir: String, outPath: String,
       checkpoint: String): Unit = {
-    val q = startToParquet(spark, inDir, outPath, checkpoint)
+    val drainDir = s"$inDir-drain"
+    // the glob source needs both branches to exist at start; the
+    // alternation must sit in the LEAF component — a path STARTING
+    // with '{' parses as relative and matches nothing
+    val dp = new org.apache.hadoop.fs.Path(drainDir)
+    dp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dp)
+    val ip = new org.apache.hadoop.fs.Path(inDir)
+    val glob = new org.apache.hadoop.fs.Path(ip.getParent,
+      s"{${ip.getName},${dp.getName}}").toString
+    val q = startToParquet(spark, glob, outPath, checkpoint)
     try {
       q.processAllAvailable()
       val maxTs = spark.read.schema(EventStream.schema).parquet(inDir)
@@ -125,7 +137,7 @@ object ConcurrencyStream {
               new java.sql.Timestamp(maxTs.getTime + horizonMs + k * 60000L),
               DrainUser, "drain", 0.0, "{}")))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.mode("append").parquet(inDir)
+            .coalesce(1).write.mode("append").parquet(drainDir)
           q.processAllAvailable()
         }
       }

@@ -89,9 +89,8 @@ object GraphIngestStream {
     val all = s.read.parquet(s"$idxDir/graph")
     val pruned = srcIds.fold(all) { idsDf =>
       val ids = idsDf.select(col("vec_id")).distinct()
-      val buckets = ids.select(vecBucket(col("vec_id")).as("vb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      all.filter(col("vb").isin(buckets: _*))
+      graft.sources.PartitionPrune.filterByKeys(all, "vb",
+          ids.select(vecBucket(col("vec_id")).as("vb")))
         .join(ids, Seq("vec_id"), "left_semi")
     }
     Similarity.rankEdges(graft.plans.TopK.perKey(
@@ -150,11 +149,9 @@ object GraphIngestStream {
     try {
       val keysB = Similarity.bandKeysOf(b, bands).cache()
       try {
-        val touched = keysB
-          .select(keyBucket(col("band"), col("bucket")).as("kb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val stored = ss.read.parquet(s"$idxDir/gkeys")
-          .filter(col("kb").isin(touched: _*))
+        val stored = graft.sources.PartitionPrune.filterByKeys(
+            ss.read.parquet(s"$idxDir/gkeys"), "kb",
+            keysB.select(keyBucket(col("band"), col("bucket")).as("kb")))
           .select(col("vec_id"), col("band"), col("bucket"))
         // directed pairs with an endpoint in the batch; distinct kills
         // multi-band collisions AND re-delivery self-overlap

@@ -72,11 +72,11 @@ object PostingIngestStream {
   def readIndex(s: SparkSession, idxDir: String, terms: DataFrame,
       cap: Int = Cap): DataFrame = {
     val touched = terms.select(termBucket(col("term")).as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = col("tb").isin(touched: _*)
-    val post = s.read.parquet(s"$idxDir/postings").filter(pruned)
+    val post = graft.sources.PartitionPrune.filterByKeys(
+        s.read.parquet(s"$idxDir/postings"), "tb", touched)
       .join(terms, "term")
-    val df = s.read.parquet(s"$idxDir/df").filter(pruned)
+    val df = graft.sources.PartitionPrune.filterByKeys(
+        s.read.parquet(s"$idxDir/df"), "tb", touched)
       .join(terms, "term")
       .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
     Similarity.rankPostings(s, post, cap)

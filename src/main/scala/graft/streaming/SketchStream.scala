@@ -31,8 +31,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   *  - `meta` — the histogram width w, derived ONCE from the lake's
   *    max cents at seed time (the DriftStream frozen-model seam:
   *    a width re-derivation is a re-index, not a fold — deltas
-  *    priced above the frozen max land in the top bucket, a
-  *    documented saturation signal, not an error).
+  *    priced above the frozen max OPEN NEW BUCKETS beyond the seeded
+  *    0..255 range (histPartial is an unclamped c DIV w), the
+  *    documented out-of-range signal the monitor reads as re-index
+  *    pressure, not an error; batch r12 derives w from its own
+  *    corpus, so parity is scoped to in-range deltas).
   *
   * Parity contract (spec-asserted): after draining deltas whose
   * prices stay within the lake's max, readStats equals batch r12

@@ -33,11 +33,13 @@ object VectorIngestStream {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** Static index artifacts from the lake: the label centroids
-    * (s03's) and the SQ8 param row. Cached — every batch uses both.
+  /** Static index artifacts from the lake: the coarse k-means
+    * centroids (s03's — K(n) frozen at train time on the DRIVING
+    * session; the memoized frame is already cached+materialized) and
+    * the SQ8 param row. Cached — every batch uses both.
     */
   def staticArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cent = graft.operators.VectorAgg.centroidVectors(s, dir).cache()
+    val cent = Similarity.coarseCentroids(s, dir)
     val params = Similarity.sq8Params(
       graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       .cache()

@@ -222,6 +222,36 @@ class DedupSpec extends SparkSpecBase {
     assert(cand == Set((0L, 1L)), cand.toString)
   }
 
+  test("prefix filter (r11 item 2): exact for both consumers, strictly pruning") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // exactness: every τ-passing pair of BOTH consumers appears in
+    // its generator's candidate set (the oracle gate proves full
+    // output identity vs the UNPRUNED SQL; this pins the same
+    // relationship operator-side)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val d04pairs = pairs(operators.Dedup.ngramJaccard(spark, sf0001))
+    val d04cand = pairs(operators.Dedup.ngramJaccardCandidates(spark, sf0001))
+    assert(d04pairs.nonEmpty && d04pairs.subsetOf(d04cand))
+    val d14pairs = pairs(operators.Dedup.containment(spark, sf0001))
+    val d14cand = pairs(operators.Dedup.containmentCandidates(spark, sf0001))
+    assert(d14pairs.nonEmpty && d14pairs.subsetOf(d14cand))
+    // pruning power: the prefix generator emits FEWER pairs than the
+    // raw df-capped equi-join it replaces
+    val sh = operators.Dedup.shingles(spark, sf0001)
+    val cap = operators.Dedup.jaccardDfCap(
+      Tables.documents(spark, sf0001).count())
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("shingle"))
+    val shr = sh.join(rare, "shingle")
+    val raw = shr.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shr.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(d04cand.size < raw,
+      s"prefix did not prune: ${d04cand.size} vs raw $raw")
+  }
+
   test("d11 incremental LSH: unmatched delta doc is kept") {
     val d = Files.createTempDirectory("graft-d11").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

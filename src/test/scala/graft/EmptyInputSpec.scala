@@ -104,7 +104,8 @@ class EmptyInputSpec extends SparkSpecBase {
     // WHERE n_docs > 0, a no-op on any non-empty corpus)
     "c03" -> (operators.Curation.corpusCard _),
     "t36" -> (operators.TextOps.readability _),
-    "t37" -> (operators.TextOps.langConfusion _),
+    // t37 is NOT here: its gate frame plants 45 literal docs (the
+    // d15 recipe), so it is non-empty on an empty corpus by design
     "t38" -> (operators.TextOps.vocabGrowth _),
     "r33" -> (operators.Relational.experimentReadout _),
     "r34" -> (operators.Relational.volumeAnomaly _),

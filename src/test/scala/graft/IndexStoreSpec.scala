@@ -72,6 +72,76 @@ class IndexStoreSpec extends SparkSpecBase {
       plan.take(3000))
   }
 
+  test("IVF-SQ8 probe over the cell-partitioned byte codes equals inline s24") {
+    val probe = sources.IndexStore.probeIvfSq8(spark, sf0001, idx)
+    assert(rows(probe) == rows(operators.Similarity.annIvfSq8(spark, sf0001)))
+    // the 4×-compressed scan ALSO prunes (r11 verdict item 3): a
+    // static cell partition filter over sq8codes — nprobe/K of the
+    // byte-code table, never a float vector
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("sq8codes"), s"probe does not scan sq8codes:\n" +
+      plan.take(3000))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"no cell partition filter:\n${plan.take(3000)}")
+  }
+
+  test("s24 equals s08's ADC ranking restricted to the probed cells") {
+    // output-identity against an independently-composed reference:
+    // run s08's full-scan ranking, but over ONLY the corpus vectors
+    // in each query's 2 probe cells — exactly s24's contract
+    import org.apache.spark.sql.functions.broadcast
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val params = operators.Similarity.sq8Params(e)
+    val asg = operators.Similarity.cellAssignments(spark, sf0001)
+    val cells = asg.filter(col("rr") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val q = asg.filter(col("vec_id")
+        .isin(operators.Similarity.annQueryIds: _*) && col("rr") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val allowed = cells.join(broadcast(q), "cell")
+      .select(col("query_id"), col("vec_id"))
+    // s08 pairs = every (q, v); reference = s08 scoring ∩ allowed
+    val dq = e.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.zip_with(
+          org.apache.spark.sql.functions.zip_with(
+            col("embedding"), col("ps"), operators.Similarity.sq8Code),
+          col("ps"), operators.Similarity.sq8Dequant).as("dv"))
+    val qv = e.filter(col("vec_id")
+        .isin(operators.Similarity.annQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = dq.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .join(allowed, Seq("query_id", "vec_id"), "left_semi")
+    val ref = operators.Similarity.sq8AdcRank(spark, pairs)
+    assert(rows(operators.Similarity.annIvfSq8(spark, sf0001)) == rows(ref))
+  }
+
+  test("PartitionPrune: IN path and semi-join path return identical rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-prune").toString
+    (0 until 100).map(i => (i.toLong, i % 7))
+      .toDF("id", "bk").write.partitionBy("bk").parquet(s"$base/t")
+    val t = spark.read.parquet(s"$base/t")
+    val keys = Seq(1, 3, 5).toDF("bk")
+    val inPath = sources.PartitionPrune.filterByKeys(t, "bk", keys)
+    val semiPath = sources.PartitionPrune
+      .filterByKeys(t, "bk", keys, maxInList = 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids(inPath) == ids(semiPath))
+    assert(ids(inPath) == (0 until 100).filter(i => Set(1, 3, 5)(i % 7))
+      .map(_.toLong).toSet)
+    // the small-set path is a STATIC partition filter; the large-set
+    // path materializes no literal list in the plan
+    val planIn = inPath.queryExecution.executedPlan.toString
+    assert(planIn.matches("(?s).*PartitionFilters: \\[[^\\]]*bk[^\\]]*\\].*"),
+      s"no static bk filter:\n${planIn.take(2000)}")
+    val planSemi = semiPath.queryExecution.executedPlan.toString
+    assert(planSemi.toLowerCase.contains("leftsemi"),
+      s"semi path did not plan a semi join:\n${planSemi.take(2000)}")
+  }
+
   test("graph-expand probe over the persisted bucketed graph equals inline s16") {
     val probe = sources.IndexStore.probeGraphExpand(spark, sf0001, idx)
     assert(rows(probe) ==
@@ -97,7 +167,7 @@ class IndexStoreSpec extends SparkSpecBase {
     // the frozen-model reference: same static artifacts, the UNION
     // encoded from scratch (exactly what a full rebuild under the
     // frozen centroids/codebook/params would land)
-    for (a <- Seq("centroids", "codebook", "sq8params"))
+    for (a <- Seq("centroids", "codebook", "sq8params", "lshlayout"))
       spark.read.parquet(s"$idxF/$a").write.parquet(s"$idxR/$a")
     val union = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).union(batch)
@@ -143,7 +213,7 @@ class IndexStoreSpec extends SparkSpecBase {
       idxS, ck)
     try q.awaitTermination() finally q.stop()
     // the drained store equals a frozen-model rebuild over the union
-    for (a <- Seq("centroids", "codebook", "sq8params"))
+    for (a <- Seq("centroids", "codebook", "sq8params", "lshlayout"))
       spark.read.parquet(s"$idxS/$a").write.parquet(s"$idxR/$a")
     val union = emb.select(col("vec_id"), col("embedding"))
       .union(rekeyed(0, 6).select(col("vec_id"), col("embedding")))
@@ -199,7 +269,7 @@ class IndexStoreSpec extends SparkSpecBase {
     // the drained store equals a frozen-model rebuild over the union
     // of the lake and the EMBEDDED text batch — the embedder and the
     // fold compose exactly
-    for (a <- Seq("centroids", "codebook", "sq8params"))
+    for (a <- Seq("centroids", "codebook", "sq8params", "lshlayout"))
       spark.read.parquet(s"$idxS/$a").write.parquet(s"$idxR/$a")
     val streamed = streaming.EmbedStream.embedBatch(rekeyed(0, 6))
     val union = spark.read.parquet(s"$sf0001/embeddings.parquet")
@@ -301,7 +371,7 @@ class IndexStoreSpec extends SparkSpecBase {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(landed == Set(30020L, 30030L, 30060L), landed.toString)
     // and equals a frozen-model rebuild over lake ∪ admitted-embedded
-    for (a <- Seq("centroids", "codebook", "sq8params"))
+    for (a <- Seq("centroids", "codebook", "sq8params", "lshlayout"))
       spark.read.parquet(s"$idxS/$a").write.parquet(s"$idxR/$a")
     val admittedEmb = streaming.EmbedStream.embedBatch(
       asDocs(Seq((30020L, freshA), (30030L, freshB), (30060L, freshC))))

@@ -40,6 +40,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "c09_token_budget" -> "1-row budget/weight-sum totals broadcast over the |sources|-row frame (t14's pattern); the only corpus-sized work is one scan-aggregate",
     "r12_approx_stats" -> "1-row max-cents broadcast sizing the histogram width (t09 pattern); KMV and bucket joins are key-equality on status",
     "s22_ood_scrub" -> "OOD scoring: vector scan × broadcast K-row centroid table (s03's shape; struct-argmax collapses the fan-out before the shuffle) + 1-row corpus-mean broadcast (t09 pattern)",
+    "s24_ann_ivfsq8" -> "IVF assignment stage shares s03's broadcast-centroid scan; 1-row quant-param broadcast (s08's shape); the probe scan is a key-equality join on cell",
     "r34_volume_anomaly" -> "1-row frontier-day broadcast over the |types|-row rollup (t09 pattern); all corpus-sized work is one (type, day) map-combinable aggregate",
     "r36_basket_affinity" -> "1-row order-total broadcast (t09 pattern); pairs come from a key-equality self-join on the order key with basket-size-bounded fanout, margins are key-equality joins")
 

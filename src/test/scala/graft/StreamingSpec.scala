@@ -993,6 +993,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch,
       s"stream/batch diverged: stream=$streamed batch=$batch")
     assert(streamed(h0) == ((4L, 3L)), streamed.toString) // the r30 hand-walk
+    // the event dir is NEVER modified by the drain (r11 advice): the
+    // heartbeats live in the sibling sentinel dir, so other consumers
+    // of inDir (batch operators, a restarted stream) see real events
+    // only
+    assert(spark.read.schema(graft.streaming.EventStream.schema)
+      .parquet(inDir).count() == real.size.toLong)
+    assert(spark.read.schema(graft.streaming.EventStream.schema)
+      .parquet(s"$inDir-drain")
+      .filter(col("user_id") === ConcurrencyStream.DrainUser).count() == 2L)
     // double delivery of one batch id replaces its grains, never grows
     val out2 = Files.createTempDirectory("graft-conc-out2").toString + "/out"
     val sess = Seq((1L, ts(10), ts(70), 2L, 0.0))

@@ -502,11 +502,13 @@ class TextOpsSpec extends SparkSpecBase {
 
   test("t37 lang confusion: hand-walked matrix cells and row shares") {
     val dir = mkDocs(Seq(
-      (1L, "the fast cat and the dog", "en"),      // en → en
+      (1L, "a cat and a dog of note", "en"),       // en → en
       (2L, "der hund und die katze nicht", "en"),  // en → de (mislabel)
       (3L, "xyzzy qwerty", "de"),                  // de → und (no markers)
       (4L, "el que la los por", "es")))            // es → es
-    val out = operators.TextOps.langConfusion(spark, dir).collect()
+    val out = operators.TextOps.langConfusionOf(
+        Tables.documents(spark, dir).select("lang", "text"))
+      .collect()
       .map(r => (r.getAs[String]("labeled_lang"),
         r.getAs[String]("predicted_lang")) ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("row_share_bp")))).toMap
@@ -517,6 +519,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(("en", "de")) == ((1L, 5000L)), out.toString)
     assert(out(("de", "und")) == ((1L, 10000L)), out.toString)
     assert(out(("es", "es")) == ((1L, 10000L)), out.toString)
+  }
+
+  test("t37 gate: every labeled language's modal DETECTED prediction is diagonal") {
+    // the r11 verdict's criterion, on the real sf corpus + plants:
+    // real docs abstain ('und' — the corpus carries no language
+    // signal by construction), the 8 correct plants per language
+    // dominate its detected row, the 1 mislabeled plant populates
+    // exactly one off-diagonal cell
+    val rows = operators.TextOps.langConfusion(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("labeled_lang"),
+        r.getAs[String]("predicted_lang")) -> r.getAs[Long]("n_docs"))
+    val langs = graft.functions.Text.markers.map(_._1)
+    for (l <- langs) {
+      val detected = rows.filter { case ((ll, p), _) =>
+        ll == l && p != "und" }
+      assert(detected.nonEmpty, s"$l: no detected cell")
+      val modal = detected.maxBy(_._2)._1._2
+      assert(modal == l, s"$l: modal detected prediction $modal")
+      // the planted mislabel lands exactly one off-diagonal doc
+      assert(detected.filter(_._1._2 != l).map(_._2).sum == 1L, s"$l")
+    }
+    // abstention regime present: every label also carries 'und' mass
+    for (l <- langs)
+      assert(rows.exists { case ((ll, p), _) => ll == l && p == "und" }, l)
   }
 
   test("t38 vocab growth: re-derived from raw text over the md5 buckets") {

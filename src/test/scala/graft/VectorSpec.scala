@@ -50,6 +50,36 @@ class VectorSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(Some(11.0), None, Some(0.0)))
   }
 
+  test("dot replicates HOF null semantics: ragged and null-element inputs → NULL") {
+    // r11 advice: the session-wide RewriteHofDotProduct rule claims
+    // bit-for-bit result preservation, so the kernel must return NULL
+    // exactly where aggregate(zip_with(...)) does — on a length
+    // mismatch (zip_with null-pads) and on any null element
+    val df = Seq(
+      (Some(Seq(Option(1f), Option(2f), Option(3f))), Some(Seq(Option(3f), Option(4f)))),
+      (Some(Seq(Option(1f), None)), Some(Seq(Option(3f), Option(4f)))),
+      (Some(Seq(Option(1f), Option(2f))), Some(Seq(Option(3f), Option(4f)))))
+      .toDF("a", "b")
+      .select(Vector.dot(col("a"), col("b")).as("fast"),
+        Vector.dotHof(col("a"), col("b")).as("ref"))
+    val out = df.collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(out.toSeq == Seq((None, None), (None, None),
+      (Some(11.0), Some(11.0))), out.mkString(", "))
+  }
+
+  test("sortedIntersectCount equals array_intersect size on sorted long sets") {
+    val rows = Seq(
+      (Seq(1L, 3L, 7L, 9L), Seq(2L, 3L, 9L, 11L)),     // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L)),                      // disjoint
+      (Seq.empty[Long], Seq(1L)),                      // empty side
+      (Seq(5L, 6L, 7L), Seq(5L, 6L, 7L)))              // identical
+    val df = rows.toDF("a", "b").select(
+      graft.functions.Vector.sortedIntersectCount(col("a"), col("b"))
+        .as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    assert(df.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq(Tuple1(Array(0.5f, -0.25f, 3f))).toDF("a")
       .select(Vector.cosine(col("a"), col("a")))
