@@ -81,6 +81,12 @@ object ProbeBench {
         ("s08 sq8", Seq("sq8codes"),
           () => sources.IndexStore.probeSq8(spark, sfDir, idx),
           () => operators.Similarity.annSq8(spark, sfDir)),
+        // same stored family as s08 — the fraction gap between the
+        // two rows IS the r12 cell-pruning win (s08 full-scan by
+        // design, s24 nprobe/K of the same bytes)
+        ("s24 ivfsq8", Seq("sq8codes"),
+          () => sources.IndexStore.probeIvfSq8(spark, sfDir, idx),
+          () => operators.Similarity.annIvfSq8(spark, sfDir)),
         ("s16 graph", Seq("graph"),
           () => sources.IndexStore.probeGraphExpand(spark, sfDir, idx),
           () => operators.Similarity.graphExpandSearch(spark, sfDir)),
