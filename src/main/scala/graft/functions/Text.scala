@@ -72,17 +72,26 @@ object Text {
     regexp_count(lower(c), lit("\\b(" + ws.mkString("|") + ")\\b"))
 
   /** Marker-word language-ID heuristic: argmax of per-language marker
-    * counts with a deterministic preference order; 'und' when no
-    * marker hits.
+    * counts with a deterministic preference order (first declared
+    * language wins ties); 'und' when no marker hits.
+    *
+    * Shape matters (r12): each marker regex appears EXACTLY ONCE in
+    * the expression tree — the old greatest-plus-per-branch-compare
+    * formulation duplicated every regexp_count ~7×, which Project
+    * codegen CSE hid for t03 but AGGREGATE GROUPING KEYS (t37)
+    * re-evaluated per duplicate: t37 ran 8× t03 on the identical
+    * scan. The argmax is a left fold over a 5-element struct array
+    * (strict `>` keeps the first declared language on ties — the
+    * same answer as the old "first whose count equals the max").
     */
   def langId(c: Column): Column = {
-    val cnts = markers.map { case (lang, ws) => lang -> markerCount(c, ws) }
-    val maxC = cnts.map(_._2).reduce((a, b) => greatest(a, b))
-    // deterministic argmax: first language (in declared order) whose
-    // count equals the max and is > 0
-    cnts.foldRight(lit("und")) { case ((lang, cnt), els) =>
-      when(cnt === maxC && cnt > 0, lit(lang)).otherwise(els)
-    }
+    val scored = array(markers.map { case (lang, ws) =>
+      struct(markerCount(c, ws).as("n"), lit(lang).as("lang")) }: _*)
+    val best = aggregate(scored,
+      struct(lit(0).as("n"), lit("und").as("lang")),
+      (acc, x) => when(x.getField("n") > acc.getField("n"), x)
+        .otherwise(acc))
+    when(best.getField("n") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** 64-bit-ish deterministic token hash: first 8 hex chars of md5 as
