@@ -685,7 +685,8 @@ ${bpeRound(2, "r1")}"""
     */
   private def recallAuditSql: String = {
     val families =
-      Seq("s02_ann_lsh", "s03_ann_ivf", "s06_ann_ivfpq", "s08_ann_sq8")
+      Seq("s02_ann_lsh", "s03_ann_ivf", "s06_ann_ivfpq", "s08_ann_sq8",
+        "s24_ann_ivfsq8")
     val rec = families.map { f =>
       s"""SELECT '$f' AS family, t.query_id, count(*) AS n_true, count(a.neighbor_id) AS n_hits
   FROM truth t LEFT JOIN (SELECT query_id, neighbor_id FROM (

@@ -163,9 +163,12 @@ object Similarity {
   }
 
   /** s04 — hybrid retrieval: a lexical recall stage (documents
-    * sharing ≥1 rare 3-token shingle with the query, df ≤ 1000 — the
-    * same stop-shingle cap d04 uses, so candidate generation is a
-    * key-equality join that stays ~linear) followed by an embedding
+    * sharing ≥1 rare 3-token shingle with the query, df ≤ 1000 —
+    * s04's OWN fixed stop-shingle cap, pinned by the oracle; d04's
+    * cap became corpus-adaptive in r11, but here the query set is the
+    * fixed ≤9-id slice so a constant recall cap is the right contract
+    * — candidate generation stays a key-equality join that is
+    * ~linear) followed by an embedding
     * cosine rerank, top-3 per query through TopKPerKey. This is the
     * keyword-prefilter → vector-rerank shape of a production retrieval
     * pipeline: the lexical stage bounds the vector work to candidates
@@ -204,7 +207,7 @@ object Similarity {
 
   /** s09 — ANN recall audit across the WHOLE index ladder: recall@3
     * of every approximate family (s02 LSH, s03 IVF, s06 IVF-PQ, s08
-    * SQ8) against shared brute-force ground truth, one row per
+    * SQ8, s24 IVF-SQ8) against shared brute-force ground truth, one row per
     * (family, query) — the "measure, don't guess" closer of the ANN
     * ladder: an index whose recall silently decays as the corpus
     * grows (more hash collisions, skewed buckets, PQ quantization
@@ -213,7 +216,7 @@ object Similarity {
     * truth is the s01 pipeline at the same k, computed ONCE and
     * cached (it feeds all four family joins in one plan — the
     * re-execution rule); the truth scan dominates the cost, so
-    * auditing four families costs barely more than auditing one.
+    * auditing five families costs barely more than auditing one.
     * All sides share the fixed ≤9-id query set, so total work stays
     * O(n)·|Q| — an audit over a SAMPLED constant query set, never
     * corpus×corpus. recall_bp is integer basis points
@@ -231,7 +234,8 @@ object Similarity {
       "s02_ann_lsh" -> annLsh(s, dir),
       "s03_ann_ivf" -> annIvf(s, dir),
       "s06_ann_ivfpq" -> annIvfPq(s, dir),
-      "s08_ann_sq8" -> annSq8(s, dir))
+      "s08_ann_sq8" -> annSq8(s, dir),
+      "s24_ann_ivfsq8" -> annIvfSq8(s, dir))
     families.map { case (fam, adf) =>
       val approx = adf.select(col("query_id"), col("neighbor_id"),
         lit(1).as("hit"))

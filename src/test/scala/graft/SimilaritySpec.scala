@@ -130,7 +130,8 @@ class SimilaritySpec extends SparkSpecBase {
       "s02_ann_lsh" -> top3(operators.Similarity.annLsh(spark, dir)),
       "s03_ann_ivf" -> top3(operators.Similarity.annIvf(spark, dir)),
       "s06_ann_ivfpq" -> top3(operators.Similarity.annIvfPq(spark, dir)),
-      "s08_ann_sq8" -> top3(operators.Similarity.annSq8(spark, dir)))
+      "s08_ann_sq8" -> top3(operators.Similarity.annSq8(spark, dir)),
+      "s24_ann_ivfsq8" -> top3(operators.Similarity.annIvfSq8(spark, dir)))
     val audit = operators.Similarity.annRecallAudit(spark, dir).collect()
       .map(r => (r.getAs[String]("family"), r.getAs[Long]("query_id")) ->
         (r.getAs[Int]("n_true"), r.getAs[Int]("n_hits"),
