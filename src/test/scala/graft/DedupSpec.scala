@@ -250,6 +250,15 @@ class DedupSpec extends SparkSpecBase {
       .select(col("doc_a"), col("doc_b")).distinct().count()
     assert(d04cand.size < raw,
       s"prefix did not prune: ${d04cand.size} vs raw $raw")
+    // the verify stage runs the codegen merge kernel, not the
+    // per-pair hash-set array_intersect (the r12 regression trap)
+    val d04 = operators.Dedup.ngramJaccard(spark, sf0001)
+    d04.collect()
+    val plan = d04.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("sortedlongintersectcount"),
+      s"kernel missing from d04's plan:\n${plan.take(2000)}")
+    assert(!plan.contains("array_intersect"),
+      "array_intersect crept back into the verify stage")
   }
 
   test("d11 incremental LSH: unmatched delta doc is kept") {

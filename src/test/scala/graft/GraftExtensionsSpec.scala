@@ -39,6 +39,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.5, 32.0))
   }
 
+  test("rewrite preserves HOF null semantics on ragged and null-element rows") {
+    import spark.implicits._
+    // r11 advice: the session-wide rewrite claims bit-for-bit result
+    // preservation, so the KERNEL the rule injects must return NULL
+    // exactly where aggregate(zip_with(...)) does — through the
+    // OPTIMIZER path (VectorSpec pins the explicit-kernel path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-n").toString
+    Seq(
+      (Seq(Option(1f), Option(2f), Option(3f)), Seq(Option(4f), Option(5f))),
+      (Seq(Option(1f), None), Seq(Option(4f), Option(5f))),
+      (Seq(Option(1f), Option(2f)), Seq(Option(4f), Option(5f))))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(Vector.dotHof(col("a"), col("b")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("floatvecdot"),
+      s"rewrite did not fire:\n$optimized")
+    val out = df.collect().map(r => Option(r.get(0))).toSeq
+    assert(out.sortBy(_.isEmpty) == Seq(Some(14.0), None, None), out.toString)
+  }
+
   test("rule leaves non-dot aggregates alone") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
