@@ -176,7 +176,8 @@ class IndexStoreSpec extends SparkSpecBase {
       rows(sources.IndexStore.probeLsh(spark, sf0001, idx)),
       rows(sources.IndexStore.probeIvf(spark, sf0001, idx)),
       rows(sources.IndexStore.probeIvfPq(spark, sf0001, idx)),
-      rows(sources.IndexStore.probeSq8(spark, sf0001, idx)))
+      rows(sources.IndexStore.probeSq8(spark, sf0001, idx)),
+      rows(sources.IndexStore.probeIvfSq8(spark, sf0001, idx)))
     val (folded, rebuilt) = (probes(idxF), probes(idxR))
     folded.zip(rebuilt).zipWithIndex.foreach { case ((f, r), i) =>
       assert(f == r, s"family $i: folded store diverged from rebuild")
