@@ -188,7 +188,8 @@ object SparkEntry {
     "s23_centroid_drift" -> (Similarity.centroidDrift _),
     "r35_cohort_ltv" -> (Relational.cohortLtv _),
     "d17_lsh_precision" -> (Dedup.lshPrecisionAudit _),
-    "r36_basket_affinity" -> (Relational.basketAffinity _))
+    "r36_basket_affinity" -> (Relational.basketAffinity _),
+    "r37_sketch_overlap" -> ((s, d) => Relational.sketchOverlap(s, d)))
 
   // ---- oracle SQL (DuckDB dialect, same table names) ----
 
@@ -921,6 +922,38 @@ ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""",
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // r12: deterministic KMV + fixed-width histogram sketches — the
     // same salted-md5 hashes and integer rules as the Spark side, so
+    // r37: r12's deterministic KMV extended to the set algebra —
+    // per-type k-min sketches, pair union by re-ranking the kept
+    // sets, inclusion-exclusion intersection; the r12 integer
+    // estimator on both
+    "r37_sketch_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type AS t,
+    CAST('0x' || substr(md5('r37' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events),
+kept AS (SELECT t, h FROM (SELECT t, h,
+    row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h)
+  WHERE rn <= 1024),
+pe AS (SELECT t, CASE WHEN count(*) < 1024 THEN count(*)
+    ELSE CAST(1023 * 4294967296 // max(h) AS BIGINT) END AS est
+  FROM kept GROUP BY t),
+pairs AS (SELECT a.t AS ta, a.est AS est_a, b.t AS tb, b.est AS est_b
+  FROM pe a JOIN pe b ON a.t < b.t),
+pk AS (SELECT DISTINCT p.ta, p.tb, k.h
+  FROM pairs p JOIN kept k ON k.t = p.ta OR k.t = p.tb),
+uk AS (SELECT ta, tb, h FROM (SELECT ta, tb, h,
+    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM pk)
+  WHERE rn <= 1024),
+eu AS (SELECT ta, tb, CASE WHEN count(*) < 1024 THEN count(*)
+    ELSE CAST(1023 * 4294967296 // max(h) AS BIGINT) END AS est_union
+  FROM uk GROUP BY ta, tb)
+SELECT p.ta AS type_a, p.tb AS type_b,
+  CAST(p.est_a AS BIGINT) AS est_a, CAST(p.est_b AS BIGINT) AS est_b,
+  CAST(e.est_union AS BIGINT) AS est_union,
+  CAST(greatest(0, p.est_a + p.est_b - e.est_union) AS BIGINT) AS est_overlap,
+  CAST(greatest(0, p.est_a + p.est_b - e.est_union) * 10000
+    // greatest(e.est_union, 1) AS BIGINT) AS jaccard_bp
+FROM pairs p JOIN eu e USING (ta, tb)
+ORDER BY type_a, type_b""",
     // the approximate answers hash-match exactly (no engine HLL/GK)
     "r12_approx_stats" ->
       """WITH h AS (SELECT DISTINCT o_orderstatus AS st,

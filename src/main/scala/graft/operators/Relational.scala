@@ -472,6 +472,73 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** r37 — KMV SKETCH SET OPERATIONS: estimated distinct-USER overlap
+    * between every pair of event types — the audience-overlap /
+    * segment-intersection question every analytics engine answers
+    * from sketches (Beyer et al., "On synopses for distinct value
+    * estimation under multiset operations", SIGMOD 2007 — the
+    * KMV/theta algebra; Druid/Pinot ship exactly this as theta-sketch
+    * intersections). r12 established the DETERMINISTIC KMV (k
+    * smallest salted md5 hashes — no RNG, oracle-replayable); this is
+    * its SET-OPERATION extension: the k-min UNION of two sketches is
+    * the k smallest of the merged kept sets (lossless by the monotone
+    * merge property — a hash in the union's k smallest is in its own
+    * side's k smallest), and the intersection estimate is
+    * inclusion–exclusion est(A) + est(B) − est(A∪B), clamped at 0.
+    * Every estimate is the r12 integer rule ((k−1)·2³² DIV h_k when
+    * saturated, exact count below k), so both engines agree bit for
+    * bit.
+    *
+    * Scale shape: ONE distinct (type, user-hash) scan → bounded
+    * TopKPerKey to ≤ k rows per type — everything after operates on
+    * sketches (≤ |types|·k rows, corpus-independent): the pair frame
+    * is a |types|²-row non-equi self-join (tiny, allowlisted), the
+    * per-pair union re-ranks the two kept sets through a key-equality
+    * explode join, never touching the corpus again. At 100 TB the
+    * sketches are the SketchStream-style mergeable artifact: fold
+    * per ingest, run the set algebra on k-row frames at query time.
+    */
+  def sketchOverlap(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val h = Tables.events(s, dir)
+      .select(col("event_type").as("t"),
+        conv(substring(md5(concat(lit("r37"), col("user_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    // referenced by the per-type estimates AND the pair-union side
+    val kept = graft.plans.TopK.perKey(h, Seq(col("t")),
+      Seq(col("h").asc), k).cache()
+    val per = kept.groupBy(col("t"))
+      .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
+      .select(col("t"),
+        when(col("nk") < k, col("nk"))
+          .otherwise(expr(s"CAST(${k - 1}L * 4294967296L DIV hk AS BIGINT)"))
+          .cast("long").as("est"))
+    val pairs = per.select(col("t").as("ta"), col("est").as("est_a"))
+      .join(per.select(col("t").as("tb"), col("est").as("est_b")),
+        col("ta") < col("tb"))
+    val pairKept = pairs.select(col("ta"), col("tb"),
+        explode(array(col("ta"), col("tb"))).as("t"))
+      .join(kept, "t")
+      .select(col("ta"), col("tb"), col("h")).distinct()
+    val union = graft.plans.TopK.perKey(pairKept,
+        Seq(col("ta"), col("tb")), Seq(col("h").asc), k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("nku"), max(col("h")).as("hku"))
+      .select(col("ta"), col("tb"),
+        when(col("nku") < k, col("nku"))
+          .otherwise(expr(s"CAST(${k - 1}L * 4294967296L DIV hku AS BIGINT)"))
+          .cast("long").as("est_union"))
+    pairs.join(union, Seq("ta", "tb"))
+      .withColumn("est_overlap",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_overlap"),
+        expr("CAST(est_overlap * 10000 DIV greatest(est_union, 1) AS BIGINT)")
+          .as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** r13 — the exact counterpart of approxStats: true distinct counts
     * and the interpolated median, oracle-checked. Exact distinct is a
     * two-stage shuffle (expand on the distinct column); exact

@@ -21,6 +21,33 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("r37 sketch overlap tracks the exact per-pair intersections") {
+    import org.apache.spark.sql.functions.col
+    // exact truth per type pair from the raw events
+    val tu = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byT = tu.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val rows = operators.Relational.sketchOverlap(spark, sf0001).collect()
+    val types = byT.keySet.toSeq.sorted
+    assert(rows.length == types.size * (types.size - 1) / 2, rows.length)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val exact = (byT(a) & byT(b)).size.toLong
+      val est = r.getAs[Long]("est_overlap")
+      // sketches below saturation are EXACT counts; at sf0.001 user
+      // cardinalities sit under k=1024, so overlap must be exact too
+      if (byT(a).size < 1024 && byT(b).size < 1024 &&
+          (byT(a) ++ byT(b)).size < 1024)
+        assert(est == exact, s"$a/$b: $est vs exact $exact")
+      else assert(math.abs(est - exact).toDouble /
+        math.max(exact, 1L) <= 0.15, s"$a/$b: $est vs $exact")
+      assert(r.getAs[Long]("est_union") >=
+        math.max(r.getAs[Long]("est_a"), r.getAs[Long]("est_b")))
+    }
+  }
+
   test("approx sketches land within 5% of the exact (r13) answers") {
     val approx = operators.Relational.approxStats(spark, sf0001).collect()
       .map(r => r.getAs[String]("o_orderstatus") ->

@@ -42,7 +42,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "s22_ood_scrub" -> "OOD scoring: vector scan × broadcast K-row centroid table (s03's shape; struct-argmax collapses the fan-out before the shuffle) + 1-row corpus-mean broadcast (t09 pattern)",
     "s24_ann_ivfsq8" -> "IVF assignment stage shares s03's broadcast-centroid scan; 1-row quant-param broadcast (s08's shape); the probe scan is a key-equality join on cell",
     "r34_volume_anomaly" -> "1-row frontier-day broadcast over the |types|-row rollup (t09 pattern); all corpus-sized work is one (type, day) map-combinable aggregate",
-    "r36_basket_affinity" -> "1-row order-total broadcast (t09 pattern); pairs come from a key-equality self-join on the order key with basket-size-bounded fanout, margins are key-equality joins")
+    "r36_basket_affinity" -> "1-row order-total broadcast (t09 pattern); pairs come from a key-equality self-join on the order key with basket-size-bounded fanout, margins are key-equality joins",
+    "r37_sketch_overlap" -> "the |types|²-row pair frame is a tiny non-equi self-join of the ≤|types|-row estimate table; every corpus-sized step is one distinct scan + bounded TopKPerKey, and the union stage is a key-equality explode join over ≤|types|·k sketch rows")
 
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name plans no cartesian/nested-loop join" +
