@@ -267,6 +267,12 @@ object ScaleCheck {
       Growth("s03_probe_cand",
         perQueryCand(baseDir, operators.Similarity.ivfProbeCandidates),
         perQueryCand(bigDir, operators.Similarity.ivfProbeCandidates)),
+      // r37's output is one row per event-type PAIR — type set
+      // survives inflation, so the sketch report is corpus-invariant
+      // (the sketches themselves are ≤ |types|·k rows by construction)
+      Growth("r37_rows",
+        cand(baseDir, (s2, d) => operators.Relational.sketchOverlap(s2, d)),
+        cand(bigDir, (s2, d) => operators.Relational.sketchOverlap(s2, d))),
       // s04's queries are a FIXED id set (r8): on content-disjoint
       // inflation its lexical candidates should stay ~constant — the
       // old doc_id % 10 rule grew them with the corpus

@@ -255,6 +255,12 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("r37 sketch-overlap report is corpus-invariant (one row per type pair)") {
+    val g = growth("r37_rows")
+    assert(g.base > 0 && g.inflated == g.base,
+      s"r37 rows ${g.base} -> ${g.inflated}: report tracked the corpus")
+  }
+
   test("r17 range-join matches replicate EXACTLY linearly on user-disjoint copies") {
     val g = growth("r17_matches")
     // copies are user-disjoint and content-identical, and the bin-join
