@@ -500,14 +500,30 @@ object Relational {
     */
   def sketchOverlap(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val h = Tables.events(s, dir)
-      .select(col("event_type").as("t"),
+    val kept = graft.plans.TopK.perKey(
+      overlapHashes(Tables.events(s, dir)), Seq(col("t")),
+      Seq(col("h").asc), k)
+    overlapFromKept(kept, k)
+  }
+
+  /** r37's sketch element space: distinct salted 32-bit user hashes
+    * per event type — shared with streaming.OverlapStream so the
+    * folded and batch sketches can never drift (the r12/SketchStream
+    * seam applied to the set algebra).
+    */
+  private[graft] def overlapHashes(e: DataFrame): DataFrame =
+    e.select(col("event_type").as("t"),
         conv(substring(md5(concat(lit("r37"), col("user_id").cast("string"))),
           1, 8), 16, 10).cast("long").as("h"))
       .distinct()
+
+  /** r37's set-algebra assembly from a (possibly folded) ≤k-per-type
+    * kept sketch — the streaming read and the batch query share this
+    * verbatim.
+    */
+  private[graft] def overlapFromKept(kept0: DataFrame, k: Int): DataFrame = {
     // referenced by the per-type estimates AND the pair-union side
-    val kept = graft.plans.TopK.perKey(h, Seq(col("t")),
-      Seq(col("h").asc), k).cache()
+    val kept = kept0.cache()
     val per = kept.groupBy(col("t"))
       .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
       .select(col("t"),

@@ -880,6 +880,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(asMap(SketchStream.readStats(spark, st2, k = 4)) == once)
   }
 
+  test("overlap stream: folded KMV set algebra equals batch r37, exact below saturation") {
+    import graft.streaming.OverlapStream
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ov-lake").toString
+    val inDir = Files.createTempDirectory("graft-ov-in").toString
+    val stDir = Files.createTempDirectory("graft-ov-state").toString + "/state"
+    val ckDir = Files.createTempDirectory("graft-ov-ck").toString
+    val t0 = new Timestamp(1704067200000L)
+    def mkEvents(rows: Seq[(Long, Long, String)]) =
+      rows.map { case (id, u, t) => (id, t0, u, t, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // lake: click {1,2,3}, view {2,3,4}; deltas add click {4},
+    // buy {1}, view {5}, and a REPEAT click user 2 (min-merge dedup)
+    val lake = Seq((1L, 1L, "click"), (2L, 2L, "click"), (3L, 3L, "click"),
+      (4L, 2L, "view"), (5L, 3L, "view"), (6L, 4L, "view"))
+    val dA = Seq((10L, 4L, "click"), (11L, 1L, "buy"))
+    val dB = Seq((12L, 5L, "view"), (13L, 2L, "click"))
+    mkEvents(lake).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/events.parquet")
+    mkEvents(dA).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    mkEvents(dB).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
+    val q = OverlapStream.startFolding(spark, inDir, dir, stDir, ckDir, k = 8)
+    try q.awaitTermination() finally q.stop()
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("est_overlap"), r.getAs[Long]("est_union"),
+          r.getAs[Long]("jaccard_bp")))).toMap
+    val folded = asMap(OverlapStream.readOverlap(spark, stDir, k = 8))
+    // parity: batch r37 (same k) over lake ∪ deltas
+    val combined = Files.createTempDirectory("graft-ov-all").toString
+    mkEvents(lake ++ dA ++ dB).write.mode(SaveMode.Overwrite)
+      .parquet(s"$combined/events.parquet")
+    assert(folded ==
+      asMap(operators.Relational.sketchOverlap(spark, combined, k = 8)))
+    // k=8 keeps every sketch below saturation: the estimates are the
+    // EXACT set sizes — hand-walk: click {1,2,3,4}, view {2,3,4,5},
+    // buy {1} ⇒ overlaps 1 / 0 / 3, unions 4 / 5 / 5
+    assert(folded(("buy", "click")) == ((1L, 4L, 2500L)), folded.toString)
+    assert(folded(("buy", "view")) == ((0L, 5L, 0L)), folded.toString)
+    assert(folded(("click", "view")) == ((3L, 5L, 6000L)), folded.toString)
+    // saturated path still fold==batch (the parity is the contract)
+    val st2 = Files.createTempDirectory("graft-ov-state2").toString + "/st"
+    OverlapStream.seedFromLake(spark, dir, st2, k = 2)
+    OverlapStream.writeBatch(mkEvents(dA), st2, 0L, k = 2)
+    OverlapStream.writeBatch(mkEvents(dB), st2, 1L, k = 2)
+    val sat = asMap(OverlapStream.readOverlap(spark, st2, k = 2))
+    assert(sat ==
+      asMap(operators.Relational.sketchOverlap(spark, combined, k = 2)))
+    // per-delta state is k-bounded and re-delivery replaces
+    val perDelta = spark.read.parquet(s"$st2/kmv")
+      .groupBy(col("delta_id"), col("t")).count().collect()
+    assert(perDelta.nonEmpty && perDelta.forall(_.getAs[Long]("count") <= 2L))
+    OverlapStream.writeBatch(mkEvents(dA), st2, 0L, k = 2)
+    assert(asMap(OverlapStream.readOverlap(spark, st2, k = 2)) == sat)
+  }
+
   test("posting ingest stream: cap-merge eviction, df delta sum, batch parity") {
     import graft.streaming.PostingIngestStream
     import org.apache.spark.sql.functions.col
