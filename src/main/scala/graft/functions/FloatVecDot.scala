@@ -40,8 +40,8 @@ case class FloatVecDot(left: Expression, right: Expression)
     */
   override def nullable: Boolean = true
 
-  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType
-    match {
+  @transient private lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
       case _ => true
     })

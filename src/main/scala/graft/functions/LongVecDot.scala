@@ -57,8 +57,8 @@ case class LongVecDot(left: Expression, right: Expression)
     * null elements — the fixed-vector hot path pays one extra int
     * compare per row, nothing per element.
     */
-  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType
-    match {
+  @transient private lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
       case _ => true
     })

@@ -112,7 +112,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "c13" -> (operators.Curation.lfCorrelation _),
     "s23" -> (operators.Similarity.centroidDrift _),
     "r35" -> (operators.Relational.cohortLtv _),
-    "r36" -> (operators.Relational.basketAffinity _))
+    "r36" -> (operators.Relational.basketAffinity _),
+    "r37" -> ((s, d) => operators.Relational.sketchOverlap(s, d)))
 
   for ((name, fn) <- ops)
     test(s"$name returns an empty result on empty input") {
