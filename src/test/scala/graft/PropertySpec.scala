@@ -356,6 +356,65 @@ class PropertySpec extends SparkSpecBase {
     out.foreach { case (id, (hit, ex)) => assert(!ex || hit, s"doc $id") }
   }
 
+  test("SortedLongIntersectCount equals set intersection on random sorted arrays") {
+    val cases = (0 until 300).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextLong() % 50)
+        .distinct.sorted
+      (arr(), arr())
+    }
+    val out = cases.toDF("a", "b")
+      .select(Vector.sortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val exp = cases.map { case (a, b) => (a.toSet & b.toSet).size.toLong }
+    assert(out.toSeq == exp, "merge-count diverged from set intersection")
+  }
+
+  test("d04's prefix-filtered pipeline equals a full Scala re-derivation on random corpora") {
+    // the pigeonhole exactness claim, independently re-derived: build
+    // a random corpus with planted near-dup pairs, run the PRUNED
+    // operator, compare against a brute-force capped-Jaccard in Scala
+    // over the same shingle definition (every pair, no prefix, no
+    // hashing) — pairs AND inter/union/bp values must match
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop-d04")
+      .toString
+    val pool = (0 until 40).map(i => s"w$i")
+    def randDoc(): Seq[String] =
+      Seq.fill(8 + rnd.nextInt(12))(pool(rnd.nextInt(pool.length)))
+    val base = (0 until 50).map(i => i.toLong -> randDoc())
+    // plant near-dups: doc 100+i = doc i with one token appended
+    val planted = (0 until 8).map(i =>
+      (100L + i) -> (base(i)._2 :+ s"extra$i"))
+    val docs = base ++ planted
+    docs.map { case (id, ts) =>
+      (id, ts.mkString(" "), "en", "s", ts.mkString(" ").length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("union_sz"),
+          r.getAs[Long]("jaccard_bp")))).toMap
+    // Scala re-derivation of the d04 contract
+    val sh = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet }
+      .filter(_._2.nonEmpty).toMap
+    val cap = operators.Dedup.jaccardDfCap(docs.size.toLong)
+    val dfCount = sh.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val rare = sh.map { case (id, s2) =>
+      id -> s2.filter(dfCount(_) <= cap) }
+    val ids = sh.keys.toSeq.sorted
+    val exp = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      inter = (rare(a) & rare(b)).size.toLong if inter >= 1
+      uni = sh(a).size + sh(b).size - inter
+      if inter * 5 >= uni
+    } yield (a, b) -> ((inter, uni,
+      math.floor(inter * 10000.0 / uni).toLong))).toMap
+    assert(exp.nonEmpty && got == exp,
+      s"pruned pipeline diverged: got ${got.size} vs exact ${exp.size}")
+  }
+
   test("t36 FRE stays clamped and re-derives row-wise on random text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prop-t36")
       .toString
