@@ -148,8 +148,21 @@ object VectorAgg {
     * shuffle on (j, ck, component) — iterations are a small constant.
     * Returns (j, cid, scv): subspace, code id, milli-floored centroid.
     */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, Int, Int), DataFrame]
+
+  /** Memoized per (session, dir, layout) — r12: five queries (s05,
+    * s06, s07, s21, s09's s06 leg) plus IndexStore.build each
+    * re-trained the identical codebook; like coarseCentroids, one
+    * materialized ≤nSub·k-row frame serves them all.
+    */
   def pqCodebook(s: SparkSession, dir: String, nSub: Int = 4,
-      subLen: Int = 16, k: Int = 16, iters: Int = 2): DataFrame = {
+      subLen: Int = 16, k: Int = 16, iters: Int = 2): DataFrame =
+    pqMemo.getOrElseUpdate((s, dir, nSub, subLen, k, iters),
+      pqCodebookBuild(s, dir, nSub, subLen, k, iters))
+
+  private def pqCodebookBuild(s: SparkSession, dir: String, nSub: Int,
+      subLen: Int, k: Int, iters: Int): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val subVec = e
@@ -188,7 +201,11 @@ object VectorAgg {
     // the (tiny, ≤ nSub·k row) codebook is referenced several times by
     // every consumer (encode join + one lookup join per subspace) —
     // without the cache the whole k-means plan would re-execute per
-    // reference
-    cent.select(col("j"), col("ck").as("cid"), col("scv")).cache()
+    // reference. Materialize it NOW so the corpus-sized subvector
+    // cache can be released (the kmeansCentroids discipline)
+    val out = cent.select(col("j"), col("ck").as("cid"), col("scv")).cache()
+    out.count()
+    subVec.unpersist()
+    out
   }
 }
