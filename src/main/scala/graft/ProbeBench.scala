@@ -57,6 +57,21 @@ object ProbeBench {
       sources.IndexStore.build(spark, sfDir, idx)
       (System.nanoTime() - t0) / 1e9 }
     println(f"[probe] index build        ${tBuild}%6.2f s (once, amortized)")
+    // r12 verdict item 7: the coarse-quantizer BUILD counters, so the
+    // K~sqrt(n) + sampled-training fix is measurable round-over-round
+    // (train_rows = min(n, 16K) k-means inputs per round; assign_rows
+    // = n*K distance evaluations in the one full-corpus assignment)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val nV = operators.Similarity.nVecs(spark, sfDir)
+      val kC = operators.Similarity.coarseK(nV)
+      val trainRows = operators.VectorAgg.trainingSample(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")),
+        nV, operators.VectorAgg.trainTarget(nV, kC)).count()
+      println(s"[probe] build counters     n=$nV K=$kC " +
+        s"train_rows=$trainRows assign_rows=${nV * kC.toLong} (n*K)")
+    }
     def storedBytes(families: Seq[String]): Long = {
       val conf = spark.sparkContext.hadoopConfiguration
       families.map { f =>

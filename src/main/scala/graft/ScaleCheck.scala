@@ -178,20 +178,28 @@ object ScaleCheck {
         Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"), col("label")),
         Dedup.adaptiveBands(n)).count()
-    // d12's within-cell pair volume with K = semanticK(n) (∝ corpus):
-    // the quantity that is quadratic when K is pinned (the r7 label-
-    // centroid bug) and ~linear when K scales with n
-    def d12Pairs(dir: String): Long = {
+    // The k-means BUILD counters (r12 verdict #1) + d12's within-cell
+    // pair volume, one build per dir: with K = semanticK(n) = ⌈√n⌉
+    // the TRAINING set is min(n, 16K) ~ 16√n (sublinear — the fix's
+    // measurable core), the centroid table ≤ K ~ √n, and the pairs
+    // ~n²/2K ~ n^1.5/2 (SemDeDup's accepted cost at the K that
+    // balances it against the n·K assignment pass; K pinned ⇒ ~n²,
+    // K ∝ n ⇒ linear pairs but a Θ(n²/50) build)
+    def kmBuild(dir: String): (Long, Long, Long) = {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
       val n = emb.count()
-      val cent = operators.VectorAgg.kmeansCentroids(s, emb,
-        Dedup.semanticK(n))
-      operators.VectorAgg.kmeansAssign(emb, cent)
+      val k = Dedup.semanticK(n)
+      val trainRows = operators.VectorAgg.trainingSample(emb, n,
+        operators.VectorAgg.trainTarget(n, k)).count()
+      val cent = operators.VectorAgg.kmeansCentroidsSampled(s, emb, n, k)
+      val pairs = operators.VectorAgg.kmeansAssign(emb, cent)
         .groupBy(col("cid")).count()
         .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("p"))
         .head().getLong(0)
+      (trainRows, cent.count(), pairs)
     }
+    val (kmBase, kmBig) = (kmBuild(baseDir), kmBuild(bigDir))
     def d16FpBp(dir: String): Long = {
       val r = Dedup.bloomGateFrame(s, dir)
         .agg(sum(when(col("false_positive"), 1L).otherwise(0L)).as("fp"),
@@ -258,9 +266,9 @@ object ScaleCheck {
       // fixed ≤9-id set activates more ids as the corpus covers them,
       // so the per-query normalization isolates layout behavior).
       // s02's bucket join gains ~3 bits under 10× (occupancy flat);
-      // s03's coarse K(n)=max(10, n/50) holds per-query cell
-      // population ~constant (the 10 pinned label centroids made
-      // both exactly linear)
+      // s03's coarse K(n)=max(10, ⌈√n⌉) holds per-query cell
+      // population ~2√n — ~3.2× under 10×, sublinear (the 10 pinned
+      // label centroids made both exactly linear)
       Growth("s02_probe_cand",
         perQueryCand(baseDir, operators.Similarity.lshProbeCandidates),
         perQueryCand(bigDir, operators.Similarity.lshProbeCandidates)),
@@ -279,7 +287,12 @@ object ScaleCheck {
       Growth("s04_cand",
         cand(baseDir, operators.Similarity.hybridCandidates),
         cand(bigDir, operators.Similarity.hybridCandidates)),
-      Growth("d12_pairs", d12Pairs(baseDir), d12Pairs(bigDir)),
+      Growth("d12_pairs", kmBase._3, kmBig._3),
+      // the r12 verdict #1 build-side counters: training rows grow
+      // ~min(n, 16√n) and the centroid table ~√n under inflation —
+      // the old full-corpus training at K = n/50 grew both ~n
+      Growth("km_train_rows", kmBase._1, kmBig._1),
+      Growth("km_centroid_rows", kmBase._2, kmBig._2),
       // t19's excised-occurrence volume: translate-rotation preserves
       // within-copy window equality bijectively and cross-copy windows
       // (rotated vocabularies) essentially never collide ⇒ ~×factor

@@ -409,36 +409,51 @@ cj AS (SELECT j, ck AS cid, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS scv
   FROM c2m GROUP BY j, ck)"""
 
   /** The d12/c02-shared FULL-VECTOR deterministic k-means chain
-    * (VectorAgg.kmeansCentroids replay): seed `vec_id % k`,
-    * milli-floored means, 2 refinement rounds. Yields `e(vec_id,
-    * embedding)`, `kk(k)`, `ev(vec_id, v)` and the final centroid
-    * table `c2(ck, cv)`; consumers append their own assignment CTE.
+    * (VectorAgg.kmeansCentroidsSampled replay): K = greatest(10,
+    * ⌈√n⌉) via an integer-corrected floor(sqrt) (`kfs` — float sqrt
+    * alone mis-ceils near perfect squares, the Dedup.ceilSqrt
+    * recipe), TRAINING SET `ktr` = the salted-md5 Bernoulli sample
+    * of least(n, 16·K) vectors (hash64('kmtrain:'‖vec_id) mod n <
+    * t — identically true when t = n, so small corpora train full),
+    * seed `vec_id % k` over the sample, milli-floored means, 2
+    * refinement rounds over the sample. Yields `e(vec_id,
+    * embedding)`, `kk(k)`, `ev(vec_id, v)` (FULL corpus — consumers
+    * append their own whole-corpus assignment CTE) and the final
+    * centroid table `c2(ck, cv)`.
     */
   private def kmeansCtes: String =
     """e AS (SELECT vec_id, embedding FROM embeddings),
-kk AS (SELECT greatest(10, count(*) // 50) AS k FROM e),
+kn AS (SELECT count(*) AS n FROM e),
+kfs AS (SELECT n, s + (CASE WHEN (s+1)*(s+1) <= n THEN 1 ELSE 0 END)
+    - (CASE WHEN s*s > n THEN 1 ELSE 0 END) AS fs
+  FROM (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s FROM kn) z),
+kk AS (SELECT greatest(10, fs + CASE WHEN fs*fs < n THEN 1 ELSE 0 END) AS k FROM kfs),
+ktt AS (SELECT least(n, 16 * (SELECT k FROM kk)) AS t, n FROM kn),
 ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM e),
+ktr AS (SELECT ev.vec_id, ev.v FROM ev, ktt
+  WHERE CAST('0x' || substr(md5('kmtrain:' || CAST(ev.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+    % greatest(ktt.n, 1) < ktt.t),
 kc0m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
   FROM (SELECT CAST(vec_id % (SELECT k FROM kk) AS INT) AS ck, unnest(v) AS x,
-      unnest(range(1, len(v)+1)) AS idx FROM ev) z
+      unnest(range(1, len(v)+1)) AS idx FROM ktr) z
   GROUP BY ck, idx),
 kc0 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc0m GROUP BY ck),
-ka1 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
-    row_number() OVER (PARTITION BY ev.vec_id
-      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
-  FROM ev, kc0 c) z WHERE rr = 1),
+ka1 AS (SELECT vec_id, ck FROM (SELECT ktr.vec_id, c.ck,
+    row_number() OVER (PARTITION BY ktr.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ktr.v, c.cv), c.ck) AS rr
+  FROM ktr, kc0 c) z WHERE rr = 1),
 kc1m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT ka1.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
-    FROM ev JOIN ka1 USING (vec_id)) z
+  FROM (SELECT ka1.ck AS ck, unnest(ktr.v) AS x, unnest(range(1, len(ktr.v)+1)) AS idx
+    FROM ktr JOIN ka1 USING (vec_id)) z
   GROUP BY ck, idx),
 kc1 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc1m GROUP BY ck),
-ka2 AS (SELECT vec_id, ck FROM (SELECT ev.vec_id, c.ck,
-    row_number() OVER (PARTITION BY ev.vec_id
-      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ev.v, c.cv), c.ck) AS rr
-  FROM ev, kc1 c) z WHERE rr = 1),
+ka2 AS (SELECT vec_id, ck FROM (SELECT ktr.vec_id, c.ck,
+    row_number() OVER (PARTITION BY ktr.vec_id
+      ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(ktr.v, c.cv), c.ck) AS rr
+  FROM ktr, kc1 c) z WHERE rr = 1),
 kc2m AS (SELECT ck, idx, CAST(floor(avg(x) * 1000) / 1000.0 AS FLOAT) AS comp
-  FROM (SELECT ka2.ck AS ck, unnest(ev.v) AS x, unnest(range(1, len(ev.v)+1)) AS idx
-    FROM ev JOIN ka2 USING (vec_id)) z
+  FROM (SELECT ka2.ck AS ck, unnest(ktr.v) AS x, unnest(range(1, len(ktr.v)+1)) AS idx
+    FROM ktr JOIN ka2 USING (vec_id)) z
   GROUP BY ck, idx),
 c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc2m GROUP BY ck)"""
 
@@ -446,8 +461,9 @@ c2 AS (SELECT ck, CAST(list(comp ORDER BY idx) AS DOUBLE[]) AS cv FROM kc2m GROU
     * kmeans rounds (renamed internals so they compose with
     * pqCodebookCtes inside one WITH clause) plus the (cid, cv) alias
     * the s03-family oracles consume. Replays
-    * Similarity.coarseCentroids: K = greatest(10, n//50), vec_id%K
-    * seed, two milli-floored assign→mean rounds.
+    * Similarity.coarseCentroids: K = greatest(10, ceil(sqrt(n))),
+    * least(n, 16K)-vector md5-sampled training, vec_id%K seed, two
+    * milli-floored assign→mean rounds.
     */
   private def coarseCtes: String =
     kmeansCtes + """,
@@ -2057,10 +2073,12 @@ FROM delta d JOIN f USING (content_hash)
   LEFT JOIN idx i ON d.content_hash = i.content_hash
 ORDER BY d.doc_id""",
     "d11_incremental_lsh" -> incrementalLshSql,
-    // replays VectorAgg.kmeansCentroids CTE-for-CTE: K =
-    // greatest(10, n//50) (integer-exact both engines), vec_id%K seed
-    // means (c0), two assign→mean rounds (a1/c1, a2/c2), final
-    // assignment to c2 — no RNG, milli-floored means each round
+    // replays VectorAgg.kmeansCentroidsSampled CTE-for-CTE: K =
+    // greatest(10, ceil(sqrt(n))) (corrected integer sqrt, exact in
+    // both engines), md5-sampled least(n, 16K)-vector training set,
+    // vec_id%K seed means (kc0), two assign→mean rounds over the
+    // sample, final FULL-corpus assignment to c2 — no RNG,
+    // milli-floored means each round
     "d12_semantic_dedup" ->
       ("""WITH """ + kmeansCtes + """,
 asg AS (SELECT vec_id, cid FROM (SELECT ev.vec_id, c.ck AS cid,

@@ -72,10 +72,10 @@ object Curation {
     import graft.functions.Vector
     graft.plans.GraftExtensions.install(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val n = emb.count()
+    val n = graft.TableStats.rowCount(s, dir, "embeddings")(emb.count())
     val k = Dedup.semanticK(n)
     val cap = math.max(5L, n / (k.toLong * 10L)).toInt
-    val cent = VectorAgg.kmeansCentroids(s, emb, k)
+    val cent = VectorAgg.kmeansCentroidsSampled(s, emb, n, k)
     val scored = VectorAgg.kmeansAssign(emb, cent)
       .join(broadcast(cent), "cid")
       .withColumn("d2", Vector.dot(col("cv"), col("cv"))
@@ -94,8 +94,9 @@ object Curation {
     * filter a corpus build runs over its embedding table (a vector
     * 2.5× its cell's mean squared distance is an encoder failure or
     * out-of-domain junk, not a cluster member). Reuses d12's K-free
-    * deterministic k-means (K ∝ corpus ⇒ cells stay ~50 vectors at
-    * any scale); the TRUE squared distance |v−c|² works in
+    * deterministic k-means (K = ⌈√n⌉, sample-trained — cells are
+    * ~√n vectors and the per-cell stats one K-row aggregate at any
+    * scale); the TRUE squared distance |v−c|² works in
     * milli-floored integers, the cell mean is an integer DIV, and the
     * outlier rule (10·d2 > 25·mean, cells ≥ 5 members) is pure
     * integer arithmetic — the oracle replays every round CTE-for-CTE.
@@ -108,8 +109,8 @@ object Curation {
   def outlierScrub(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vector
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val n = emb.count()
-    val cent = VectorAgg.kmeansCentroids(s, emb, Dedup.semanticK(n))
+    val n = graft.TableStats.rowCount(s, dir, "embeddings")(emb.count())
+    val cent = VectorAgg.kmeansCentroidsSampled(s, emb, n, Dedup.semanticK(n))
     val asg = VectorAgg.kmeansAssign(emb, cent)
       .join(broadcast(cent), Seq("cid"))
       .select(col("vec_id"), col("cid"),

@@ -1272,12 +1272,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** K(n) for d12: max(10, n/50) — K GROWS with the corpus, so the
-    * within-cell pairwise cost n²/K stays ~50·n/2, i.e. LINEAR total
-    * work (ScaleSpec measures it at 10×). Integer arithmetic only, so
-    * the oracle replays `greatest(10, count(*)//50)` exactly.
+  /** Exact integer ⌈√n⌉ — float sqrt then TWO integer correction
+    * steps (one ulp each way covers every n ≤ 2^52, far past any
+    * row count), so the oracle replays it with the same corrections
+    * on `CAST(floor(sqrt(n)) AS BIGINT)`: float-only sqrt ceils
+    * perfect squares wrong near representation boundaries, the same
+    * trap as float log2 (the ceilLog2 precedent).
     */
-  def semanticK(n: Long): Int = math.max(10L, n / 50L).toInt
+  def ceilSqrt(n: Long): Long =
+    if (n <= 0L) 0L
+    else {
+      var f = math.sqrt(n.toDouble).toLong
+      if (f * f > n) f -= 1
+      if ((f + 1) * (f + 1) <= n) f += 1
+      if (f * f < n) f + 1 else f
+    }
+
+  /** K(n) for the k-means cell structures (d12, c02, c04, and the
+    * s03-family coarse layer via Similarity.coarseK): max(10, ⌈√n⌉)
+    * — the faiss convention, and the balance point of the two costs
+    * that pull K in opposite directions: the BUILD/ASSIGN pass costs
+    * n·K distance evaluations (r12 verdict #1: K = n/50 made it
+    * Θ(n²/50) with an n/50-row broadcast — ~51 GB of centroids at
+    * 10¹⁰ vectors) while d12's within-cell pairwise costs ~n²/K.
+    * At K = √n both are n^1.5 — sublinear PER VECTOR, and the
+    * centroid broadcast is √n·256 B (~25 MB at 10¹⁰ vectors, flat
+    * in any executor). Integer arithmetic only ([[ceilSqrt]]), so
+    * the oracle replays the rule exactly.
+    */
+  def semanticK(n: Long): Int = math.max(10L, ceilSqrt(n)).toInt
 
   /** d12 — SEMANTIC dedup (SemDeDup shape, Abbas et al. 2023): the
     * corpus is partitioned into K-means cells (the K-FREE full-vector
@@ -1290,11 +1313,14 @@ object Dedup {
     * a `keeper`.
     *
     * Scale: the within-cell pairwise IS SemDeDup's accepted cost —
-    * ~n²/K per cell — and K is now a real parameter defaulting to
-    * [[semanticK]] (∝ corpus ⇒ total pair work ~50·n/2, linear; the
-    * paper runs K in the tens of thousands at web scale). The cell id
-    * is the shuffle key; centroids broadcast (see kmeansCentroids for
-    * the past-broadcast-size story).
+    * ~n²/K total — and K is a real parameter defaulting to
+    * [[semanticK]] = max(10, ⌈√n⌉), the point where the pairwise
+    * (n²/K) and the build/assign pass (n·K) BALANCE at n^1.5 each
+    * (the paper runs K in the tens of thousands at web scale —
+    * ~√n of its ~10⁹-doc corpora). Centroids train on the 16·K
+    * sampled subset (kmeansCentroidsSampled — linear); the cell id
+    * is the shuffle key; centroids broadcast (√n rows stays ~25 MB
+    * at 10¹⁰ vectors).
     *
     * τ default: production SemDeDup runs τ ≈ 0.95; this testdata's
     * embeddings are near-orthogonal random vectors (max within-cell
@@ -1305,9 +1331,9 @@ object Dedup {
   def semanticDedup(s: SparkSession, dir: String,
       tauBp: Int = 4000, kOpt: Option[Int] = None): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val k = kOpt.getOrElse(semanticK(
-      TableStats.rowCount(s, dir, "embeddings")(emb.count())))
-    val cent = graft.operators.VectorAgg.kmeansCentroids(s, emb, k)
+    val n = TableStats.rowCount(s, dir, "embeddings")(emb.count())
+    val k = kOpt.getOrElse(semanticK(n))
+    val cent = graft.operators.VectorAgg.kmeansCentroidsSampled(s, emb, n, k)
     val cells = graft.operators.VectorAgg.kmeansAssign(emb, cent)
       .withColumn("nrm", Vector.norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))

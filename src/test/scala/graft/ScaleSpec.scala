@@ -164,14 +164,38 @@ class ScaleSpec extends SparkSpecBase {
       s"s04 candidates ${g.base} -> ${g.inflated}: corpus-proportional")
   }
 
-  test("d12 within-cell pairs stay ~linear when K scales with the corpus") {
+  test("d12 within-cell pairs track ~n^1.5 when K = ceil(sqrt(n))") {
     val g = growth("d12_pairs")
-    // pairs ≈ n²/(2K): with K = semanticK(n) ∝ n the total is ~25·n.
-    // The base (n=200) sits on the K ≥ 10 floor (K=10 not n/50=4), so
-    // exactly-linear would read LOW here; 30× still cleanly separates
-    // linear-with-floor-distortion from pinned-K quadratic (~100×)
-    assert(g.base > 0 && g.inflated <= 30 * g.base,
-      s"d12 pairs ${g.base} -> ${g.inflated}: superlinear")
+    // pairs ≈ n²/(2K): with K = semanticK(n) = ⌈√n⌉ the total is
+    // ~n^1.5/2 — the balance point against the n·K build/assign pass
+    // (r12 verdict #1; K ∝ n kept pairs linear but made the BUILD
+    // Θ(n²/50)). Expected ratio under 10× is 10^1.5 ≈ 32; 60× covers
+    // sample-trained cell imbalance while cleanly separating from
+    // pinned-K quadratic (~100×)
+    assert(g.base > 0 && g.inflated <= 60 * g.base,
+      s"d12 pairs ${g.base} -> ${g.inflated}: worse than ~n^1.5")
+  }
+
+  test("k-means build counters grow ~sqrt(n): training sample and centroid table") {
+    // the r12 verdict #1 done-criterion: the coarse-quantizer BUILD
+    // must be sublinear. Training rows = min(n, 16·K) — the base
+    // (n=200 ≤ 16·15) trains full, the inflated corpus (n=2000,
+    // 16·45=720) SAMPLES — and the centroid table is ≤ K = ⌈√n⌉
+    // (k-means may drop empty seed cells). Ratios ~3.6 and ~3 under
+    // 10× inflation; full-corpus training would read 10× on both.
+    val tr = growth("km_train_rows")
+    val ct = growth("km_centroid_rows")
+    val bigN = baseN * factor
+    assert(tr.base == baseN, s"base (n-bound regime) must train full: ${tr.base}")
+    assert(tr.inflated < bigN / 2,
+      s"km train rows ${tr.inflated}: sampling inactive at n=$bigN")
+    assert(tr.inflated <= 5 * tr.base && tr.inflated >= bigN / 5,
+      s"km train rows ${tr.base} -> ${tr.inflated}: off the ~16·sqrt(n) rule")
+    assert(ct.base > 0 && ct.base <= operators.Dedup.semanticK(baseN),
+      s"km centroid rows ${ct.base} exceed K($baseN)")
+    assert(ct.inflated <= operators.Dedup.semanticK(bigN) &&
+      ct.inflated <= 4 * ct.base,
+      s"km centroid rows ${ct.base} -> ${ct.inflated}: not ~sqrt(n)")
   }
 
   test("t19 excised-occurrence volume grows ~linearly on disjoint copies") {
@@ -243,10 +267,10 @@ class ScaleSpec extends SparkSpecBase {
   test("ANN probe candidates grow SUBLINEARLY under the adaptive layouts") {
     // the r11 verdict's done-criterion: probed-candidate count per
     // fixed query set must not track the corpus. s02: +~3 bits at 10×
-    // keeps bucket occupancy ~flat; s03: K(n) = max(10, n/50) keeps
-    // per-query cell population ~constant. Allow 4× over flat for
-    // multinomial scatter and pow2/K-floor boundaries — linear would
-    // be ~10×.
+    // keeps bucket occupancy ~flat; s03: K(n) = max(10, ⌈√n⌉) keeps
+    // per-query cell population ~2·n/K = 2√n (expected ~3.2× here).
+    // Allow 4× over flat for multinomial scatter and pow2/K-floor
+    // boundaries — linear would be ~10×.
     for (name <- Seq("s02_probe_cand", "s03_probe_cand")) {
       val g = growth(name)
       assert(g.base > 0, s"$name: empty base probe")
@@ -329,10 +353,10 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("s18 health report rows track K(n), never the corpus") {
-    // r12: the coarse layout is corpus-adaptive (K = max(10, n/50)),
-    // so the report grows with the LAYOUT (10 → 40 under this 10×),
-    // never with the corpus (200 → 2000 rows); k-means may drop empty
-    // seed cells, hence ≤ K
+    // r12/r13: the coarse layout is corpus-adaptive (K = max(10,
+    // ⌈√n⌉)), so the report grows with the LAYOUT (15 → 45 under
+    // this 10×), never with the corpus (200 → 2000 rows); k-means
+    // may drop empty seed cells, hence ≤ K
     val g = growth("s18_report_rows")
     assert(g.base > 0 &&
       g.base <= operators.Similarity.coarseK(baseN),

@@ -391,9 +391,13 @@ class SimilaritySpec extends SparkSpecBase {
       }
       (id.toLong, v, id / 40)
     }
-    // id 200: 3× a cluster center — an encoder failure, far from
-    // every tight cluster
-    val rows = inliers :+ ((200L, center(0).map(_ * 3f), 0))
+    // id 200: 1.15× a cluster center — an encoder drift case: far
+    // beyond the cluster's ~0.001 jitter (d2 ≈ 0.0225·|c|² ≫ 2.5×
+    // the cell mean) yet close enough to cluster 0 that the k-means
+    // keeps it IN a populated cell (a 3× blow-up earns its own
+    // singleton centroid under K = ⌈√n⌉, and the ≥5-member rule
+    // rightly skips singleton cells)
+    val rows = inliers :+ ((200L, center(0).map(_ * 1.15f), 0))
     rows.toDF("vec_id", "embedding", "label")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
     val out = operators.Curation.outlierScrub(spark, d).collect()
