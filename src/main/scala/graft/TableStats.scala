@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import scala.collection.concurrent.TrieMap
 
 /** Scalar table statistics with an injection seam (round-10 verdict
   * item 6): the adaptive layout constants (d05's LSH band layout,
@@ -19,15 +18,17 @@ import scala.collection.concurrent.TrieMap
   */
 object TableStats {
 
-  private val cache = TrieMap.empty[(SparkSession, String, String), Long]
+  private val cache =
+    new SessionMemo[(SparkSession, String, String), Long](_ => ())
 
   /** Provide a known row count (e.g. from lake manifest stats). */
-  def inject(s: SparkSession, dir: String, key: String, n: Long): Unit = {
-    cache.put((s, dir, key), n); ()
-  }
+  def inject(s: SparkSession, dir: String, key: String, n: Long): Unit =
+    cache.put((s, dir, key), n)
 
   /** The injected or memoized count; `count` runs at most once per
-    * (session, dir, key) as the fallback.
+    * (session, dir, key) as the fallback. Entries of stopped sessions
+    * are purged, and TableSink.replaceDir invalidates the swapped
+    * dir's entries (SessionMemo — the r12 lifecycle fix).
     */
   def rowCount(s: SparkSession, dir: String, key: String)
       (count: => Long): Long =

@@ -899,9 +899,9 @@ object Similarity {
     */
   def coarseK(n: Long): Int = Dedup.semanticK(n)
 
-  private val coarseMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+  private[graft] val coarseMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](
+      df => { df.unpersist(); () })
 
   /** The coarse IVF centroid table (cid, cv): deterministic k-means
     * with K = [[coarseK]](n), TRAINED on the min(n, 16·K)-vector

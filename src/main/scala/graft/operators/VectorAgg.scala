@@ -198,8 +198,9 @@ object VectorAgg {
     * shuffle on (j, ck, component) — iterations are a small constant.
     * Returns (j, cid, scv): subspace, code id, milli-floored centroid.
     */
-  private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int, Int, Int), DataFrame]
+  private[graft] val pqMemo =
+    new graft.SessionMemo[(SparkSession, String, Int, Int, Int, Int), DataFrame](
+      df => { df.unpersist(); () })
 
   /** Memoized per (session, dir, layout) — r12: five queries (s05,
     * s06, s07, s21, s09's s06 leg) plus IndexStore.build each

@@ -85,6 +85,12 @@ object TableSink {
     // the session's FileStatusCache still lists the pre-swap files;
     // without this, the next read of `path` throws FILE_NOT_EXIST
     spark.catalog.refreshByPath(path)
+    // and the session-keyed memos (coarse centroids, PQ codebooks,
+    // table stats, ranked shingles) may hold artifacts TRAINED on the
+    // pre-swap corpus — evict them so the next consumer re-derives
+    // (r12 advice: the re-create-frames rule only covered frames the
+    // caller created itself)
+    graft.SessionMemos.invalidate(spark, path)
   }
 
   /** Z-order layout write: multi-key data skipping. Each key column

@@ -113,13 +113,18 @@ object ConcurrencyStream {
     */
   def drainToParquet(spark: SparkSession, inDir: String, outPath: String,
       checkpoint: String): Unit = {
-    val drainDir = s"$inDir-drain"
+    // derive the sibling from normalized Path components (r12 advice:
+    // raw s"$inDir-drain" on a trailing-slash inDir yields a CHILD
+    // dir inside inDir — re-contaminating it — while the glob points
+    // at a nonexistent sibling and processAllAvailable hangs)
+    val ip = new org.apache.hadoop.fs.Path(inDir)
+    val dp = new org.apache.hadoop.fs.Path(ip.getParent,
+      ip.getName + "-drain")
+    val drainDir = dp.toString
     // the glob source needs both branches to exist at start; the
     // alternation must sit in the LEAF component — a path STARTING
     // with '{' parses as relative and matches nothing
-    val dp = new org.apache.hadoop.fs.Path(drainDir)
     dp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dp)
-    val ip = new org.apache.hadoop.fs.Path(inDir)
     val glob = new org.apache.hadoop.fs.Path(ip.getParent,
       s"{${ip.getName},${dp.getName}}").toString
     val q = startToParquet(spark, glob, outPath, checkpoint)
