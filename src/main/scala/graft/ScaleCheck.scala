@@ -230,11 +230,28 @@ object ScaleCheck {
         cand(bigDir, Dedup.simhashCandidates)),
       Growth("d04_cand", cand(baseDir, Dedup.ngramJaccardCandidates),
         cand(bigDir, Dedup.ngramJaccardCandidates)),
-      // d13's 4×15-bit Manku blocks: within-copy candidates are the
-      // vocabulary-correlated constant (×factor), cross-copy collisions
-      // are the random ~4·n²/2^15 term — ~linear at this n
+      // d13's 4-block Manku join at the corpus-adaptive width (b = 15
+      // floor at these n): within-copy candidates are the vocabulary-
+      // correlated constant (×factor), cross-copy collisions are the
+      // random ~4·n²/2^b term — ~linear at this n
       Growth("d13_cand", cand(baseDir, Dedup.multiblockSimhashCandidates),
         cand(bigDir, Dedup.multiblockSimhashCandidates)),
+      // the r12 verdict #2 widening, measured with the 15-bit floor
+      // REMOVED so both regimes are visible at harness n (the
+      // d05_cand_3bit/autobit pattern): at a FIXED sub-⌈log₂n⌉ width
+      // the random collision share saturates (candidates ~n²/2^b);
+      // the unfloored adaptive width ⌈log₂n⌉+2 re-sizes the blocks
+      // with the corpus and the share shrinks
+      Growth("d13_cand_fixed10",
+        cand(baseDir, (s2, d) => Dedup.multiblockCandidatesOf(
+          Tables.documents(s2, d), 10)),
+        cand(bigDir, (s2, d) => Dedup.multiblockCandidatesOf(
+          Tables.documents(s2, d), 10))),
+      Growth("d13_cand_logwidth",
+        cand(baseDir, (s2, d) => Dedup.multiblockCandidatesOf(
+          Tables.documents(s2, d), Dedup.ceilLog2(baseN) + 2)),
+        cand(bigDir, (s2, d) => Dedup.multiblockCandidatesOf(
+          Tables.documents(s2, d), Dedup.ceilLog2(baseN * factor) + 2))),
       // fixed 3-bit layout measured EXPLICITLY (the contract query is
       // adaptive since r8): this row pins the documented quadratic case
       Growth("d05_cand_3bit",

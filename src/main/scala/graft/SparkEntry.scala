@@ -498,27 +498,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 ORDER BY 1, 2"""
   }
 
-  /** DuckDB replay of Dedup.multiblockSimhash (d13): 60-bit sign-sum
-    * fingerprint over 15-hex-char md5 token hashes, 4 disjoint 15-bit
-    * block keys, hamming ≤ 3 on block-sharing pairs.
+  /** DuckDB replay of Dedup.multiblockSimhash (d13, r13 widened):
+    * corpus-adaptive block width b = min(30, max(15, ⌈log₂n⌉+2))
+    * computed from the doc count (`mbb` — the oracle re-derives the
+    * layout, never trusts a constant), sign-sum fingerprint over TWO
+    * 60-bit md5 words (hex chars 1–15 and 16–30) recomposed into two
+    * BIGINT words of 2 blocks each via width-conditional shifts (the
+    * 120 bit sums are computed unconditionally; the CASE masks
+    * select the 4·b live ones), 4 block keys, hamming ≤ 3 on
+    * block-sharing pairs, layout declared as `width` = 4·b.
     */
   private def multiblockSimhashSql: String = {
-    val bitSums = (0 until 60).map { j =>
-      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    val bitSums = (0 until 120).map { g =>
+      val src = if (g < 60) s"(h1 >> $g)" else s"(h2 >> ${g - 60})"
+      s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s$g"
     }.mkString(", ")
-    val recompose = (0 until 60)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+    val w0 = (0 until 120).map(g =>
+      s"(CASE WHEN s$g > 0 AND $g < 2*bb THEN (CAST(1 AS BIGINT) << $g) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest($docTokens) AS tok FROM documents),
-h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+    val w1 = (0 until 120).map(g =>
+      s"(CASE WHEN s$g > 0 AND $g >= 2*bb AND $g < 4*bb THEN (CAST(1 AS BIGINT) << ($g - 2*bb)) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH mbn AS (SELECT count(*) AS n FROM documents),
+mbb AS (SELECT greatest(15, least(30,
+    (CASE WHEN n <= 1 THEN 0 ELSE length(bin(n - 1)) END) + 2)) AS bb FROM mbn),
+t AS (SELECT doc_id, unnest($docTokens) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h1,
+  CAST('0x' || substr(md5(tok), 16, 15) AS BIGINT) AS h2 FROM t),
 s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
-sh AS (SELECT doc_id, CAST($recompose AS BIGINT) AS fp FROM s),
-blk AS (SELECT doc_id, fp, j, (fp >> (15*j)) & 32767 AS bv
-  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+sh AS (SELECT doc_id, CAST($w0 AS BIGINT) AS fp0, CAST($w1 AS BIGINT) AS fp1
+  FROM s, mbb),
+blk AS (SELECT doc_id, fp0, fp1, j,
+    CASE WHEN j < 2 THEN (fp0 >> (bb*j)) & ((CAST(1 AS BIGINT) << bb) - 1)
+         ELSE (fp1 >> (bb*(j-2))) & ((CAST(1 AS BIGINT) << bb) - 1) END AS bv
+  FROM sh, mbb, (SELECT unnest([0, 1, 2, 3]) AS j) jj),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.fp0 AS fa0, a.fp1 AS fa1, b.fp0 AS fb0, b.fp1 AS fb1
   FROM blk a JOIN blk b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY 1, 2"""
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(fa0, fb0)) + bit_count(xor(fa1, fb1)) AS INT) AS hamming,
+  CAST(4 * (SELECT bb FROM mbb) AS INT) AS width
+FROM cand WHERE bit_count(xor(fa0, fb0)) + bit_count(xor(fa1, fb1)) <= 3
+ORDER BY 1, 2"""
   }
 
   /** Single-source language-ID oracle pieces: marker regexes derive

@@ -109,6 +109,14 @@ object Text {
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The SECOND 60-bit word of the same md5 (hex chars 16–30) — the
+    * d13 widening's extra bit budget: one md5 supplies 120
+    * independent fingerprint bits across two BIGINT words. Identical
+    * in DuckDB: CAST('0x'||substr(md5(t),16,15) AS BIGINT).
+    */
+  def tokenHash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
   /** Positional rolling-hash document fingerprint:
     * sum((pos+1) * hash(token)) mod 1e9+7 over whitespace tokens.
     * Order-sensitive (a permuted doc fingerprints differently), cheap,

@@ -318,7 +318,7 @@ object Dedup {
     */
   def ngramJaccardCandidates(s: SparkSession, dir: String): DataFrame =
     prefixCandidatesOf(
-      rankedRareShingles(shingles(s, dir), jaccardDfCap(nDocs(s, dir))),
+      rankedRareShinglesFor(s, dir, jaccardDfCap(nDocs(s, dir))),
       1, 6, bothSides = true)
 
   /** d14's candidate pairs under the one-sided prefix filter
@@ -326,28 +326,70 @@ object Dedup {
     */
   def containmentCandidates(s: SparkSession, dir: String): DataFrame =
     prefixCandidatesOf(
-      rankedRareShingles(shingles(s, dir), containmentDfCap(nDocs(s, dir))),
+      rankedRareShinglesFor(s, dir, containmentDfCap(nDocs(s, dir))),
       4, 5, bothSides = false)
+
+  private val rankedMemo =
+    new graft.SessionMemo[(SparkSession, String, Int), DataFrame](
+      df => { df.unpersist(); () })
+  private val shingleSizesMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](
+      df => { df.unpersist(); () })
+
+  /** ONE cached, materialized ranked frame per (session, dir, cap) —
+    * the contract query and its cand_pairs telemetry twin share it
+    * instead of each caching a fresh corpus-sized shingle frame AND
+    * ranked frame for the session lifetime (r12 advice item 3). The
+    * per-doc FULL sizes are memoized alongside while the shingle scan
+    * is still cached (plan-identical frames hit the CacheManager);
+    * the intermediate shingle cache is released once both are
+    * materialized — the pqCodebookBuild discipline.
+    */
+  private def rankedRareShinglesFor(s: SparkSession, dir: String,
+      maxDf: Int): DataFrame =
+    rankedMemo.getOrElseUpdate((s, dir, maxDf), {
+      val sh = shingles(s, dir).cache()
+      shingleSizesFor(s, dir)
+      val ranked = rankedRareShingles(sh, maxDf)
+      sh.unpersist()
+      ranked
+    })
+
+  /** Memoized per-doc UNCAPPED shingle-set sizes (doc_id, sz) —
+    * one tiny materialized frame per (session, dir) shared by the
+    * d04/d14 overlap consumers.
+    */
+  private def shingleSizesFor(s: SparkSession, dir: String): DataFrame =
+    shingleSizesMemo.getOrElseUpdate((s, dir), {
+      val z = shingles(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("sz")).cache()
+      z.count()
+      z
+    })
 
   /** The df-capped shingle universe with the PPJoin global order:
     * (doc_id, shingle, pr, rsz) — shingles ranked per doc by (df,
     * shingle) ascending (rarest first; the total order the filter's
     * pigeonhole argument runs on), rsz = the doc's capped-set size.
-    * One shuffle on doc_id serves both window functions.
+    * One shuffle on doc_id serves both window functions. The caller
+    * must cache `sh` (referenced twice: df aggregate + join); the
+    * ranked frame is cached AND MATERIALIZED before returning so the
+    * caller can release the shingle cache immediately.
     */
-  private def rankedRareShingles(sh0: DataFrame, maxDf: Int): DataFrame = {
-    val sh = sh0.cache()
+  private def rankedRareShingles(sh: DataFrame, maxDf: Int): DataFrame = {
     val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
     // cached: every consumer references it 3× in one plan (both
     // prefix join sides / prefix+full, plus the per-doc array agg)
-    sh.join(dfc, "shingle")
+    val ranked = sh.join(dfc, "shingle")
       .withColumn("pr", row_number().over(
         wDoc.orderBy(col("df"), col("shingle"))))
       .withColumn("rsz", count(lit(1)).over(wDoc))
       .cache()
+    ranked.count()
+    ranked
   }
 
   /** PPJoin/AllPairs prefix-filtered candidate pairs (r11 verdict
@@ -365,24 +407,71 @@ object Dedup {
     *  - d14 (containment ≥ 4/5 on the better side): the bound holds
     *    for ONE endpoint only ⇒ prefix×full, the prefix side keeping
     *    its ~1/5 rarest.
+    * r13 adds the OTHER TWO exact PPJoin filters (r12 verdict #3) as
+    * row predicates on the collision rows, BEFORE the distinct
+    * shuffle and the array verify:
+    *  - LENGTH filter: inter ≤ min(rsz_a, rsz_b), so a d04 pair needs
+    *    den·min(rsz) ≥ rsz_a + rsz_b (⟺ 5·min ≥ max — a doc can't be
+    *    Jaccard-0.2-close to one 5× its size); d14's rsz-only form is
+    *    vacuous (5·min ≥ 4·min always) — its size bound lives in the
+    *    sz-aware refinement ([[shingleOverlapOf]]);
+    *  - POSITIONAL filter: for a collision at prefix ranks (pr_l,
+    *    pr_r), every shingle shared BEYOND this one sits at higher
+    *    rank on both sides, so on the pair's rarest shared shingle
+    *    inter ≤ 1 + min(rsz_l − pr_l, rsz_r − pr_r). Keeping a pair
+    *    if ANY of its collision rows satisfies bound ≥ α_pair is
+    *    exact: a true pair's rarest-shared row always does (rows on
+    *    less-rare shared shingles may carry an under-estimate of the
+    *    shared-before count, which only ADMITS pairs, never drops).
+    *    α_pair is the rsz-relaxed intersection requirement —
+    *    ⌈(rsz_l+rsz_r)·num/den⌉ for d04 (true need is on full sizes,
+    *    sz ≥ rsz, so relaxing to rsz never over-prunes),
+    *    min(⌈num·rsz_l/den⌉, ⌈num·rsz_r/den⌉) for d14 (the contained
+    *    side is unknown ⇒ the weaker endpoint bound).
     * EXACT by construction, and the gate PROVES it: the oracle
     * deliberately replays the UNPRUNED equi-join, so a single lost
     * τ-passing pair hash-fails correctness. Pruning power comes from
     * the order: the highest-df (biggest join-fanout) shingles sort
     * LAST and drop out of most prefixes.
+    * Output carries (rsz_a, rsz_b) so the sz-aware consumer can
+    * refine without re-deriving ranks (functional on the doc ids —
+    * the distinct's cardinality is unchanged).
     */
   private def prefixCandidatesOf(ranked: DataFrame, num: Int, den: Int,
       bothSides: Boolean): DataFrame = {
     val alpha = expr(s"($num * rsz + ${den - 1}) DIV $den")
     val pfx = ranked.filter(col("pr") <= col("rsz") - alpha + 1)
-      .select(col("doc_id"), col("shingle"))
-    val right = (if (bothSides) pfx else ranked)
-      .select(col("doc_id").as("doc_r"), col("shingle"))
-    pfx.select(col("doc_id").as("doc_l"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("pr"), col("rsz"))
+    val right = (if (bothSides) pfx
+      else ranked.select(col("doc_id"), col("shingle"), col("pr"), col("rsz")))
+      .select(col("doc_id").as("doc_r"), col("shingle"),
+        col("pr").as("pr_r"), col("rsz").as("rsz_r"))
+    val collisions = pfx
+      .select(col("doc_id").as("doc_l"), col("shingle"),
+        col("pr").as("pr_l"), col("rsz").as("rsz_l"))
       .join(right, "shingle")
       .filter(col("doc_l") =!= col("doc_r"))
+    val lenOk =
+      if (bothSides)
+        lit(den) * least(col("rsz_l"), col("rsz_r")) >=
+          col("rsz_l") + col("rsz_r")
+      else lit(true)
+    val alphaPair =
+      if (bothSides)
+        (lit(num) * (col("rsz_l") + col("rsz_r")) + lit(den - 1)) / lit(den)
+      else least(
+        (lit(num) * col("rsz_l") + lit(den - 1)) / lit(den),
+        (lit(num) * col("rsz_r") + lit(den - 1)) / lit(den))
+    val posOk = lit(1) +
+      least(col("rsz_l") - col("pr_l"), col("rsz_r") - col("pr_r")) >=
+      floor(alphaPair)
+    collisions.filter(lenOk && posOk)
       .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
-        greatest(col("doc_l"), col("doc_r")).as("doc_b"))
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"),
+        when(col("doc_l") < col("doc_r"), col("rsz_l"))
+          .otherwise(col("rsz_r")).as("rsz_a"),
+        when(col("doc_l") < col("doc_r"), col("rsz_r"))
+          .otherwise(col("rsz_l")).as("rsz_b"))
       .distinct()
   }
 
@@ -396,7 +485,8 @@ object Dedup {
     */
   private def shingleOverlap(s: SparkSession, dir: String, maxDf: Int,
       num: Int, den: Int, bothSides: Boolean): DataFrame =
-    shingleOverlapOf(shingles(s, dir), maxDf, num, den, bothSides)
+    shingleOverlapRanked(rankedRareShinglesFor(s, dir, maxDf),
+      shingleSizesFor(s, dir), num, den, bothSides)
 
   /** The pair-overlap frame over an explicit (doc_id, shingle) frame.
     * Verification is row-local instead of the old count-the-equi-join
@@ -415,23 +505,51 @@ object Dedup {
     */
   private def shingleOverlapOf(sh0: DataFrame, maxDf: Int, num: Int,
       den: Int, bothSides: Boolean): DataFrame = {
+    // the explicit-frame path (d15/d17 gate corpora): per-call caches,
+    // with the shingle cache released once sizes + ranked materialize
     val sh = sh0.cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache()
+    sizes.count()
     val ranked = rankedRareShingles(sh, maxDf)
+    sh.unpersist()
+    shingleOverlapRanked(ranked, sizes, num, den, bothSides)
+  }
+
+  private def shingleOverlapRanked(ranked: DataFrame, sizes: DataFrame,
+      num: Int, den: Int, bothSides: Boolean): DataFrame = {
     val cand = prefixCandidatesOf(ranked, num, den, bothSides)
+    // sz-aware LENGTH refinement (r12 verdict #3) BEFORE the array
+    // verify — the sizes joins moved up from the output edge, so the
+    // filter costs nothing new and every pruned pair skips the
+    // SortedLongIntersectCount merge. Exact: inter ≤ min(rsz_a,
+    // rsz_b), so a d04 τ-pass needs den·min(rsz) ≥ sz_a + sz_b (the
+    // FULL-size form of the candidate join's rsz-only cut) and a d14
+    // pass needs den·min(rsz) ≥ num·min(sz_a, sz_b) (the contained
+    // side is whichever is smaller than its containment bound — the
+    // rsz-only form is vacuous, this one bites when the smaller doc
+    // lost ≥ 1/den of its shingles to the df cap).
+    val szOk =
+      if (bothSides)
+        lit(den) * least(col("rsz_a"), col("rsz_b")) >=
+          col("sz_a") + col("sz_b")
+      else
+        lit(den) * least(col("rsz_a"), col("rsz_b")) >=
+          lit(num) * least(col("sz_a"), col("sz_b"))
+    val candSz = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .filter(szOk)
     val docArr = ranked.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(xxhash64(col("shingle")))).as("arr"))
-    val inter = cand
+    candSz
       .join(docArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")),
         "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        Vector.sortedIntersectCount(col("arr_a"), col("arr_b")).as("inter"))
+        Vector.sortedIntersectCount(col("arr_a"), col("arr_b")).as("inter"),
+        col("sz_a"), col("sz_b"))
       .filter(col("inter") >= 1L)
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
   }
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -1376,67 +1494,118 @@ object Dedup {
     *
     * Scale: the candidate join is a key-equality join shuffling
     * n·4 block keys, never n²; expected RANDOM block collisions are
-    * ~4·n²/2^15, i.e. ~linear while 2^15 ≳ 4n (n ≲ ~8k; this corpus's
-    * tiny shared vocabulary correlates fingerprints so the measured
-    * constant is higher, but the bound's shape holds — ScaleSpec
-    * asserts the analytic ceiling at 1× and 10×). Beyond that the
-    * SAME md5 supplies 128 bits: widen to (k+1) blocks of
-    * ⌈log₂ n⌉-plus bits across two BIGINT words — identical plan
-    * shape, wider declared fingerprint (the d05 adaptiveBands
-    * precedent; the fingerprint width is part of the declared output
-    * here exactly as in d03, so the test-SF semantics stay pinned).
+    * ~4·n²/2^b for block width b. r13: b is CORPUS-ADAPTIVE —
+    * [[mbBits]] = min(30, max(15, ⌈log₂ n⌉ + 2)) — so 2^b ≳ 4n and
+    * the collision term stays ~linear at ANY corpus (the 60-bit
+    * version saturated past n ≈ 8k); the SAME md5 supplies the bits
+    * (chars 1–15 and 16–30 — [[graft.functions.Text.tokenHash60]] /
+    * tokenHash60b), laid out as TWO BIGINT words of 2 blocks each,
+    * blocks 0–1 in fp0, 2–3 in fp1 (identical plan shape; at the
+    * b = 15 floor the bit positions, block keys, pair set and
+    * hamming values equal the old single-word layout exactly). The
+    * declared `width` = 4·b column makes the layout part of the
+    * gated contract (the d05 adaptiveBands / s02 lshBits precedent);
+    * ScaleSpec measures that at FIXED sub-⌈log₂n⌉ widths the
+    * candidate share saturates while the adaptive width's shrinks.
     */
   private val MbBlocks = 4
-  private val MbBits = 15
-  private val MbMask = (1L << MbBits) - 1
 
-  /** Per-doc 60-bit fingerprint (doc_id, fp), cached — shared by d13,
-    * its candidate-count accessor, and the recall-exactness spec
-    * (which brute-forces all-pairs hamming from it).
+  /** Corpus-adaptive Manku block width: ⌈log₂ n⌉ + 2 bits keeps
+    * random block collisions ~4·n²/2^b ≤ n (linear); floor 15 pins
+    * the historical layout at small corpora, cap 30 exhausts the
+    * two-word (120-bit) md5 budget at n ≈ 2.7·10⁸ — past that,
+    * collisions grow ~n²/2³⁰, still 4000× under the naive join.
+    * Integer-exact both engines: ⌈log₂ n⌉ = length(bin(n−1)).
     */
-  private[graft] def multiblockFrame(s: SparkSession, dir: String): DataFrame = {
-    val width = MbBlocks * MbBits
-    val toks = Tables.documents(s, dir)
+  def mbBits(n: Long): Int = math.min(30, math.max(15, ceilLog2(n) + 2))
+
+  private[graft] def mbDocBits(s: SparkSession, dir: String): Int =
+    mbBits(nDocs(s, dir))
+
+  /** Per-doc two-word fingerprint (doc_id, fp0, fp1) at the corpus-
+    * adaptive [[mbBits]] width, cached — shared by d13, its
+    * candidate-count accessor, the streaming lake index and the
+    * recall-exactness spec (which brute-forces all-pairs hamming
+    * from it).
+    */
+  private[graft] def multiblockFrame(s: SparkSession, dir: String): DataFrame =
+    multiblockFrameOf(Tables.documents(s, dir), mbDocBits(s, dir))
+
+  /** [[multiblockFrame]] at an EXPLICIT block width — the layout-as-
+    * a-parameter path ScaleCheck uses to measure saturating fixed
+    * widths against the adaptive rule, and specs use to exercise the
+    * two-word (b > 15) regime on small corpora. Word w holds blocks
+    * 2w and 2w+1 (2b ≤ 60 bits each); global sign-sum bit g draws
+    * its token-hash bit from tokenHash60 when g < 60, tokenHash60b
+    * above.
+    */
+  private[graft] def multiblockFrameOf(docs: DataFrame, bits: Int): DataFrame = {
+    val width = MbBlocks * bits
+    val toks0 = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .withColumn("h", Text.tokenHash60(col("tok")))
-    val bitSums = (0 until width).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$j")
+      .withColumn("h1", Text.tokenHash60(col("tok")))
+    val toks = if (width > 60)
+      toks0.withColumn("h2", Text.tokenHash60b(col("tok"))) else toks0
+    def hbit(g: Int): Column =
+      if (g < 60) shiftright(col("h1"), g) else shiftright(col("h2"), g - 60)
+    val bitSums = (0 until width).map { g =>
+      sum(when(hbit(g).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$g")
     }
+    def word(lo: Int, hi: Int): Column =
+      (lo until hi).map(g =>
+        when(col(s"s$g") > 0, lit(1L << (g - lo))).otherwise(lit(0L)))
+        .reduce(_ + _)
     toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until width).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+      .select(col("doc_id"), word(0, 2 * bits).as("fp0"),
+        word(2 * bits, width).as("fp1"))
       .cache()
   }
 
-  /** Row-local (STATELESS) 60-bit multi-block fingerprint of a text
-    * Column — the streaming-safe formulation of [[multiblockFrame]]
-    * (no explode, no groupBy; bit-parity with the batch fingerprints
-    * is spec-asserted). The 60 per-bit array folds are HOF lambdas
+  /** Row-local (STATELESS) multi-block fingerprint of a text Column
+    * at an explicit width — the streaming-safe formulation of
+    * [[multiblockFrameOf]] (no explode, no groupBy; bit-parity with
+    * the batch fingerprints is spec-asserted). Returns the two
+    * fp0/fp1 word columns. The per-bit array folds are HOF lambdas
     * (CodegenFallback) — acceptable on delta batches; the batch
     * operator keeps the explode+groupBy form for the full-corpus
-    * scan exactly as d02/d11 do with rowMinhashCols.
+    * scan exactly as d02/d11 do with rowMinhashCols. Streams FREEZE
+    * `bits` from the lake count on the driving session (the
+    * StoreIngestStream layout discipline).
     */
-  def rowMultiblockFp(text: Column): Column = {
+  def rowMultiblockFpCols(text: Column, bits: Int): Seq[Column] = {
     val t = Text.tokens(text)
-    val hs = transform(t, tok => Text.tokenHash60(tok))
-    (0 until MbBlocks * MbBits).map { j =>
-      val bitSum = aggregate(hs, lit(0), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val hs1 = transform(t, tok => Text.tokenHash60(tok))
+    lazy val hs2 = transform(t, tok => Text.tokenHash60b(tok))
+    def bitSum(g: Int): Column = {
+      val (arr, sh) = if (g < 60) (hs1, g) else (hs2, g - 60)
+      aggregate(arr, lit(0), (acc, h) =>
+        acc + when(shiftright(h, sh).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    def word(lo: Int, hi: Int): Column =
+      (lo until hi).map(g =>
+        when(bitSum(g) > 0, lit(1L << (g - lo))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    Seq(word(0, 2 * bits).as("fp0"),
+      word(2 * bits, MbBlocks * bits).as("fp1"))
   }
 
-  private[graft] def multiblockKeys(fpf: DataFrame): DataFrame =
-    fpf.select(col("doc_id"), col("fp"),
-      explode(array((0 until MbBlocks).map(j =>
-        struct(lit(j).as("blk"),
-          shiftright(col("fp"), MbBits * j).bitwiseAND(MbMask)
-            .as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("fp"),
+  private[graft] def multiblockKeys(fpf: DataFrame, bits: Int): DataFrame = {
+    val mask = (1L << bits) - 1
+    fpf.select(col("doc_id"), col("fp0"), col("fp1"),
+      explode(array((0 until MbBlocks).map { j =>
+        val bv = if (j < 2) shiftright(col("fp0"), bits * j).bitwiseAND(mask)
+          else shiftright(col("fp1"), bits * (j - 2)).bitwiseAND(mask)
+        struct(lit(j).as("blk"), bv.as("bv"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("fp0"), col("fp1"),
         col("b.blk").as("blk"), col("b.bv").as("bv"))
+  }
+
+  /** Two-word hamming distance between `a`-prefixed and `b`-prefixed
+    * fingerprint columns.
+    */
+  private def mbHamming(a0: Column, a1: Column, b0: Column, b1: Column): Column =
+    (bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))).cast("int")
 
   /** Shared incremental-d13 core: best lake match (lowest hamming,
     * smallest lake id on ties) per delta doc at hamming ≤ 3, via the
@@ -1444,17 +1613,20 @@ object Dedup {
     * fingerprints. Both inputs are (doc_id, fp) frames; returns
     * (delta_id, dup_of, hamming). Used per micro-batch by
     * streaming.MultiblockSimhashStream (delta fp from the stateless
-    * [[rowMultiblockFp]], lake fp from the precomputed index).
+    * [[rowMultiblockFpCols]], lake fp from the precomputed index).
     */
   private[graft] def bestBlockMatch(deltaFp: DataFrame,
-      lakeFp: DataFrame): DataFrame = {
-    val d = multiblockKeys(deltaFp).select(col("doc_id").as("delta_id"),
-      col("fp").as("dfp"), col("blk"), col("bv"))
-    val l = multiblockKeys(lakeFp).select(col("doc_id").as("lake_id"),
-      col("fp").as("lfp"), col("blk"), col("bv"))
+      lakeFp: DataFrame, bits: Int): DataFrame = {
+    val d = multiblockKeys(deltaFp, bits)
+      .select(col("doc_id").as("delta_id"), col("fp0").as("dfp0"),
+        col("fp1").as("dfp1"), col("blk"), col("bv"))
+    val l = multiblockKeys(lakeFp, bits)
+      .select(col("doc_id").as("lake_id"), col("fp0").as("lfp0"),
+        col("fp1").as("lfp1"), col("blk"), col("bv"))
     d.join(l, Seq("blk", "bv"))
       .select(col("delta_id"), col("lake_id"),
-        bit_count(col("dfp").bitwiseXOR(col("lfp"))).as("hamming"))
+        mbHamming(col("dfp0"), col("dfp1"), col("lfp0"), col("lfp1"))
+          .as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
       .groupBy(col("delta_id"))
@@ -1464,10 +1636,18 @@ object Dedup {
   }
 
   /** Block-sharing pairs before the hamming cut — d13's raw candidate
-    * workload (observability/spec surface).
+    * workload (observability/spec surface), at the corpus-adaptive
+    * width.
     */
-  def multiblockSimhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val keys = multiblockKeys(multiblockFrame(s, dir))
+  def multiblockSimhashCandidates(s: SparkSession, dir: String): DataFrame =
+    multiblockCandidatesOf(Tables.documents(s, dir), mbDocBits(s, dir))
+
+  /** The candidate join at an explicit width — ScaleCheck's
+    * saturation-vs-adaptive measurement surface.
+    */
+  private[graft] def multiblockCandidatesOf(docs: DataFrame,
+      bits: Int): DataFrame = {
+    val keys = multiblockKeys(multiblockFrameOf(docs, bits), bits)
     keys.select(col("doc_id").as("doc_a"), col("blk"), col("bv"))
       .join(keys.select(col("doc_id").as("doc_b"), col("blk"), col("bv")),
         Seq("blk", "bv"))
@@ -1476,17 +1656,22 @@ object Dedup {
   }
 
   def multiblockSimhash(s: SparkSession, dir: String): DataFrame = {
-    val keys = multiblockKeys(multiblockFrame(s, dir))
-    keys.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-        col("blk"), col("bv"))
-      .join(keys.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-        col("blk"), col("bv")), Seq("blk", "bv"))
+    val bits = mbDocBits(s, dir)
+    val keys = multiblockKeys(multiblockFrame(s, dir), bits)
+    keys.select(col("doc_id").as("doc_a"), col("fp0").as("fa0"),
+        col("fp1").as("fa1"), col("blk"), col("bv"))
+      .join(keys.select(col("doc_id").as("doc_b"), col("fp0").as("fb0"),
+        col("fp1").as("fb1"), col("blk"), col("bv")), Seq("blk", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        mbHamming(col("fa0"), col("fa1"), col("fb0"), col("fb1"))
+          .as("hamming"))
       // filter before the distinct shuffle — far fewer pairs move
       .filter(col("hamming") <= 3)
       .distinct()
+      // the layout is part of the gated contract (s02 lshBits
+      // precedent): the oracle recomputes 4·b(n) from its own count
+      .withColumn("width", lit(MbBlocks * bits))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

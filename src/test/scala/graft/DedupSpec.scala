@@ -86,11 +86,15 @@ class DedupSpec extends SparkSpecBase {
     // only guarantees hamming <= 1)
     import org.apache.spark.sql.functions._
     val fp = operators.Dedup.multiblockFrame(spark, sf0001)
-    val brute = fp.select(col("doc_id").as("doc_a"), col("fp").as("fa"))
-      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("fp").as("fb")))
+    val brute = fp.select(col("doc_id").as("doc_a"),
+        col("fp0").as("fa0"), col("fp1").as("fa1"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"),
+        col("fp0").as("fb0"), col("fp1").as("fb1")))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+        (bit_count(col("fa0").bitwiseXOR(col("fb0")))
+          + bit_count(col("fa1").bitwiseXOR(col("fb1")))).cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val banded = operators.Dedup.multiblockSimhash(spark, sf0001)
@@ -98,6 +102,36 @@ class DedupSpec extends SparkSpecBase {
     assert(brute.nonEmpty, "vacuous: no hamming<=3 pair at sf0.001")
     assert(banded == brute,
       s"banded/brute diverge: missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("d13 widened (b>15, two-word) layout is recall-EXACT too") {
+    // the r13 widening's live path: force b = 20 (width 80 — block 1
+    // straddles word 0's upper half, blocks 2-3 draw bits 40..79 from
+    // BOTH md5 words) on the real corpus and prove the block join
+    // still equals brute-force all-pairs hamming
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val fp = operators.Dedup.multiblockFrameOf(docs, 20)
+    val brute = fp.select(col("doc_id").as("doc_a"),
+        col("fp0").as("fa0"), col("fp1").as("fa1"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"),
+        col("fp0").as("fb0"), col("fp1").as("fb1")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("fa0").bitwiseXOR(col("fb0")))
+          + bit_count(col("fa1").bitwiseXOR(col("fb1")))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keys = operators.Dedup.multiblockCandidatesOf(docs, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "vacuous: no hamming<=3 pair at b=20")
+    assert(brute.subsetOf(keys),
+      s"pigeonhole broken at b=20: missing=${brute -- keys}")
+    // and wider blocks genuinely prune: candidates shrink vs b=15
+    val cand15 = operators.Dedup.multiblockCandidatesOf(docs, 15).count()
+    assert(keys.size < cand15,
+      s"b=20 candidates ${keys.size} not below b=15's $cand15")
   }
 
   test("t18 flags cross-split near-dups, ignores same-split ones") {
@@ -208,18 +242,27 @@ class DedupSpec extends SparkSpecBase {
     assert(operators.Dedup.containmentDfCap(5000) == 26)
     val d = Files.createTempDirectory("graft-d04cap").toString
     // 20 docs all opening with the same trigram (df=20 > cap=8);
-    // docs 0 and 1 additionally share a RARE trigram (df=2)
+    // docs 0 and 1 are near-dups (one tail token apart — J = 3/7 ≥ τ,
+    // so the candidate stage MUST keep them; r13's length+positional
+    // filters prune τ-incapable pairs, so a plant sharing only one
+    // rare shingle would rightly vanish here)
     (0 until 20).map { i =>
-      val extra = if (i < 2) " sharedx sharedy sharedz" else ""
-      (i.toLong, s"stop stop stop u${i}a u${i}b u${i}c$extra")
+      val body = if (i < 2) s"shareda sharedb sharedc shared${if (i == 0) "d" else "e"}"
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i.toLong, s"stop stop stop $body")
     }.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
-    // the stop shingle alone generates no candidates — only the rare
-    // shared trigram's pair survives the capped join
+    // the stop shingle alone generates no candidates — only the
+    // τ-passing near-dup pair survives the capped, filtered join
     val cand = operators.Dedup.ngramJaccardCandidates(spark, d).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(cand == Set((0L, 1L)), cand.toString)
+    // and it genuinely passes τ end-to-end (the plant is no longer a
+    // candidate-only artifact)
+    val passed = operators.Dedup.ngramJaccard(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(passed == Set((0L, 1L)), passed.toString)
   }
 
   test("prefix filter (r11 item 2): exact for both consumers, strictly pruning") {
@@ -292,14 +335,23 @@ class DedupSpec extends SparkSpecBase {
 
   test("row-local multiblock fingerprint is bit-identical to the batch formulation") {
     import org.apache.spark.sql.functions.col
-    val batchFp = operators.Dedup.multiblockFrame(spark, sf0001)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
-    val rowFp = Tables.documents(spark, sf0001)
-      .select(col("doc_id"), operators.Dedup.rowMultiblockFp(col("text")).as("fp"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
-    assert(batchFp.keySet == rowFp.keySet)
-    batchFp.foreach { case (id, f) =>
-      assert(rowFp(id) == f, s"fingerprint mismatch for doc $id")
+    // both the adaptive width AND a forced two-word width (b=20):
+    // the streaming path must replicate the batch fingerprints at
+    // whatever layout the lake froze
+    for (bits <- Seq(operators.Dedup.mbDocBits(spark, sf0001), 20)) {
+      val batchFp = operators.Dedup
+        .multiblockFrameOf(Tables.documents(spark, sf0001), bits)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("fp0"), r.getAs[Long]("fp1"))).toMap
+      val rowFp = Tables.documents(spark, sf0001)
+        .select(col("doc_id") +:
+          operators.Dedup.rowMultiblockFpCols(col("text"), bits): _*)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("fp0"), r.getAs[Long]("fp1"))).toMap
+      assert(batchFp.keySet == rowFp.keySet)
+      batchFp.foreach { case (id, f) =>
+        assert(rowFp(id) == f, s"fingerprint mismatch for doc $id at b=$bits")
+      }
     }
   }
 

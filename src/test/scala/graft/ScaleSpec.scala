@@ -43,6 +43,29 @@ class ScaleSpec extends SparkSpecBase {
       s"d04 candidates ${g.base} -> ${g.inflated}: superlinear")
   }
 
+  test("d13 adaptive block width: candidate SHARE shrinks where a fixed width saturates") {
+    // r12 verdict #2: the widening's scale claim, measured with the
+    // 15-bit floor removed (both corpora would otherwise sit on the
+    // floor). share = candidates / C(n,2). At the FIXED 10-bit width
+    // the random-collision share ~4/2^10 is corpus-INVARIANT, so the
+    // candidate count grows ~n² (saturation — the old 60-bit layout's
+    // fate past n≈8k); at the adaptive ⌈log₂n⌉+2 width (10 → 13 bits
+    // here) the share shrinks ~2^(-Δb) and candidates stay ~linear.
+    val fx = growth("d13_cand_fixed10")
+    val ad = growth("d13_cand_logwidth")
+    def share(c: Long, n: Long): Double = c.toDouble / (n.toDouble * (n - 1) / 2)
+    val bigN = baseN * factor
+    info(f"fixed10 share ${share(fx.base, baseN)}%.5f -> ${share(fx.inflated, bigN)}%.5f; " +
+      f"adaptive ${share(ad.base, baseN)}%.5f -> ${share(ad.inflated, bigN)}%.5f")
+    assert(fx.base == ad.base, "widths diverge at base: both should be 10 bits")
+    // adaptive: share strictly shrinks under inflation
+    assert(share(ad.inflated, bigN) < 0.6 * share(ad.base, baseN),
+      s"adaptive share did not shrink: ${ad.base} -> ${ad.inflated}")
+    // fixed: saturates — collides a multiple of the adaptive layout
+    assert(fx.inflated > 2 * ad.inflated,
+      s"fixed width did not saturate vs adaptive: ${fx.inflated} vs ${ad.inflated}")
+  }
+
   test("d04 contract df-cap bounds stop-shingle fanout as the corpus grows") {
     // the cap's 100 TB claim at its BINDING regime (the measured
     // d04_cand row uses disjoint copies where the cap never binds):
