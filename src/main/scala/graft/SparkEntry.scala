@@ -188,6 +188,7 @@ object SparkEntry {
     "s23_centroid_drift" -> (Similarity.centroidDrift _),
     "r35_cohort_ltv" -> (Relational.cohortLtv _),
     "d17_lsh_precision" -> (Dedup.lshPrecisionAudit _),
+    "d18_incremental_clusters" -> (Dedup.incrementalClusters _),
     "r36_basket_affinity" -> (Relational.basketAffinity _),
     "r37_sketch_overlap" -> ((s, d) => Relational.sketchOverlap(s, d)))
 
@@ -1242,6 +1243,36 @@ SELECT band, n_true, n_found,
 FROM aud ORDER BY band""",
     // d17: d15's other half — precision of the band candidates and
     // the ≥8/16-verified set against the same d04 truth, same planted
+    // d18: the Spark side builds the labeling INCREMENTALLY (lake-only
+    // CC seed, then the delta's verified edges merge in via the
+    // contracted-cluster-graph fixpoint — the ClusterStream primitive);
+    // the oracle replays TWO full recursive closures (all docs,
+    // lake-only docs) from scratch, so the gate proves the fold equals
+    // the from-scratch transitive closure
+    "d18_incremental_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+sims AS (SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE ($matchesExpr) >= 8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM sims
+  UNION ALL SELECT doc_b, doc_a FROM sims),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+full_cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+ledges AS (SELECT a, b FROM edges WHERE a % 10 <> 0 AND b % 10 <> 0),
+lreach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT r.src, e.b FROM lreach r JOIN ledges e ON r.dst = e.a
+),
+lake_cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM lreach GROUP BY src)
+SELECT f.doc_id, f.cluster_id, (f.doc_id % 10 = 0) AS is_delta,
+  (f.cluster_id <> coalesce(l.cluster_id, f.doc_id)) AS relabeled
+FROM full_cl f LEFT JOIN lake_cl l ON l.doc_id = f.doc_id
+ORDER BY f.doc_id""",
     // gate corpus, same shared CTEs (audit and audited cannot drift)
     "d17_lsh_precision" ->
       s"""WITH $recallGateCtes,

@@ -1201,6 +1201,182 @@ object Dedup {
     labels.union(singletons)
   }
 
+  /** Min-label convergence over a CONTRACTED cluster graph: nodes
+    * (node) seeded lbl = node, undirected edges (x, y); returns
+    * (node, lbl) at the fixpoint (lbl = component minimum). The
+    * frames are cluster-graph-sized (one node per TOUCHED cluster or
+    * new doc — never the corpus); localCheckpoint truncates the
+    * iterative lineage (the d07 discipline), and pointer jumping
+    * keeps rounds O(log diameter). Shared by the d18 batch merge and
+    * streaming.ClusterStream's per-delivery fold.
+    */
+  private[graft] def minLabelFixpoint(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val und = edges.select(col("x"), col("y"))
+      .union(edges.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val msgs = und.join(lbl, col("x") === col("node"))
+        .groupBy(col("y")).agg(min(col("lbl")).as("cand"))
+      val prop = lbl.join(msgs, col("node") === col("y"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+      val parents = prop.select(col("node").as("pid"), col("lbl").as("plbl"))
+      // ONE action per round: the convergence signal rides the eager
+      // checkpoint as an observed metric (labels only decrease — the
+      // d07 Observation discipline), not a second count job
+      val obs = org.apache.spark.sql.Observation(s"graft-mlfp-$iter-" +
+        System.identityHashCode(und))
+      val upd = prop.join(parents, col("lbl") === col("pid"), "left")
+        .select(col("node"), col("old"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .observe(obs,
+          coalesce(sum(when(col("lbl") < col("old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .drop("old")
+        .localCheckpoint()
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      lbl = upd
+      iter += 1
+    }
+    lbl
+  }
+
+  /** Verified near-dup edges INCIDENT to a probe signature frame:
+    * band-key equi-join into `allSig` (so probe-vs-static AND
+    * probe-vs-probe pairs ride one join), est_sim ≥ 0.5 as the
+    * integer matches ≥ 8 — exactly d07's τ. Both inputs are m0..m15
+    * signature frames; returns distinct (doc_a < doc_b) pairs.
+    */
+  private[graft] def verifiedIncidentEdges(probeSig: DataFrame,
+      allSig: DataFrame): DataFrame = {
+    val bl = bandKeys(probeSig)
+      .select(col("doc_id").as("doc_l"), col("band"), col("bkey"))
+    val br = bandKeys(allSig)
+      .select(col("doc_id").as("doc_r"), col("band"), col("bkey"))
+    val cand = bl.join(br, Seq("band", "bkey"))
+      .filter(col("doc_l") =!= col("doc_r"))
+      .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_l"), col("doc_r")).as("doc_b"))
+      .distinct()
+    val sa = allSig.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = allSig.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(matches >= 8)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** MERGE new near-dup edges into an existing labeling — the
+    * incremental-CC primitive behind d18 and ClusterStream: edge
+    * endpoints and new docs take their CURRENT cluster (own id if
+    * unseen), edges CONTRACT to the cluster graph (old cluster ids +
+    * new doc ids — touched-component-sized, never the corpus), the
+    * [[minLabelFixpoint]] yields a rename map old→min, and the map
+    * applies to the seed labeling plus the new docs. Min-label merge
+    * is associative/idempotent/commutative, so folding edges in any
+    * batching (or re-folding them) reaches the same fixpoint as one
+    * global CC — the property the d18 oracle proves by replaying the
+    * full recursive closure. Returns the complete (doc_id,
+    * cluster_id) labeling over seed docs ∪ newDocs.
+    */
+  private[graft] def mergeClusterLabels(seed: DataFrame, edges0: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    // only EDGE-INCIDENT nodes enter the fixpoint (the d07 `paired`
+    // optimization): a doc no new edge touches cannot change label —
+    // singleton new docs go straight to inserts with their own id
+    val nodes0 = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val curLbl = nodes0.join(seed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("c"))
+      .localCheckpoint()
+    val cEdges = edges
+      .join(curLbl.select(col("doc_id").as("doc_a"), col("c").as("x")), "doc_a")
+      .join(curLbl.select(col("doc_id").as("doc_b"), col("c").as("y")), "doc_b")
+      .select(col("x"), col("y")).filter(col("x") =!= col("y")).distinct()
+    val merged = minLabelFixpoint(
+      curLbl.select(col("c").as("node")).distinct(), cEdges)
+    // renames keyed on cluster_id: no broadcast hint — the seed call
+    // (empty seed, all edges) makes it paired-doc-sized; AQE
+    // broadcasts the fold-sized case on its own
+    val renames = merged.filter(col("lbl") < col("node"))
+      .select(col("node").as("oldc"), col("lbl").as("newc"))
+    val seedOut = seed
+      .join(renames, col("cluster_id") === col("oldc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newc"), col("cluster_id")).as("cluster_id"))
+    val inserts = newDocs.select(col("doc_id"))
+      .join(seed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(curLbl, Seq("doc_id"), "left")
+      .join(merged.select(col("node").as("cc"), col("lbl")),
+        col("c") === col("cc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("c"), col("doc_id")).as("cluster_id"))
+    seedOut.union(inserts)
+  }
+
+  /** d18 — INCREMENTAL dup-clusters: the d10/d11 delta convention
+    * (doc_id % 10 == 0 arrives, the rest is the lake) applied to
+    * d07's transitive closure. The lake labeling is built once
+    * (lake-only edges merged into an empty seed — the same
+    * [[mergeClusterLabels]] primitive), then the delta FOLDS in:
+    * delta-incident verified edges ([[verifiedIncidentEdges]] — one
+    * band probe covers delta-vs-lake and delta-vs-delta), cluster
+    * contraction, min-label fixpoint, rename + insert. The output
+    * labels every doc and declares `is_delta` and `relabeled`
+    * (label differs from the lake-only seed; for a delta doc, from
+    * its own id — i.e. it joined a cluster).
+    *
+    * The ORACLE deliberately replays TWO full recursive closures
+    * (all docs, lake-only docs) and derives the same columns — so
+    * the gate PROVES the incremental merge equals the from-scratch
+    * transitive closure at every SF, exactly the guarantee a
+    * production ingest needs before trusting fold-time cluster ids
+    * (c08 keys leakage-safe splits on them). Scale shape: everything
+    * is bounded by delta-incident work — the probe is d11's
+    * key-equality band join, the fixpoint runs on the contracted
+    * cluster graph, and the apply is one keyed join over the seed —
+    * never a corpus-wide CC re-run (ScaleSpec-class claim; the
+    * streaming twin ClusterStream is the same primitive against a
+    * persisted store with bucket-pruned rewrites).
+    */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lakeDocs = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+    val deltaDocs = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    // one cached signature frame serves the lake edges AND the probe
+    val allSig = minhashSignatures(s, dir).cache()
+    val lakeSig = allSig.filter(col("doc_id") % 10 =!= 0)
+    val deltaSig = allSig.filter(col("doc_id") % 10 === 0)
+    val emptySeed = lakeDocs
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+    val lakeEdges = pairMatchCountsOf(lakeSig)
+      .filter(col("matches") >= 8).select(col("doc_a"), col("doc_b"))
+    val seed = mergeClusterLabels(emptySeed, lakeEdges, lakeDocs)
+      .localCheckpoint() // referenced three times below
+    val merged = mergeClusterLabels(seed,
+      verifiedIncidentEdges(deltaSig, allSig), deltaDocs)
+    merged
+      .join(seed.select(col("doc_id"), col("cluster_id").as("seed_cl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") % 10 === 0).as("is_delta"),
+        (col("cluster_id") =!= coalesce(col("seed_cl"), col("doc_id")))
+          .as("relabeled"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d09 — exact CHUNK-level dedup: the "exact substring dedup" pass
     * of a web-scale curation pipeline (CCNet/RefinedWeb shape),
     * expressed at fixed 8-token-window granularity so it stays a

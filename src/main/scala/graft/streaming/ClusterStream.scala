@@ -68,40 +68,6 @@ object ClusterStream {
     s.read.parquet(s"$storeDir/labels")
       .select(col("doc_id"), col("cluster_id"))
 
-  /** Min-label convergence over a TINY contracted cluster graph:
-    * nodes (node, lbl) seeded lbl = node, undirected edges (x, y).
-    * Returns (node, lbl) at the fixpoint (lbl = component minimum).
-    * Frames are batch-sized; localCheckpoint truncates the iterative
-    * lineage (the d07 discipline — a cached self-referencing plan
-    * re-inlines its upstream per round).
-    */
-  private def minLabel(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = edges.select(col("x"), col("y"))
-      .union(edges.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
-    var lbl = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0L && iter < 50) {
-      val msgs = und.join(lbl, col("x") === col("node"))
-        .groupBy(col("y")).agg(min(col("lbl")).as("cand"))
-      val prop = lbl.join(msgs, col("node") === col("y"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-      // pointer jumping: adopt your label's label too
-      val parents = prop.select(col("node").as("pid"), col("lbl").as("plbl"))
-      val upd = prop.join(parents, col("lbl") === col("pid"), "left")
-        .select(col("node"), col("old"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = upd.filter(col("lbl") < col("old")).count()
-      lbl = upd.select(col("node"), col("lbl"))
-      iter += 1
-    }
-    lbl
-  }
-
   /** Fold one delivery into the store (idempotent under at-least-once
     * re-delivery: the signature write overwrites its own batch
     * partition, and re-merging already-merged labels is a fixpoint).
@@ -119,30 +85,13 @@ object ClusterStream {
 
       // (2) verified edges incident to this batch, against the GROWN
       // index (this batch's partition included — within-batch pairs
-      // come through the same join)
+      // come through the same join); est_sim ≥ 0.5 as matches ≥ 8,
+      // d07's τ — the SHARED primitive d18 gates
       val allSigs = ss.read.parquet(s"$storeDir/sigs")
         .select(col("doc_id") +: (0 until 16).map(i => col(s"m$i")): _*)
       val batchSigs = allSigs
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val bl = Dedup.bandKeys(batchSigs)
-        .select(col("doc_id").as("doc_l"), col("band"), col("bkey"))
-      val br = Dedup.bandKeys(allSigs)
-        .select(col("doc_id").as("doc_r"), col("band"), col("bkey"))
-      val cand = bl.join(br, Seq("band", "bkey"))
-        .filter(col("doc_l") =!= col("doc_r"))
-        .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
-          greatest(col("doc_l"), col("doc_r")).as("doc_b"))
-        .distinct()
-      val sa = allSigs.select(col("doc_id").as("doc_a") +:
-        (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
-      val sb = allSigs.select(col("doc_id").as("doc_b") +:
-        (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
-      val matches = (0 until 16)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      val edges = cand.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(matches >= 8) // est_sim ≥ 0.5, float-free (d07's τ)
-        .select(col("doc_a"), col("doc_b"))
+      val edges = Dedup.verifiedIncidentEdges(batchSigs, allSigs)
         .localCheckpoint()
 
       // (3) contract to the cluster graph: endpoints + batch docs get
@@ -165,7 +114,8 @@ object ClusterStream {
         .join(curLbl.select(col("doc_id").as("doc_b"), col("c").as("y")), "doc_b")
         .select(col("x"), col("y")).filter(col("x") =!= col("y")).distinct()
       val cNodes = curLbl.select(col("c").as("node")).distinct()
-      val merged = minLabel(cNodes, cEdges) // (node=old cluster, lbl=new)
+      // (node=old cluster, lbl=new) — the shared d18 fixpoint
+      val merged = Dedup.minLabelFixpoint(cNodes, cEdges)
       val renames = merged.filter(col("lbl") < col("node"))
         .select(col("node").as("oldc"), col("lbl").as("newc"))
         .localCheckpoint()

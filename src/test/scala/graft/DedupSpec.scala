@@ -134,6 +134,41 @@ class DedupSpec extends SparkSpecBase {
       s"b=20 candidates ${keys.size} not below b=15's $cand15")
   }
 
+  test("d18 incremental clusters: a delta chain merges two lake clusters " +
+      "and the fold equals the from-scratch closure") {
+    import org.apache.spark.sql.functions.col
+    // the ClusterStream gradient corpus under the d10/d11 delta
+    // convention (doc_id % 10 == 0 arrives): lake clusters {1,2}=X0
+    // and {3,4}=X12 are apart; deltas 10=X3, 20=X6, 30=X9 chain them
+    // (delta-lake AND delta-delta edges); 5 / 40 stay singletons
+    def xk(k: Int) = (k until k + 20).map(i => s"tk$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-d18").toString
+    Seq((1L, xk(0)), (2L, xk(0)), (3L, xk(12)), (4L, xk(12)),
+      (5L, "completely unrelated standalone lake document"),
+      (10L, xk(3)), (20L, xk(6)), (30L, xk(9)),
+      (40L, "another unrelated delta text piece"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val out = operators.Dedup.incrementalClusters(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_delta"),
+          r.getAs[Boolean]("relabeled")))).toMap
+    // one merged component rooted at doc 1
+    for (id <- Seq(1L, 2L, 3L, 4L, 10L, 20L, 30L))
+      assert(out(id)._1 == 1L, s"doc $id: ${out(id)}")
+    // relabeled: lake B moved (3, 4), every chained delta joined;
+    // lake A kept its id, singletons untouched
+    assert(!out(1L)._3 && !out(2L)._3 && out(3L)._3 && out(4L)._3)
+    assert(out(10L)._3 && out(20L)._3 && out(30L)._3)
+    assert(out(5L) == ((5L, false, false)) && out(40L) == ((40L, true, false)))
+    // and the fold equals d07's from-scratch closure on the same dir
+    val full = operators.Dedup.dupClusters(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.map { case (k, v) => k -> v._1 } == full,
+      s"fold diverged from full CC: $out vs $full")
+  }
+
   test("t18 flags cross-split near-dups, ignores same-split ones") {
     val d = Files.createTempDirectory("graft-t18").toString
     val base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
