@@ -95,17 +95,25 @@ object ClusterStream {
         .localCheckpoint()
 
       // (3) contract to the cluster graph: endpoints + batch docs get
-      // their CURRENT cluster (own id if unseen) — a doc_id-pruned
-      // lookup, batch-sized
-      val lab = ss.read.parquet(s"$storeDir/labels")
-        .select(col("doc_id"), col("cluster_id"))
+      // their CURRENT cluster (own id if unseen) — a lookup pruned
+      // TWICE: the store's real partition column `b` (PartitionFilter
+      // on the touched doc buckets) and the doc_id list (pushed row
+      // filter inside them); batch-sized either way
+      val labB = ss.read.parquet(s"$storeDir/labels") // (…, b) partition col
+      val lab = labB.select(col("doc_id"), col("cluster_id"))
+      def docPruned(ids: DataFrame): DataFrame =
+        PartitionPrune.filterByKeys(
+          PartitionPrune.filterByKeys(labB, "b",
+            ids.select(bucket(col("doc_id")).as("b"))),
+          "doc_id", ids)
+          .select(col("doc_id"), col("cluster_id"))
       val nodes0 = batch.select(col("doc_id"))
         .union(edges.select(col("doc_a").as("doc_id")))
         .union(edges.select(col("doc_b").as("doc_id")))
         .distinct()
+        .localCheckpoint() // feeds the bucket list, the id list, the join
       val curLbl = nodes0
-        .join(PartitionPrune.filterByKeys(lab, "doc_id", nodes0),
-          Seq("doc_id"), "left")
+        .join(docPruned(nodes0), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("c"))
         .localCheckpoint()
@@ -124,7 +132,8 @@ object ClusterStream {
       // semi scan — see class doc) + this batch's new rows; rewrite
       // only the doc buckets that hold them
       val newRows = batch.select(col("doc_id"))
-        .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(docPruned(batch).select(col("doc_id")), Seq("doc_id"),
+          "left_anti")
         .join(curLbl, Seq("doc_id"), "left")
         .join(merged.select(col("node").as("cc"), col("lbl")),
           col("c") === col("cc"), "left")
@@ -136,8 +145,9 @@ object ClusterStream {
         .select(col("doc_id"))
       val touchedB = affected.union(newRows.select(col("doc_id")))
         .select(bucket(col("doc_id")).as("b")).distinct()
-      val oldTouched = PartitionPrune.filterByKeys(
-        lab.withColumn("b", bucket(col("doc_id"))), "b", touchedB)
+      // the store's own partition column — a real PartitionFilter,
+      // not a recomputed bucket over a full scan
+      val oldTouched = PartitionPrune.filterByKeys(labB, "b", touchedB)
       val rewritten = oldTouched
         .join(broadcast(renames), col("cluster_id") === col("oldc"), "left")
         .select(col("doc_id"),
