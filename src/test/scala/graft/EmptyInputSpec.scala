@@ -51,6 +51,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "d12" -> ((s, d) => operators.Dedup.semanticDedup(s, d)),
     "d13" -> (operators.Dedup.multiblockSimhash _),
     "d14" -> (operators.Dedup.containment _),
+    "d18" -> (operators.Dedup.incrementalClusters _),
     "c08" -> (operators.Curation.safeSplit _),
     "r21" -> (operators.Relational.cdcApply _),
     "r08" -> (operators.Relational.sessionize _),

@@ -413,6 +413,38 @@ class SimilaritySpec extends SparkSpecBase {
       byId(id).getAs[Long]("d2_milli") == 0L && flagged.contains(id) } == 0)
   }
 
+  test("sampled k-means training preserves quantizer distortion vs full training") {
+    // the r13 build fix's QUALITY guard: at the same K, centroids
+    // trained on the min(n, 16·K) salted-md5 sample must quantize the
+    // FULL corpus nearly as tightly as centroids trained on all of it
+    // (the 16-points-per-centroid budget is a knob — this pins that
+    // the chosen value isn't silently wrecking the cell structure).
+    // Deterministic on both sides, so the bound is a measurement, not
+    // a flake: sf0.001 measures ~1.02× (sampled/full).
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vector
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val k = operators.Dedup.semanticK(n)
+    assert(operators.VectorAgg.trainTarget(n, k) < n,
+      s"vacuous: sampling inactive at n=$n, K=$k")
+    def distortion(cent: org.apache.spark.sql.DataFrame): Double =
+      operators.VectorAgg.kmeansAssign(emb, cent)
+        .join(broadcast(cent), "cid")
+        .select(avg(Vector.dot(col("embedding"), col("embedding"))
+          + Vector.dot(col("cv"), col("cv"))
+          - lit(2.0) * Vector.dot(col("embedding"), col("cv"))).as("d2"))
+        .head().getDouble(0)
+    val full = distortion(
+      operators.VectorAgg.kmeansCentroids(spark, emb, k))
+    val sampled = distortion(
+      operators.VectorAgg.kmeansCentroidsSampled(spark, emb, n, k))
+    assert(full > 0.0 && sampled <= 1.15 * full,
+      f"sampled-training distortion $sampled%.4f vs full $full%.4f: " +
+        "the 16/centroid budget degraded the quantizer")
+  }
+
   test("s11 MMR: first pick is the brute top-1, picks distinct, greedy law holds") {
     val mmr = operators.Similarity.mmrRerank(spark, sf0001).collect()
       .groupBy(_.getAs[Long]("query_id"))
