@@ -86,7 +86,10 @@ object Bench {
       // query scores — with the adaptive layouts these stay ~|Q|·const
       // as the corpus grows; a regression here is a layout regression
       "s02_probe" -> (() => operators.Similarity.lshProbeCandidates(spark, sfDir)),
-      "s03_probe" -> (() => operators.Similarity.ivfProbeCandidates(spark, sfDir))
+      "s03_probe" -> (() => operators.Similarity.ivfProbeCandidates(spark, sfDir)),
+      // d18's fold workload: delta-incident VERIFIED edges (post
+      // matches ≥ 8) — the merge's input volume, delta-bounded
+      "d18_delta_edges" -> (() => operators.Dedup.incrementalClusterEdges(spark, sfDir))
     ).flatMap { case (name, mk) =>
       try Some(name -> mk().count())
       catch { case e: Throwable =>

@@ -1326,6 +1326,15 @@ object Dedup {
     seedOut.union(inserts)
   }
 
+  /** d18's delta-incident verified edges (observability/telemetry
+    * surface — the fold's pre-merge workload the bench tracks
+    * round-over-round, like the d02–d14 cand_pairs rows).
+    */
+  def incrementalClusterEdges(s: SparkSession, dir: String): DataFrame = {
+    val allSig = minhashSignatures(s, dir).cache()
+    verifiedIncidentEdges(allSig.filter(col("doc_id") % 10 === 0), allSig)
+  }
+
   /** d18 — INCREMENTAL dup-clusters: the d10/d11 delta convention
     * (doc_id % 10 == 0 arrives, the rest is the lake) applied to
     * d07's transitive closure. The lake labeling is built once
