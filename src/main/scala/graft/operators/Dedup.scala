@@ -1085,6 +1085,58 @@ object Dedup {
     *    `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
     *    context creation, which a library cannot assume.
     */
+  /** Execute `body` (EAGER work only — checkpoints, counts, the
+    * fixpoint loops) under a partitioning sized to a MEASURED tiny
+    * input instead of the session default. The iterative CC loops
+    * (d07/d18/ClusterStream) run a handful of joins per round over
+    * frames bounded by the EDGE-INCIDENT subset, which at harness
+    * scale is a few hundred rows: under the session conf every round
+    * pays AQE's per-shuffle stage materialization (one scheduler job
+    * per Exchange — measured 5–6 jobs/round, ~45 ms each, ~70% of
+    * d18's wall time), all to plan 32-partition shuffles of <10 KB.
+    * When `rows` (the measured, already-checkpointed edge count) is
+    * under `spark.graft.microloop.maxRows` (default 1,048,576 — at
+    * 16 B/row comfortably one task), the loop instead runs with
+    * shuffle.partitions = ⌈rows/65536⌉ and AQE off, so one
+    * checkpoint action is ONE job of a few tiny stages. Above the
+    * threshold (any real-corpus lake CC) nothing changes: session
+    * conf, AQE coalescing/skew handling intact — the adaptation is
+    * keyed on measured input size, never on the local core count.
+    * Confs are restored in `finally`; eager-only scope means frames
+    * RETURNED to callers execute under the caller's own conf.
+    */
+  private[graft] def withMicroLoopConf[T](s: SparkSession, rows: Long)(
+      body: => T): T = {
+    val conf = s.conf
+    val maxRows = conf.getOption("spark.graft.microloop.maxRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (rows < 0 || rows > maxRows) body
+    else {
+      val prevParts = conf.getOption("spark.sql.shuffle.partitions")
+      val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+      val prevWsc = conf.getOption("spark.sql.codegen.wholeStage")
+      val p = math.min(rows / 65536L + 1L,
+        prevParts.flatMap(_.toLongOption).getOrElse(200L))
+      try {
+        conf.set("spark.sql.shuffle.partitions", p.toString)
+        conf.set("spark.sql.adaptive.enabled", "false")
+        // at micro-loop row counts the dominant per-round cost is
+        // compiling fresh wholestage classes, not executing them —
+        // interpreted mode is result-identical and skips the compile
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        body
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
+        restore("spark.sql.shuffle.partitions", prevParts)
+        restore("spark.sql.adaptive.enabled", prevAqe)
+        restore("spark.sql.codegen.wholeStage", prevWsc)
+      }
+    }
+  }
+
   private def truncateLineage(s: SparkSession, df: DataFrame): DataFrame =
     s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(d) =>
@@ -1145,14 +1197,22 @@ object Dedup {
     // Reliable vs executor-memory flavor per truncateLineage above.
     val edges = truncateLineage(s, sims
       .union(sims.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    // the loop below runs on frames bounded by the edge-incident
+    // subset — size the micro-loop partitioning off the measured
+    // (checkpointed) edge count, not the session default (counted
+    // off the checkpointed RDD: one job, no fresh SQL planning)
+    val edgeRows = edges.queryExecution.toRdd.count()
+    withMicroLoopConf(s, edgeRows) {
     // propagate only over documents that have at least one edge — the
     // overwhelming singleton majority never changes label and joins
     // back after convergence, so each iteration touches only the
     // (small) paired subset
     val paired = truncateLineage(s,
       edges.select(col("doc_a").as("doc_id")).distinct())
-    var labels = truncateLineage(s,
-      paired.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    // no checkpoint on the seed labels: round 1 derives them inline
+    // from the checkpointed paired frame (the minLabelFixpoint rule)
+    var labels: DataFrame =
+      paired.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -1195,10 +1255,13 @@ object Dedup {
     if (!converged)
       System.err.println(s"[graft] WARNING: dupClusters hit the $iter-round " +
         "cap without converging — labels may not be the full transitive closure")
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
-      .join(paired, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    labels.union(singletons)
+    (labels, paired)
+    } match { case (labels, paired) =>
+      val singletons = Tables.documents(s, dir).select(col("doc_id"))
+        .join(paired, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      labels.union(singletons)
+    }
   }
 
   /** Min-label convergence over a CONTRACTED cluster graph: nodes
@@ -1211,12 +1274,22 @@ object Dedup {
     * streaming.ClusterStream's per-delivery fold.
     */
   private[graft] def minLabelFixpoint(nodes: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, rowsHint: Long = -1L): DataFrame = {
     val und = edges.select(col("x"), col("y"))
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
+    // size the loop partitioning off the measured (checkpointed)
+    // contracted-edge count — see withMicroLoopConf. Callers that
+    // already measured their edge frame pass the count through
+    // (rowsHint); otherwise count the checkpointed RDD directly —
+    // one job, no fresh SQL planning.
+    val rows = if (rowsHint >= 0L) rowsHint
+      else und.queryExecution.toRdd.count()
+    withMicroLoopConf(nodes.sparkSession, rows) {
+    // no checkpoint on the seed labels: round 1 derives them inline
+    // from the (checkpointed) nodes frame; every later round's lbl is
+    // the previous round's checkpointed upd, so lineage stays flat
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -1244,6 +1317,7 @@ object Dedup {
       iter += 1
     }
     lbl
+    }
   }
 
   /** Verified near-dup edges INCIDENT to a probe signature frame:
@@ -1291,6 +1365,11 @@ object Dedup {
   private[graft] def mergeClusterLabels(seed: DataFrame, edges0: DataFrame,
       newDocs: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint()
+    // contraction + fixpoint are bounded by the (checkpointed,
+    // measured) edge count — run them under the micro-loop conf
+    // (counted off the checkpointed RDD: one job, no SQL planning)
+    val edgeRows = edges.queryExecution.toRdd.count()
+    val merged = withMicroLoopConf(seed.sparkSession, edgeRows) {
     // only EDGE-INCIDENT nodes enter the fixpoint (the d07 `paired`
     // optimization): a doc no new edge touches cannot change label —
     // singleton new docs go straight to inserts with their own id
@@ -1305,12 +1384,15 @@ object Dedup {
       .join(curLbl.select(col("doc_id").as("doc_a"), col("c").as("x")), "doc_a")
       .join(curLbl.select(col("doc_id").as("doc_b"), col("c").as("y")), "doc_b")
       .select(col("x"), col("y")).filter(col("x") =!= col("y")).distinct()
-    val merged = minLabelFixpoint(
-      curLbl.select(col("c").as("node")).distinct(), cEdges)
+    (minLabelFixpoint(
+      curLbl.select(col("c").as("node")).distinct(), cEdges,
+      rowsHint = edgeRows), curLbl)
+    }
+    val (fixpoint, curLbl) = merged
     // renames keyed on cluster_id: no broadcast hint — the seed call
     // (empty seed, all edges) makes it paired-doc-sized; AQE
     // broadcasts the fold-sized case on its own
-    val renames = merged.filter(col("lbl") < col("node"))
+    val renames = fixpoint.filter(col("lbl") < col("node"))
       .select(col("node").as("oldc"), col("lbl").as("newc"))
     val seedOut = seed
       .join(renames, col("cluster_id") === col("oldc"), "left")
@@ -1319,7 +1401,7 @@ object Dedup {
     val inserts = newDocs.select(col("doc_id"))
       .join(seed.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .join(curLbl, Seq("doc_id"), "left")
-      .join(merged.select(col("node").as("cc"), col("lbl")),
+      .join(fixpoint.select(col("node").as("cc"), col("lbl")),
         col("c") === col("cc"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("c"), col("doc_id")).as("cluster_id"))
