@@ -35,5 +35,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starved the 166-query bench: cached frames + 32 concurrent
+  // tasks' sort/hash buffers forced eviction and GC drag on every
+  // tail query (measured at sf0.1: total 96.1 s at 8g vs 80.6 s at
+  // 24g, with c08 -2.1 s, s06 -1.5 s, s01 -0.8 s and ~40 queries
+  // improving; no single regression beyond load scatter). Still
+  // env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
