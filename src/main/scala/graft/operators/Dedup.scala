@@ -35,7 +35,16 @@ object Dedup {
   /** [[shingles]] over an explicit documents frame — the d15 gate
     * audits an augmented corpus through the identical shingling.
     */
-  def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesRawOf(docs, n).distinct()
+
+  /** [[shinglesOf]] WITHOUT the distinct — per-position (doc_id,
+    * shingle) rows straight off the explode, no shuffle. Consumers
+    * that prune the stream with a selective filter (s04's
+    * query-shingle semi-join) apply it BEFORE paying the
+    * corpus-wide distinct.
+    */
+  private[graft] def shinglesRawOf(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = Text.tokens(col("text"))
     // explode(sequence) + slice/array_join stays codegen'd; the
     // transform-lambda formulation is CodegenFallback on a hot path
@@ -47,7 +56,6 @@ object Dedup {
         explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
       .select(col("doc_id"),
         array_join(slice(col("t"), col("i"), lit(n)), " ").as("shingle"))
-      .distinct()
   }
 
   /** d01 — exact dedup: md5 of normalized text, keep min doc_id per

@@ -650,13 +650,26 @@ object Similarity {
     * inflation the count stays ~constant (ScaleSpec asserts it).
     */
   def hybridCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(s, dir)
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 1000).select(col("shingle"))
-    val shr = sh.join(rare, "shingle")
-    val q = shr.filter(col("doc_id").isin(annQueryIds: _*))
+    val docs = Tables.documents(s, dir)
+    // shingles of the FIXED ≤9-doc query slice — constant-size, so
+    // broadcasting it prunes the corpus-side explode to the
+    // query-shingle slice BEFORE any shuffle. The old formulation
+    // paid a corpus-wide distinct + a global df groupBy over every
+    // shingle (1.3M rows at sf0.1) only to keep the ≤9 docs' worth:
+    // candidate semantics are unchanged (df counted over the FULL
+    // corpus for each surviving shingle — the semi-join keeps every
+    // corpus occurrence of a query shingle), result row-identical.
+    val qsh = Dedup.shinglesOf(
+        docs.filter(col("doc_id").isin(annQueryIds: _*)))
       .select(col("doc_id").as("query_id"), col("shingle"))
-    shr.join(q, Seq("shingle"))
+    val qShingles = qsh.select(col("shingle")).distinct()
+    val shq = Dedup.shinglesRawOf(docs)
+      .join(broadcast(qShingles), "shingle")
+      .distinct()
+    val rareQ = shq.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select(col("shingle"))
+    shq.join(broadcast(rareQ), "shingle")
+      .join(broadcast(qsh), Seq("shingle"))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()
   }

@@ -187,4 +187,93 @@ class ParseSpec extends SparkSpecBase {
     assert(Parse.standardizeColumns(df).columns.toSeq ==
       Seq("company_id", "invoice_number"))
   }
+
+  test("r13 single-pass parsers equal the per-group regexp_extract forms") {
+    // The r13 optimization round rewrote invoiceLine / receiptLine /
+    // findDate from N regexp_extract scans per row to one packed
+    // regexp_replace (or match-then-split) pass. These reference
+    // implementations are the OLD formulations verbatim — the spec
+    // pins row-identical structs over every layout regime plus
+    // garbage / near-miss / empty edges.
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DoubleType
+    def invoiceLineOld(c: Column): Column = {
+      val t = trim(c)
+      val pat = "^(\\d+)\\.\\s*(.*?)\\s*\\-?\\s*(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s*\\.?$"
+      val matched = regexp_extract(t, pat, 0) =!= ""
+      struct(
+        when(matched, regexp_extract(t, pat, 2)).as("description"),
+        when(matched, regexp_extract(t, pat, 3).cast(DoubleType)).as("qty"),
+        when(matched, regexp_extract(t, pat, 4).cast(DoubleType)).as("price"),
+        when(matched, regexp_extract(t, pat, 5).cast(DoubleType)).as("total"))
+    }
+    def receiptLineOld(c: Column): Column = {
+      val t = regexp_replace(trim(c), "\\s+", " ")
+      val num = "(\\d+(?:[.,]\\d{1,2}))"
+      val pats = Seq(
+        (s"^(\\d{5,}) (\\d{1,3}) ?[Xx] ?$num $num$$", 1, 2, 3, 4),
+        (s"^(\\d{5,}) ?[Xx] ?$num $num$$", 1, 0, 2, 3),
+        (s"^(\\d{5,}) $num (\\d{1,3}) ?[Xx] ?$num$$", 1, 3, 2, 4),
+        (s"^$num (\\d{1,3}) ?[Xx] ?$num$$", 0, 2, 1, 3),
+        (s"^(\\d{1,3}) ?[Xx] ?$num $num$$", 0, 1, 2, 3))
+      def field(sel: ((String, Int, Int, Int, Int)) => Int,
+          numeric: Boolean): Column =
+        pats.foldRight(lit(null).cast(if (numeric) "double" else "string")) {
+          case (p @ (pat, _, _, _, _), els) =>
+            val g = sel(p)
+            val matched = regexp_extract(t, pat, 0) =!= ""
+            val v = if (g == 0) {
+              if (numeric) lit(1.0) else lit(null).cast("string")
+            } else {
+              val raw = regexp_extract(t, pat, g)
+              if (numeric) regexp_replace(raw, ",", ".").cast(DoubleType)
+              else raw
+            }
+            when(matched, v).otherwise(els)
+        }
+      struct(
+        field(_._2, numeric = false).as("sku"),
+        field(_._3, numeric = true).as("qty"),
+        field(_._4, numeric = true).as("unit_price"),
+        field(_._5, numeric = true).as("line_total"))
+    }
+    def findDateOld(c: Column): Column = {
+      val s = Parse.fixOcrDigits(c)
+      val pat = "(?<!\\d)(\\d{1,2})[-/.](\\d{1,2})[-/.](\\d{2,4})(?!\\d)"
+      val d = regexp_extract(s, pat, 1).cast("int")
+      val m = regexp_extract(s, pat, 2).cast("int")
+      val yRaw = regexp_extract(s, pat, 3).cast("int")
+      val y = when(yRaw < lit(100),
+          when(yRaw <= lit(30), yRaw + lit(2000)).otherwise(yRaw + lit(1900)))
+        .otherwise(yRaw)
+      when(regexp_extract(s, pat, 0) =!= "", make_date(y, m, d))
+    }
+    val lines = Seq(
+      // invoice-line regimes: plain, dashed, trailing dot, int qty
+      "1. WIDGET A - 2 3.50 7.00.", "12. part x 1 10.00 10.00",
+      "3.   spaced   desc   4 1.25 5.00  .", "7. nums 1 2 3 4 5 6",
+      // receipt regimes: all five layouts + comma decimals
+      "9556268000210 3 X 15.00 45.00", "9072363 X 29.90 29.90",
+      "9021937 3.90 1 X 3.90", "3.90 1 X 3.90", "1 X 29,90 29.90",
+      "90219 3,90 2 X 7,80",
+      // dates: separators, 2-digit years both coercion sides, OCR digits
+      "paid 05-03-95 thanks", "due 5/3/07", "on 05.03.2024 ok",
+      "x 1O-O3-24 y", "31-02-23 invalid feb", "9-9-99 and 1-1-01 twice",
+      // garbage / near-miss / empty — incl. EMPTY description group
+      // (from_csv must keep "" as "", not CSV-null it) and fields
+      // with CSV-hostile content (commas, quotes)
+      "", "   ", "no numbers here", "123456", "99. POISON ROW - 1 1.00 1.00.",
+      "12345 X 9.999 9.99", "1234-5678",
+      "1. - 2 3.50 7.00.", "5. a, \"b\" c - 1 2.00 2.00")
+    val df = lines.toDF("s")
+    val got = df.select(
+      Parse.invoiceLine(col("s")).as("il"),
+      Parse.receiptLine(col("s")).as("rl"),
+      Parse.findDate(col("s")).as("fd"))
+    val want = df.select(
+      invoiceLineOld(col("s")).as("il"),
+      receiptLineOld(col("s")).as("rl"),
+      findDateOld(col("s")).as("fd"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
 }
