@@ -375,6 +375,32 @@ object Dedup {
       z
     })
 
+  /** Memoized ranked/sizes artifacts of the d15/d17 PLANT-AUGMENTED
+    * gate corpus (base docs ∪ recallPlantRows): both audits (×2 bench
+    * runs each) previously rebuilt the augmented shingle scan, the
+    * df rank window and the sizes aggregate per invocation — the
+    * per-call caches were released on exit, so nothing was shared.
+    * Key carries the plain `dir` element so TableSink.replaceDir
+    * invalidation still matches (the "recall-gate" tag only
+    * disambiguates from the base-corpus rankedMemo keys).
+    */
+  private val gateMemo =
+    new graft.SessionMemo[(SparkSession, String, String, Int),
+        (DataFrame, DataFrame)]({ case (r, z) =>
+      r.unpersist(); z.unpersist(); () })
+
+  private def gateRankedSizes(s: SparkSession, dir: String,
+      maxDf: Int): (DataFrame, DataFrame) =
+    gateMemo.getOrElseUpdate((s, dir, "recall-gate", maxDf), {
+      val sh = shinglesOf(lshRecallGateFrame(s, dir)).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .cache()
+      sizes.count()
+      val ranked = rankedRareShingles(sh, maxDf)
+      sh.unpersist()
+      (ranked, sizes)
+    })
+
   /** The df-capped shingle universe with the PPJoin global order:
     * (doc_id, shingle, pr, rsz) — shingles ranked per doc by (df,
     * shingle) ascending (rarest first; the total order the filter's
@@ -572,7 +598,13 @@ object Dedup {
 
   /** The τ-passing Jaccard pairs of an explicit shingle frame. */
   private def jaccardFrameOf(sh: DataFrame, maxDf: Int): DataFrame =
-    shingleOverlapOf(sh, maxDf, 1, 6, bothSides = true)
+    jaccardOfOverlap(shingleOverlapOf(sh, maxDf, 1, 6, bothSides = true))
+
+  /** The Jaccard τ-filter tail over an overlap frame — shared by the
+    * explicit-shingle path and the memoized d15/d17 gate path.
+    */
+  private def jaccardOfOverlap(ov: DataFrame): DataFrame =
+    ov
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
         // basis points via floor: integer-exact across engines (no
@@ -2041,11 +2073,12 @@ object Dedup {
   def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = lshRecallGateFrame(s, dir)
     val n = TableStats.rowCount(s, dir, "documents_recall_gate")(docs.count())
-    val sh = shinglesOf(docs)
-    val truth = jaccardFrameOf(sh, jaccardDfCap(n))
+    val (ranked, sizes) = gateRankedSizes(s, dir, jaccardDfCap(n))
+    val truth = jaccardOfOverlap(
+        shingleOverlapRanked(ranked, sizes, 1, 6, bothSides = true))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(jaccard_bp DIV 1000 AS INT)").as("band"))
-    val found = bandPairs(minhashSignaturesOf(sh).cache())
+    val found = bandPairs(minhashSignaturesOf(shinglesOf(docs)).cache())
       .withColumn("hit", lit(true))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("band"))
@@ -2081,10 +2114,12 @@ object Dedup {
   def lshPrecisionAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = lshRecallGateFrame(s, dir)
     val n = TableStats.rowCount(s, dir, "documents_recall_gate")(docs.count())
-    val sh = shinglesOf(docs)
     // referenced by both stages (candidate + verified slices)
-    val pm = pairMatchCountsOf(minhashSignaturesOf(sh).cache()).cache()
-    val truth = jaccardFrameOf(sh, jaccardDfCap(n))
+    val pm = pairMatchCountsOf(
+      minhashSignaturesOf(shinglesOf(docs)).cache()).cache()
+    val (ranked, sizes) = gateRankedSizes(s, dir, jaccardDfCap(n))
+    val truth = jaccardOfOverlap(
+        shingleOverlapRanked(ranked, sizes, 1, 6, bothSides = true))
       .select(col("doc_a"), col("doc_b")).withColumn("is_true", lit(true))
     val stages = pm
       .select(lit("1_candidate").as("stage"), col("doc_a"), col("doc_b"))
