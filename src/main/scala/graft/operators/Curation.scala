@@ -75,8 +75,11 @@ object Curation {
     val n = graft.TableStats.rowCount(s, dir, "embeddings")(emb.count())
     val k = Dedup.semanticK(n)
     val cap = math.max(5L, n / (k.toLong * 10L)).toInt
-    val cent = VectorAgg.kmeansCentroidsSampled(s, emb, n, k)
-    val scored = VectorAgg.kmeansAssign(emb, cent)
+    // the SAME (K = semanticK(n), 16K-sample) build as the whole
+    // s03-family — ride the coarseCentroids memo instead of
+    // re-running the clusterer per query (r13 optimization)
+    val cent = Similarity.coarseCentroids(s, dir)
+    val scored = Similarity.coarseAssign(s, dir)
       .join(broadcast(cent), "cid")
       .withColumn("d2", Vector.dot(col("cv"), col("cv"))
         - lit(2.0) * Vector.dot(col("embedding"), col("cv")))
@@ -110,8 +113,9 @@ object Curation {
     import graft.functions.Vector
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val n = graft.TableStats.rowCount(s, dir, "embeddings")(emb.count())
-    val cent = VectorAgg.kmeansCentroidsSampled(s, emb, n, Dedup.semanticK(n))
-    val asg = VectorAgg.kmeansAssign(emb, cent)
+    // shared memoized build — see clusterSample
+    val cent = Similarity.coarseCentroids(s, dir)
+    val asg = Similarity.coarseAssign(s, dir)
       .join(broadcast(cent), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         floor((Vector.dot(col("embedding"), col("embedding"))

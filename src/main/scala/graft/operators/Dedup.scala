@@ -1758,14 +1758,21 @@ object Dedup {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val n = TableStats.rowCount(s, dir, "embeddings")(emb.count())
     val k = kOpt.getOrElse(semanticK(n))
-    val cent = graft.operators.VectorAgg.kmeansCentroidsSampled(s, emb, n, k)
-    val cells = graft.operators.VectorAgg.kmeansAssign(emb, cent)
+    // default-K calls share the s03-family's memoized coarse build
+    // (identical (sample, K) inputs); an explicit kOpt still builds
+    // its own table
+    // default-K calls ride the memoized coarse build AND the memoized
+    // full-corpus assignment shared with c02/c04; an explicit kOpt
+    // still builds its own (the memo's cache covers the three
+    // references one plan makes — nrm is recomputed per reference,
+    // trivially, over cached rows)
+    val cells = (if (kOpt.isEmpty)
+        graft.operators.Similarity.coarseAssign(s, dir)
+      else graft.operators.VectorAgg.kmeansAssign(emb,
+        graft.operators.VectorAgg.kmeansCentroidsSampled(s, emb, n, k))
+        .cache())
       .withColumn("nrm", Vector.norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      // referenced three times in one plan (both pair sides + the
-      // final rejoin) — without the cache the scan+assignment subtree
-      // executes three times
-      .cache()
     val a = cells.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("cid"))
     val b = cells.select(col("vec_id").as("vb"), col("embedding").as("eb"),

@@ -455,9 +455,14 @@ object Similarity {
     val ev = Tables.embeddings(s, dir)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         Vector.norm(col("embedding")).as("cn"))
-    // ≤10·|Q| rows; feeds the sims self-join and all three rounds
-    val pool = pool0.join(ev, Seq("cid")).cache()
-    val sims = pool.as("x").join(pool.as("y"),
+    // ≤10·|Q| rows; feeds the sims self-join and all three rounds.
+    // Every post-pool frame here is bounded by |Q|·10 rows AT ANY
+    // CORPUS SIZE, so the bounded side carries an explicit broadcast
+    // hint — the static planner otherwise sort-merge-joined them
+    // (statless derived frames), shuffling the corpus-sized ev by cid
+    // for a ≤90-row probe.
+    val pool = broadcast(pool0).join(ev, Seq("cid")).cache()
+    val sims = pool.as("x").join(broadcast(pool).as("y"),
         col("x.query_id") === col("y.query_id")
           && col("x.cid") =!= col("y.cid"))
       .select(col("x.query_id").as("sq"), col("x.cid").as("sc"),
@@ -472,20 +477,22 @@ object Similarity {
         .select(col("query_id"), col("t.c").as(idOut),
           (-col("t.ns")).cast("long").as(mmrOut))
     val s1 = pick(pool, col("rel_bp") * 7, "s1", "mmr1").cache()
-    val m2 = pool.join(s1, Seq("query_id")).filter(col("cid") =!= col("s1"))
-      .join(sims, col("sq") === col("query_id") && col("sc") === col("cid")
-        && col("ss") === col("s1"))
+    val m2 = pool.join(broadcast(s1), Seq("query_id"))
+      .filter(col("cid") =!= col("s1"))
+      .join(broadcast(sims), col("sq") === col("query_id")
+        && col("sc") === col("cid") && col("ss") === col("s1"))
       .select(col("query_id"), col("cid"),
         (col("rel_bp") * 7 - col("sim_bp") * 3).as("mmr"))
     val s2 = pick(m2, col("mmr"), "s2", "mmr2")
-    val sel = s1.join(s2, Seq("query_id")).cache() // feeds pen + m3
-    val pen = sims.join(sel, col("sq") === col("query_id")
+    val sel = s1.join(broadcast(s2), Seq("query_id")).cache() // feeds pen + m3
+    val pen = sims.join(broadcast(sel), col("sq") === col("query_id")
         && (col("ss") === col("s1") || col("ss") === col("s2")))
       .groupBy(col("sq"), col("sc"))
       .agg(max(col("sim_bp")).as("pen"))
-    val m3 = pool.join(sel, Seq("query_id"))
+    val m3 = pool.join(broadcast(sel), Seq("query_id"))
       .filter(col("cid") =!= col("s1") && col("cid") =!= col("s2"))
-      .join(pen, col("sq") === col("query_id") && col("sc") === col("cid"))
+      .join(broadcast(pen), col("sq") === col("query_id")
+        && col("sc") === col("cid"))
       .select(col("query_id"), col("cid"),
         (col("rel_bp") * 7 - col("pen") * 3).as("mmr"))
     val s3 = pick(m3, col("mmr"), "s3", "mmr3")
@@ -933,6 +940,25 @@ object Similarity {
       val n = nVecs(s, dir)
       graft.operators.VectorAgg.kmeansCentroidsSampled(s, emb, n,
         coarseK(n))
+    })
+
+  private[graft] val coarseAssignMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](
+      df => { df.unpersist(); () })
+
+  /** Memoized full-corpus nearest-centroid (L2 argmin) assignment
+    * against [[coarseCentroids]] — the shared input of the
+    * d12/c02/c04 cell family (each previously re-ran the broadcast
+    * argmin scan per query). Same lifecycle as cellsMemo.
+    */
+  def coarseAssign(s: SparkSession, dir: String): DataFrame =
+    coarseAssignMemo.getOrElseUpdate((s, dir), {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val df = graft.operators.VectorAgg
+        .kmeansAssign(emb, coarseCentroids(s, dir)).cache()
+      df.count() // materialize: the first family query pays the scan once
+      df
     })
 
   /** Centroid-cell ranking per vector: the TOP-2 (vec_id, cid) pairs
