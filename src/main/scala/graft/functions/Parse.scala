@@ -83,9 +83,28 @@ object Parse {
     * reference takes the LAST three numbers on the line; we anchor the
     * same way with a greedy prefix.
     */
+  private val invoiceLinePat =
+    "^(\\d+)\\.\\s*(.*?)\\s*\\-?\\s*(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s*\\.?$"
+
+  /** TRUE exactly where [[invoiceLine]] yields a parsed struct (its
+    * description field is non-null on matched rows even when the
+    * group is empty — the "D" sentinel): the bare match test, exposed
+    * so row filters (InvoicePipeline.lineItems) need not reference
+    * the struct — under a count-pruned plan the filter then costs ONE
+    * regexp_extract, and the packed replace + from_csv prune away
+    * entirely (the r13 p19 count-path regression). The \u0001 guard
+    * drops the one input class the packing cannot represent: a line
+    * already containing the separator would silently shift fields,
+    * so it parses as no-match instead (the r13 advice item).
+    */
+  def invoiceLineMatches(c: Column): Column = {
+    val t = trim(c)
+    regexp_extract(t, invoiceLinePat, 0) =!= "" && !t.contains("")
+  }
+
   def invoiceLine(c: Column): Column = {
     val t = trim(c)
-    val pat = "^(\\d+)\\.\\s*(.*?)\\s*\\-?\\s*(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s+(\\d+(?:\\.\\d+)?)\\s*\\.?$"
+    val pat = invoiceLinePat
     // TWO regex passes per row (match test + ONE replace packing all
     // groups behind \u0001 separators, decoded by from_csv into the
     // whole struct in one evaluation) instead of five — per-group
@@ -95,9 +114,10 @@ object Parse {
     // string per field for the same reason; from_csv produces all
     // fields from one subtree — measured 4.6 s → 3.2 s over 600k
     // lines vs the extract form). The pattern is ^…$-anchored, so
-    // replace rewrites exactly the one match; \u0001 cannot occur in
-    // a parsed field (printable document text).
-    val matched = regexp_extract(t, pat, 0) =!= ""
+    // replace rewrites exactly the one match; a line already
+    // CONTAINING \u0001 would shift fields, so matched guards it
+    // to no-match (invoiceLineMatches is the same predicate).
+    val matched = regexp_extract(t, pat, 0) =!= "" && !t.contains("")
     // the "D" sentinel keeps an EMPTY description group distinguishable
     // from a CSV null (unquoted empty fields always read as null);
     // substr(2) strips it after the decode. On no-match rows `parsed`

@@ -1145,11 +1145,30 @@ object Dedup {
     * Confs are restored in `finally`; eager-only scope means frames
     * RETURNED to callers execute under the caller's own conf.
     */
+  /** The micro-loop row threshold (`spark.graft.microloop.maxRows`,
+    * default 1,048,576) — shared by [[withMicroLoopConf]] and the
+    * conditional broadcast hints the loops apply below it.
+    */
+  private[graft] def microLoopMaxRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.microloop.maxRows")
+      .map(_.toLong).getOrElse(1L << 20)
+
+  /** Broadcast `df` only when the MEASURED loop input is under the
+    * micro-loop threshold: a localCheckpoint'd frame has no usable
+    * size estimate, so the planner sort-merges every tiny loop join
+    * (measured ~4 exchanges/round, ~30 ms of stage scheduling each);
+    * below the threshold the frames are row-bounded by construction
+    * and a broadcast join erases all but the aggregation exchange.
+    * Above it nothing changes — size-keyed, never core-keyed.
+    */
+  private[graft] def bcIfMicro(s: SparkSession, rows: Long)(
+      df: DataFrame): DataFrame =
+    if (rows >= 0 && rows <= microLoopMaxRows(s)) broadcast(df) else df
+
   private[graft] def withMicroLoopConf[T](s: SparkSession, rows: Long)(
       body: => T): T = {
     val conf = s.conf
-    val maxRows = conf.getOption("spark.graft.microloop.maxRows")
-      .map(_.toLong).getOrElse(1L << 20)
+    val maxRows = microLoopMaxRows(s)
     if (rows < 0 || rows > maxRows) body
     else {
       val prevParts = conf.getOption("spark.sql.shuffle.partitions")
@@ -1389,63 +1408,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** MERGE new near-dup edges into an existing labeling — the
-    * incremental-CC primitive behind d18 and ClusterStream: edge
-    * endpoints and new docs take their CURRENT cluster (own id if
-    * unseen), edges CONTRACT to the cluster graph (old cluster ids +
-    * new doc ids — touched-component-sized, never the corpus), the
-    * [[minLabelFixpoint]] yields a rename map old→min, and the map
-    * applies to the seed labeling plus the new docs. Min-label merge
-    * is associative/idempotent/commutative, so folding edges in any
-    * batching (or re-folding them) reaches the same fixpoint as one
-    * global CC — the property the d18 oracle proves by replaying the
-    * full recursive closure. Returns the complete (doc_id,
-    * cluster_id) labeling over seed docs ∪ newDocs.
+  /** Min-label convergence over INDEPENDENT tagged graphs in ONE
+    * fixpoint loop (the r13-verdict d18 fusion): `und` holds several
+    * disjoint undirected graphs as (g, x, y) rows — SYMMETRIC, the
+    * caller emits both directions — and the loop is exactly the
+    * [[minLabelFixpoint]] recurrence with (g, node) as the composite
+    * node key. Returns (g, node, lbl) at every graph's fixpoint
+    * (lbl = component minimum within graph g); only edge-incident
+    * nodes appear (the d07 `paired` rule — an untouched node keeps
+    * its own id, the caller coalesces).
+    *
+    * d18 runs its lake-only closure (g=0) and full closure (g=1)
+    * through one loop: two sequential contraction+fixpoint passes
+    * each paid their own checkpoint round-trips and per-round
+    * scheduler jobs; the fused loop pays max(rounds) over the union
+    * of both edge sets instead of the sum, and the contraction stage
+    * disappears outright (min-label CC over raw doc ids equals the
+    * contracted fixpoint's rename application — both are the
+    * component minimum).
     */
-  private[graft] def mergeClusterLabels(seed: DataFrame, edges0: DataFrame,
-      newDocs: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
-    // contraction + fixpoint are bounded by the (checkpointed,
-    // measured) edge count — run them under the micro-loop conf
-    // (counted off the checkpointed RDD: one job, no SQL planning)
-    val edgeRows = edges.queryExecution.toRdd.count()
-    val merged = withMicroLoopConf(seed.sparkSession, edgeRows) {
-    // only EDGE-INCIDENT nodes enter the fixpoint (the d07 `paired`
-    // optimization): a doc no new edge touches cannot change label —
-    // singleton new docs go straight to inserts with their own id
-    val nodes0 = edges.select(col("doc_a").as("doc_id"))
-      .union(edges.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val curLbl = nodes0.join(seed, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("c"))
-      .localCheckpoint()
-    val cEdges = edges
-      .join(curLbl.select(col("doc_id").as("doc_a"), col("c").as("x")), "doc_a")
-      .join(curLbl.select(col("doc_id").as("doc_b"), col("c").as("y")), "doc_b")
-      .select(col("x"), col("y")).filter(col("x") =!= col("y")).distinct()
-    (minLabelFixpoint(
-      curLbl.select(col("c").as("node")).distinct(), cEdges,
-      rowsHint = edgeRows), curLbl)
+  private[graft] def taggedMinLabelFixpoint(und0: DataFrame,
+      rowsHint: Long = -1L): DataFrame = {
+    // callers that already checkpointed + measured the symmetric edge
+    // frame pass the count through (the minLabelFixpoint rowsHint
+    // convention) — a second localCheckpoint would copy the RDD again
+    val und = if (rowsHint >= 0L) und0 else und0.localCheckpoint()
+    val rows = if (rowsHint >= 0L) rowsHint
+      else und.queryExecution.toRdd.count()
+    val s = und.sparkSession
+    // (broadcast hints inside the loop measured NEUTRAL-to-worse: at
+    // 1 shuffle partition the exchanges are one-task cheap, and each
+    // BroadcastExchange added its own build job — left as shuffles)
+    withMicroLoopConf(s, rows) {
+    // seed labels derive inline from the checkpointed edge frame
+    // (und is symmetric, so x alone covers every endpoint per graph);
+    // `g` is renamed per frame (lg/mg/pg) because every frame in the
+    // loop descends from `und` — a shared name would resolve to the
+    // same attribute on both sides of the self-joins
+    var lbl = und.select(col("g").as("lg"), col("x").as("node")).distinct()
+      .select(col("lg"), col("node"), col("node").as("lbl"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val msgs = und.join(lbl,
+          col("g") === col("lg") && col("x") === col("node"))
+        .groupBy(col("g"), col("y")).agg(min(col("lbl")).as("cand"))
+        .select(col("g").as("mg"), col("y"), col("cand"))
+      val prop = lbl.join(msgs,
+          col("lg") === col("mg") && col("node") === col("y"), "left")
+        .select(col("lg"), col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+      val parents = prop.select(col("lg").as("pg"),
+        col("node").as("pid"), col("lbl").as("plbl"))
+      // ONE action per round: the convergence signal rides the eager
+      // checkpoint as an observed metric (labels only decrease — the
+      // d07 Observation discipline), not a second count job
+      val obs = org.apache.spark.sql.Observation(s"graft-tmlfp-$iter-" +
+        System.identityHashCode(und))
+      val upd = prop.join(parents,
+          col("lg") === col("pg") && col("lbl") === col("pid"), "left")
+        .select(col("lg"), col("node"), col("old"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .observe(obs,
+          coalesce(sum(when(col("lbl") < col("old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .drop("old")
+        .localCheckpoint()
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      lbl = upd
+      iter += 1
     }
-    val (fixpoint, curLbl) = merged
-    // renames keyed on cluster_id: no broadcast hint — the seed call
-    // (empty seed, all edges) makes it paired-doc-sized; AQE
-    // broadcasts the fold-sized case on its own
-    val renames = fixpoint.filter(col("lbl") < col("node"))
-      .select(col("node").as("oldc"), col("lbl").as("newc"))
-    val seedOut = seed
-      .join(renames, col("cluster_id") === col("oldc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("newc"), col("cluster_id")).as("cluster_id"))
-    val inserts = newDocs.select(col("doc_id"))
-      .join(seed.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .join(curLbl, Seq("doc_id"), "left")
-      .join(fixpoint.select(col("node").as("cc"), col("lbl")),
-        col("c") === col("cc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("c"), col("doc_id")).as("cluster_id"))
-    seedOut.union(inserts)
+    lbl.select(col("lg").as("g"), col("node"), col("lbl"))
+    }
   }
 
   /** d18's delta-incident verified edges (observability/telemetry
@@ -1459,52 +1493,82 @@ object Dedup {
 
   /** d18 — INCREMENTAL dup-clusters: the d10/d11 delta convention
     * (doc_id % 10 == 0 arrives, the rest is the lake) applied to
-    * d07's transitive closure. The lake labeling is built once
-    * (lake-only edges merged into an empty seed — the same
-    * [[mergeClusterLabels]] primitive), then the delta FOLDS in:
-    * delta-incident verified edges ([[verifiedIncidentEdges]] — one
-    * band probe covers delta-vs-lake and delta-vs-delta), cluster
-    * contraction, min-label fixpoint, rename + insert. The output
-    * labels every doc and declares `is_delta` and `relabeled`
-    * (label differs from the lake-only seed; for a delta doc, from
-    * its own id — i.e. it joined a cluster).
+    * d07's transitive closure. The output needs TWO labelings — the
+    * full closure over lake ∪ delta-incident edges (`cluster_id`) and
+    * the lake-only closure (the seed `relabeled` compares against) —
+    * so both run as tagged graphs through ONE
+    * [[taggedMinLabelFixpoint]] loop (r13 verdict item 1: the former
+    * two sequential mergeClusterLabels passes each paid their own
+    * checkpoint + contraction + fixpoint round-trips, ~50 scheduler
+    * jobs; the fused loop pays one). Min-label CC is
+    * associative/idempotent/commutative, so the from-scratch closure
+    * here equals any fold order a production ingest applies — the
+    * ORACLE replays exactly these two recursive closures and the gate
+    * PROVES the equality at every SF (c08 keys leakage-safe splits on
+    * these ids). The output labels every doc and declares `is_delta`
+    * and `relabeled` (label differs from the lake-only seed; for a
+    * delta doc, from its own id — i.e. it joined a cluster).
     *
-    * The ORACLE deliberately replays TWO full recursive closures
-    * (all docs, lake-only docs) and derives the same columns — so
-    * the gate PROVES the incremental merge equals the from-scratch
-    * transitive closure at every SF, exactly the guarantee a
-    * production ingest needs before trusting fold-time cluster ids
-    * (c08 keys leakage-safe splits on them). Scale shape: everything
-    * is bounded by delta-incident work — the probe is d11's
-    * key-equality band join, the fixpoint runs on the contracted
-    * cluster graph, and the apply is one keyed join over the seed —
-    * never a corpus-wide CC re-run (ScaleSpec-class claim; the
-    * streaming twin ClusterStream is the same primitive against a
-    * persisted store with bucket-pruned rewrites).
+    * Scale shape: the probe is d11's key-equality band join
+    * ([[verifiedIncidentEdges]] — one band probe covers delta-vs-lake
+    * and delta-vs-delta), the fixpoint runs only on EDGE-INCIDENT
+    * docs (never the corpus), and the apply is two keyed joins of the
+    * tiny labeled set against the doc list. The TRUE fold-against-a-
+    * persisted-store increment — contraction to the stored cluster
+    * graph + [[minLabelFixpoint]] + bucket-pruned rewrite — is the
+    * streaming twin ClusterStream; this batch query recomputes both
+    * closures from parquet per invocation, as the driver contract
+    * requires.
     */
   def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val lakeDocs = docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
-    val deltaDocs = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
-    // one cached signature frame serves the lake edges AND the probe
+    // ONE band join + verification over the whole signature frame:
+    // its verified pairs PARTITION into lake-lake (both %10≠0 — band
+    // keys are per-doc, so this equals pairMatchCountsOf over the
+    // lake slice alone) and delta-incident (the rest — equals the
+    // deltaSig-vs-allSig probe of verifiedIncidentEdges). The r13
+    // variant that kept two merge passes over a shared pair frame
+    // measured slower; with the fused fixpoint the single pass feeds
+    // the one edge checkpoint directly and the second band join +
+    // verify join disappear from the plan.
     val allSig = minhashSignatures(s, dir).cache()
-    val lakeSig = allSig.filter(col("doc_id") % 10 =!= 0)
-    val deltaSig = allSig.filter(col("doc_id") % 10 === 0)
-    val emptySeed = lakeDocs
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
-    val lakeEdges = pairMatchCountsOf(lakeSig)
+    val allEdges = pairMatchCountsOf(allSig)
       .filter(col("matches") >= 8).select(col("doc_a"), col("doc_b"))
-    val seed = mergeClusterLabels(emptySeed, lakeEdges, lakeDocs)
-      .localCheckpoint() // referenced three times below
-    val merged = mergeClusterLabels(seed,
-      verifiedIncidentEdges(deltaSig, allSig), deltaDocs)
-    merged
-      .join(seed.select(col("doc_id"), col("cluster_id").as("seed_cl")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
+    // tag + symmetrize via ONE generator (a union of two selects over
+    // the same frame would execute its subtree twice in the
+    // checkpoint action): lake-lake edges enter BOTH graphs (g=0
+    // lake-only seed closure, g=1 full closure), delta-incident
+    // edges only g=1.
+    def sym(g: Int) = Seq(
+      struct(lit(g).as("g"), col("doc_a").as("x"), col("doc_b").as("y")),
+      struct(lit(g).as("g"), col("doc_b").as("x"), col("doc_a").as("y")))
+    val isLake = col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0
+    val und = allEdges
+      .select(isLake.as("lk"), explode(array(sym(0) ++ sym(1): _*)).as("e"))
+      .filter(col("e.g") === 1 || col("lk"))
+      .select(col("e.g").as("g"), col("e.x").as("x"), col("e.y").as("y"))
+      .localCheckpoint()
+    // measured once, shared by the fixpoint conf and the conditional
+    // broadcasts below (one job off the checkpointed RDD)
+    val edgeRows = und.queryExecution.toRdd.count()
+    val fp = taggedMinLabelFixpoint(und, rowsHint = edgeRows)
+    val allLbl = fp.filter(col("g") === 1)
+      .select(col("node").as("doc_id"), col("lbl").as("all_lbl"))
+    val lakeLbl = fp.filter(col("g") === 0)
+      .select(col("node").as("doc_id"), col("lbl").as("seed_lbl"))
+    // edge-incident docs carry fixpoint labels; everyone else keeps
+    // their own id in both closures (the coalesce). The label sides
+    // are edge-incident-bounded: broadcast below the measured
+    // threshold (checkpointed frames estimate huge, so the planner
+    // would otherwise shuffle the corpus doc list by key)
+    docs.select(col("doc_id"))
+      .join(bcIfMicro(s, edgeRows)(allLbl), Seq("doc_id"), "left")
+      .join(bcIfMicro(s, edgeRows)(lakeLbl), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("all_lbl"), col("doc_id")).as("cluster_id"),
         (col("doc_id") % 10 === 0).as("is_delta"),
-        (col("cluster_id") =!= coalesce(col("seed_cl"), col("doc_id")))
-          .as("relabeled"))
+        (coalesce(col("all_lbl"), col("doc_id")) =!=
+          coalesce(col("seed_lbl"), col("doc_id"))).as("relabeled"))
       .orderBy(col("doc_id"))
   }
 

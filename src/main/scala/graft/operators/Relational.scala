@@ -500,10 +500,24 @@ object Relational {
     */
   def sketchOverlap(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
     graft.plans.GraftExtensions.install(s)
+    // the ONLY corpus-sized stage: distinct (type, hash) scan trimmed
+    // to ≤k rows per type — checkpoint it so the set-algebra tail
+    // never re-reads the corpus, and measure it for the micro-loop
     val kept = graft.plans.TopK.perKey(
-      overlapHashes(Tables.events(s, dir)), Seq(col("t")),
-      Seq(col("h").asc), k)
-    overlapFromKept(kept, k)
+        overlapHashes(Tables.events(s, dir)), Seq(col("t")),
+        Seq(col("h").asc), k)
+      .localCheckpoint()
+    val rows = kept.queryExecution.toRdd.count()
+    // the tail is |types|²·k-row sketch algebra (~6 shuffles): under
+    // the session conf each shuffle paid an AQE stage job (~45 ms) to
+    // plan 32-partition exchanges of a few KB — run it eagerly under
+    // the measured micro-loop conf (the d07/d18 discipline; above the
+    // threshold nothing changes) and hand the caller the materialized
+    // bounded result plus the contract sort
+    val body = graft.operators.Dedup.withMicroLoopConf(s, rows) {
+      overlapFromKeptFrame(kept, k).localCheckpoint()
+    }
+    body.orderBy(col("type_a"), col("type_b"))
   }
 
   /** r37's sketch element space: distinct salted 32-bit user hashes
@@ -521,9 +535,17 @@ object Relational {
     * kept sketch — the streaming read and the batch query share this
     * verbatim.
     */
-  private[graft] def overlapFromKept(kept0: DataFrame, k: Int): DataFrame = {
-    // referenced by the per-type estimates AND the pair-union side
-    val kept = kept0.cache()
+  private[graft] def overlapFromKept(kept0: DataFrame, k: Int): DataFrame =
+    overlapFromKeptFrame(kept0.cache(), k)
+      .orderBy(col("type_a"), col("type_b"))
+
+  /** [[overlapFromKept]]'s unsorted body over an ALREADY-materialized
+    * (cached or checkpointed) kept frame — the batch query runs it
+    * eagerly under the micro-loop conf; the streaming read keeps the
+    * lazy cached form.
+    */
+  private[graft] def overlapFromKeptFrame(kept: DataFrame,
+      k: Int): DataFrame = {
     val per = kept.groupBy(col("t"))
       .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
       .select(col("t"),
@@ -552,7 +574,6 @@ object Relational {
         col("est_a"), col("est_b"), col("est_union"), col("est_overlap"),
         expr("CAST(est_overlap * 10000 DIV greatest(est_union, 1) AS BIGINT)")
           .as("jaccard_bp"))
-      .orderBy(col("type_a"), col("type_b"))
   }
 
   /** r13 — the exact counterpart of approxStats: true distinct counts

@@ -71,6 +71,9 @@ object Similarity {
   /** s01 — brute-force cosine top-5 per query: the correctness
     * baseline. Queries are a tiny broadcast side; the corpus streams
     * once — no corpus shuffle, rank window partitioned by query_id.
+    * (Deliberately NOT memoized: s01 is the measured brute-force
+    * reference, and the bench's TopKPerKey trim telemetry reads its
+    * plan's own partial stats.)
     */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
@@ -78,6 +81,32 @@ object Similarity {
       .withColumn("cos", pairCosine)
     rankTopK(s, scored, 5)
   }
+
+  private[graft] val truthMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](
+      df => { df.unpersist(); () })
+
+  /** Memoized brute-force recall ground truth: the top-3 exact-cosine
+    * (query_id, neighbor_id) set per query — the table a production
+    * recall audit PERSISTS next to the index and every audit reads.
+    * s09 and s20 previously each rebuilt the corpus × query brute
+    * scan per invocation (the dominant cost of both); one cached
+    * frame per (session, dir) now serves both, with the
+    * cellsMemo/gateMemo lifecycle (evicted on session stop /
+    * replaceDir — every bench or verify invocation recomputes from
+    * parquet).
+    */
+  private[graft] def recallTruth(s: SparkSession, dir: String): DataFrame =
+    truthMemo.getOrElseUpdate((s, dir), {
+      val (q, e) = queriesAndCorpus(s, dir)
+      val df = rankTopKFrame(s,
+          e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .withColumn("cos", pairCosine), 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      df.count() // materialize: the first audit pays the scan once
+      df
+    })
 
   /** s02 — LSH-bucketed ANN (scale path): corpus bucketed by the sign
     * pattern of [[lshBits]] coordinates; each query only scans its own
@@ -111,7 +140,14 @@ object Similarity {
     TableStats.rowCount(s, dir, "embeddings")(
       Tables.embeddings(s, dir).count())
 
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshFrame(s, dir).orderBy(col("query_id"), col("rn"))
+
+  /** s02's unsorted body (the factored-body rule) — s09/s14 consume
+    * it under their own aggregates/ranks so the inherited contract
+    * sort never costs a range exchange.
+    */
+  private[graft] def annLshFrame(s: SparkSession, dir: String): DataFrame = {
     val dims = lshDims(nVecs(s, dir))
     val (q0, e) = queriesAndCorpus(s, dir)
     val corpus = e.withColumn("bucket",
@@ -120,7 +156,7 @@ object Similarity {
     val scored = corpus.join(broadcast(q),
         corpus("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", pairCosine)
-    rankTopK(s, scored, 3)
+    rankTopKFrame(s, scored, 3)
   }
 
   /** The s02 bucket layout as a STORED artifact: `(vec_id, embedding,
@@ -224,27 +260,29 @@ object Similarity {
     * cross-engine.
     */
   def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
-    val (q, e) = queriesAndCorpus(s, dir)
-    val truth = rankTopK(s,
-        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", pairCosine), 3)
-      .select(col("query_id"), col("neighbor_id"))
-      .cache()
+    // the memoized ground-truth table (shared with s20) — ONE
+    // brute-force scan per session, not one per audit invocation
+    val truth = recallTruth(s, dir)
     val families = Seq(
-      "s02_ann_lsh" -> annLsh(s, dir),
-      "s03_ann_ivf" -> annIvf(s, dir),
-      "s06_ann_ivfpq" -> annIvfPq(s, dir),
-      "s08_ann_sq8" -> annSq8(s, dir),
-      "s24_ann_ivfsq8" -> annIvfSq8(s, dir))
-    families.map { case (fam, adf) =>
-      val approx = adf.select(col("query_id"), col("neighbor_id"),
-        lit(1).as("hit"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).cast("int").as("n_true"),
-          count(col("hit")).cast("int").as("n_hits"))
-        .withColumn("family", lit(fam))
+      "s02_ann_lsh" -> annLshFrame(s, dir),
+      "s03_ann_ivf" -> annIvfFrame(s, dir),
+      "s06_ann_ivfpq" -> annIvfPqFrame(s, dir),
+      "s08_ann_sq8" -> annSq8Frame(s, dir),
+      "s24_ann_ivfsq8" -> annIvfSq8Frame(s, dir))
+    // ONE unioned (family, query, neighbor) pass against the truth —
+    // the r13 shape ran a separate join + aggregate per family (5
+    // joins, 5 aggregates, and each family frame inherited its
+    // contract sort: a range exchange per family under the aggregate)
+    val approx = families.map { case (fam, adf) =>
+      adf.select(lit(fam).as("family"), col("query_id"),
+        col("neighbor_id"), lit(1).as("hit"))
     }.reduce(_ unionByName _)
+    val truthAll = truth.select(col("query_id"), col("neighbor_id"),
+      explode(array(families.map(f => lit(f._1)): _*)).as("family"))
+    truthAll.join(approx, Seq("family", "query_id", "neighbor_id"), "left")
+      .groupBy(col("family"), col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_true"),
+        count(col("hit")).cast("int").as("n_hits"))
       .withColumn("recall_bp",
         expr("CAST((n_hits * 10000) DIV n_true AS BIGINT)"))
       .select(col("family"), col("query_id"), col("n_true"),
@@ -273,11 +311,9 @@ object Similarity {
     */
   def nprobeSweep(s: SparkSession, dir: String, maxNp: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val (q, e) = queriesAndCorpus(s, dir)
-    val truth = rankTopKFrame(s,
-        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", pairCosine), 3)
-      .select(col("query_id"), col("neighbor_id")).cache()
+    val (q, _) = queriesAndCorpus(s, dir)
+    // the memoized ground-truth table (shared with s09)
+    val truth = recallTruth(s, dir)
     val cent = coarseCentroids(s, dir)
       .select(col("cid"), col("cv"), Vector.norm(col("cv")).as("cnrm"))
     val wq = Window.partitionBy(col("query_id"))
@@ -631,9 +667,11 @@ object Similarity {
     */
   def rrfFusion(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.install(s)
-    val a = annLsh(s, dir)
+    // unsorted family bodies: the fusion re-ranks under its own TopK,
+    // so inheriting the contract sorts would only buy range exchanges
+    val a = annLshFrame(s, dir)
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank_a"))
-    val b = annIvf(s, dir)
+    val b = annIvfFrame(s, dir)
       .select(col("query_id"), col("neighbor_id"), col("rn").as("rank_b"))
     val fused = a.join(b, Seq("query_id", "neighbor_id"), "full")
       .select(col("query_id"), col("neighbor_id"), expr(
@@ -846,7 +884,11 @@ object Similarity {
   /** The s06 ADC rank tail — shared by [[annIvfPq]] and the persisted
     * probe so the two orderings cannot drift.
     */
-  private def rankAdc(s: SparkSession, scored: DataFrame): DataFrame = {
+  private def rankAdc(s: SparkSession, scored: DataFrame): DataFrame =
+    rankAdcFrame(s, scored).orderBy(col("query_id"), col("rn"))
+
+  /** rankAdc's unsorted body (the factored-body rule — s09). */
+  private def rankAdcFrame(s: SparkSession, scored: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
@@ -855,7 +897,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
         floor(col("adc") * 1000).cast("long").as("adc_milli"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** s06 — IVF-PQ: the production ANN composition. The IVF stage
@@ -868,6 +909,10 @@ object Similarity {
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame =
     rankAdc(s, ivfPqScored(s, dir))
+
+  /** s06's unsorted body (the factored-body rule — s09). */
+  private[graft] def annIvfPqFrame(s: SparkSession, dir: String): DataFrame =
+    rankAdcFrame(s, ivfPqScored(s, dir))
 
   /** s07 — ANN with exact re-ranking: the production retrieval
     * composition every vector store ships as its accuracy lever. The
@@ -1096,13 +1141,26 @@ object Similarity {
 
   def annSq8(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
+    val (corpus, e) = sq8Corpus(s, dir)
+    sq8Rank(s, corpus, e)
+  }
+
+  /** s08's unsorted body (the factored-body rule — s09). */
+  private[graft] def annSq8Frame(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    val (corpus, e) = sq8Corpus(s, dir)
+    sq8RankFrame(s, corpus, e)
+  }
+
+  private def sq8Corpus(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val params = sq8Params(e)
     val corpus = e.crossJoin(broadcast(params))
       .select(col("vec_id"),
         zip_with(zip_with(col("embedding"), col("ps"), sq8Code), col("ps"),
           sq8Dequant).as("dv"))
-    sq8Rank(s, corpus, e)
+    (corpus, e)
   }
 
   /** The s08 ADC scan + rank over an explicit dequantized corpus
@@ -1116,12 +1174,25 @@ object Similarity {
     sq8AdcRank(s, corpus.join(broadcast(q), col("vec_id") =!= col("query_id")))
   }
 
+  /** sq8Rank's unsorted body (the factored-body rule — s09). */
+  private def sq8RankFrame(s: SparkSession, corpus: DataFrame,
+      e: DataFrame): DataFrame = {
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    sq8AdcRankFrame(s,
+      corpus.join(broadcast(q), col("vec_id") =!= col("query_id")))
+  }
+
   /** The SQ8 ADC scoring + top-3 rank tail over explicit (query_id,
     * qv, vec_id, dv) pairs — shared by s08 (full scan), s24 (cell-
     * pruned scan) and both persisted probes so the four orderings
     * cannot drift.
     */
-  private[graft] def sq8AdcRank(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[graft] def sq8AdcRank(s: SparkSession, pairs: DataFrame): DataFrame =
+    sq8AdcRankFrame(s, pairs).orderBy(col("query_id"), col("rn"))
+
+  /** sq8AdcRank's unsorted body (the factored-body rule — s09). */
+  private def sq8AdcRankFrame(s: SparkSession, pairs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val scored = pairs
       .withColumn("adc",
@@ -1134,7 +1205,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
         floor(col("adc") * 1000).cast("long").as("adc_milli"))
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** (vec_id, cell, codes): the SQ8 byte codes tagged with the IVF
@@ -1162,7 +1232,14 @@ object Similarity {
     * so s24's result is s08's ADC ranking computed over the probed
     * cells only.
     */
-  def annIvfSq8(s: SparkSession, dir: String): DataFrame = {
+  def annIvfSq8(s: SparkSession, dir: String): DataFrame =
+    sq8AdcRank(s, ivfSq8Pairs(s, dir))
+
+  /** s24's unsorted body (the factored-body rule — s09). */
+  private[graft] def annIvfSq8Frame(s: SparkSession, dir: String): DataFrame =
+    sq8AdcRankFrame(s, ivfSq8Pairs(s, dir))
+
+  private def ivfSq8Pairs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val params = sq8Params(e)
@@ -1174,8 +1251,8 @@ object Similarity {
     val q = asg.filter(isQuery && col("rr") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cid").as("cell"))
-    sq8AdcRank(s, corpus.join(broadcast(q),
-      corpus("cell") === q("cell") && col("vec_id") =!= col("query_id")))
+    corpus.join(broadcast(q),
+      corpus("cell") === q("cell") && col("vec_id") =!= col("query_id"))
   }
 
   /** s24 recomputed as a PROBE of the persisted layout: queries rank
@@ -1604,7 +1681,11 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfFrame(s, dir).orderBy(col("query_id"), col("rn"))
+
+  /** s03's unsorted body (the factored-body rule — s09/s14). */
+  private[graft] def annIvfFrame(s: SparkSession, dir: String): DataFrame = {
     val asg = cellAssignments(s, dir)
     val cells = asg.filter(col("rr") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
@@ -1618,7 +1699,7 @@ object Similarity {
         cells("cid") === q("cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         Vector.dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
-    rankTopK(s, scored, 3)
+    rankTopKFrame(s, scored, 3)
   }
 
   /** s03's probed (query, candidate) pairs — observability surface

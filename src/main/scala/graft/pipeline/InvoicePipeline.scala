@@ -87,12 +87,17 @@ object InvoicePipeline {
       .withColumn("in_table",
         sum(when(col("line").contains("ID DESCRIPTION QTY PRICE TOTAL"), 1)
           .when(col("line").contains("Sub Total"), -1).otherwise(0)).over(w))
+      // row filter = the bare MATCH TEST (true exactly where the
+      // parsed description is non-null — the old struct-field filter
+      // forced the packed replace + from_csv to evaluate even under a
+      // count-pruned plan, the r13 p19 regression); non-item rows die
+      // here before any field decoding runs on them
       .filter(col("in_table") === 1 &&
-        !col("line").contains("ID DESCRIPTION QTY PRICE TOTAL"))
+        !col("line").contains("ID DESCRIPTION QTY PRICE TOTAL") &&
+        Parse.invoiceLineMatches(col("line")))
       .select(col("path"), col("line_no"), Parse.invoiceLine(col("line")).as("p"))
       .select(col("path"), col("line_no"),
         col("p.description"), col("p.qty"), col("p.price"), col("p.total"))
-      .filter(col("p.description").isNotNull)
   }
 
   /** Full pipeline: root dir → invoices-schema DataFrame (one row per
