@@ -1146,7 +1146,7 @@ object Dedup {
     * RETURNED to callers execute under the caller's own conf.
     */
   /** The micro-loop row threshold (`spark.graft.microloop.maxRows`,
-    * default 1,048,576) — shared by [[withMicroLoopConf]] and the
+    * default 1,048,576) — shared by [[microLoopSession]] and the
     * conditional broadcast hints the loops apply below it.
     */
   private[graft] def microLoopMaxRows(s: SparkSession): Long =
@@ -1165,36 +1165,65 @@ object Dedup {
       df: DataFrame): DataFrame =
     if (rows >= 0 && rows <= microLoopMaxRows(s)) broadcast(df) else df
 
-  private[graft] def withMicroLoopConf[T](s: SparkSession, rows: Long)(
-      body: => T): T = {
-    val conf = s.conf
-    val maxRows = microLoopMaxRows(s)
-    if (rows < 0 || rows > maxRows) body
+  /** A PRIVATE session clone carrying the micro-loop conf, or None
+    * above the threshold. The r13 form mutated the SHARED session's
+    * conf (restored in finally) — safe under the serial Verify/Bench
+    * harness but a latent trap for library callers running parallel
+    * queries (anything planned during the window saw 1-ish shuffle
+    * partitions with AQE off, and two interleaved micro-loops could
+    * restore stale values). The clone shares the SparkContext and
+    * cache but owns its SQL conf, so the caller's session is NEVER
+    * touched; loop inputs (checkpointed frames) are rebound onto it
+    * via [[rebindTo]] and results rebound back.
+    *
+    * Conf on the clone: shuffle.partitions = ⌈rows/65536⌉ (capped at
+    * the caller's setting), AQE off (per-shuffle stage jobs cost more
+    * than they plan at this size), wholestage codegen off (compiling
+    * fresh classes per round dominates executing them). Keyed on the
+    * MEASURED row count, never the core count.
+    */
+  private[graft] def microLoopSession(s: SparkSession,
+      rows: Long): Option[SparkSession] =
+    if (rows < 0 || rows > microLoopMaxRows(s)) None
     else {
-      val prevParts = conf.getOption("spark.sql.shuffle.partitions")
-      val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
-      val prevWsc = conf.getOption("spark.sql.codegen.wholeStage")
+      val s2 = org.apache.spark.sql.graftbridge.DatasetBridge.cloneSession(s)
       val p = math.min(rows / 65536L + 1L,
-        prevParts.flatMap(_.toLongOption).getOrElse(200L))
-      try {
-        conf.set("spark.sql.shuffle.partitions", p.toString)
-        conf.set("spark.sql.adaptive.enabled", "false")
-        // at micro-loop row counts the dominant per-round cost is
-        // compiling fresh wholestage classes, not executing them —
-        // interpreted mode is result-identical and skips the compile
-        conf.set("spark.sql.codegen.wholeStage", "false")
-        body
-      } finally {
-        def restore(key: String, prev: Option[String]): Unit = prev match {
-          case Some(v) => conf.set(key, v)
-          case None => conf.unset(key)
-        }
-        restore("spark.sql.shuffle.partitions", prevParts)
-        restore("spark.sql.adaptive.enabled", prevAqe)
-        restore("spark.sql.codegen.wholeStage", prevWsc)
-      }
+        s.conf.getOption("spark.sql.shuffle.partitions")
+          .flatMap(_.toLongOption).getOrElse(200L))
+      s2.conf.set("spark.sql.shuffle.partitions", p.toString)
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.codegen.wholeStage", "false")
+      // clones do NOT inherit experimental strategies (the r8b
+      // foreachBatch lesson) — loops that rank through TopKPerKey
+      // need the planner rule present
+      graft.plans.GraftExtensions.install(s2)
+      Some(s2)
     }
-  }
+
+  /** Rebind a frame onto another session of the SAME SparkContext by
+    * re-wrapping its analyzed plan — how micro-loop inputs (usually
+    * checkpointed LogicalRDDs) enter the private clone and results
+    * leave it. The plan is session-agnostic (path-based scans, no
+    * temp views); execution then plans under `to`'s conf.
+    */
+  private[graft] def rebindTo(to: SparkSession, df: DataFrame): DataFrame =
+    if (df.sparkSession eq to) df
+    else org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
+      to, df.queryExecution.analyzed)
+
+  /** Run `body` against micro-loop-conf'd rebinds of `frames` on a
+    * private clone (identity above the threshold): the common wrapper
+    * for eager loop work — checkpoints, counts, fixpoint rounds. The
+    * caller must rebind RESULT frames back via the returned session
+    * pair ([[rebindTo]](s, …)) before handing them out, so lazy tails
+    * execute under the caller's own conf.
+    */
+  private[graft] def withMicroLoopSession[T](s: SparkSession, rows: Long,
+      frames: Seq[DataFrame])(body: (SparkSession, Seq[DataFrame]) => T): T =
+    microLoopSession(s, rows) match {
+      case Some(s2) => body(s2, frames.map(rebindTo(s2, _)))
+      case None => body(s, frames)
+    }
 
   private def truncateLineage(s: SparkSession, df: DataFrame): DataFrame =
     s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
@@ -1254,19 +1283,21 @@ object Dedup {
     // iteration with cache()); checkpointing physically truncates the
     // lineage so each iteration plans only its own two tiny joins.
     // Reliable vs executor-memory flavor per truncateLineage above.
-    val edges = truncateLineage(s, sims
+    val edges0 = truncateLineage(s, sims
       .union(sims.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // the loop below runs on frames bounded by the edge-incident
     // subset — size the micro-loop partitioning off the measured
     // (checkpointed) edge count, not the session default (counted
-    // off the checkpointed RDD: one job, no fresh SQL planning)
-    val edgeRows = edges.queryExecution.toRdd.count()
-    withMicroLoopConf(s, edgeRows) {
+    // off the checkpointed RDD: one job, no fresh SQL planning).
+    // The loop executes on a PRIVATE session clone (ls) carrying the
+    // micro conf; the results rebind to the caller's session below.
+    val edgeRows = edges0.queryExecution.toRdd.count()
+    withMicroLoopSession(s, edgeRows, Seq(edges0)) { case (ls, Seq(edges)) =>
     // propagate only over documents that have at least one edge — the
     // overwhelming singleton majority never changes label and joins
     // back after convergence, so each iteration touches only the
     // (small) paired subset
-    val paired = truncateLineage(s,
+    val paired = truncateLineage(ls,
       edges.select(col("doc_a").as("doc_id")).distinct())
     // no checkpoint on the seed labels: round 1 derives them inline
     // from the checkpointed paired frame (the minLabelFixpoint rule)
@@ -1292,7 +1323,7 @@ object Dedup {
       // ever decrease, so strict < detects any change) instead of a
       // second count job over a join against the previous labels
       val obs = org.apache.spark.sql.Observation(s"graft-cc-$iter")
-      val upd = truncateLineage(s,
+      val upd = truncateLineage(ls,
         prop.join(parents, col("cluster_id") === col("pid"), "left")
           .select(col("doc_id"), col("old"),
             least(col("cluster_id"), coalesce(col("pcl"), col("cluster_id")))
@@ -1307,14 +1338,16 @@ object Dedup {
       // checkpoint files so a run leaves O(1) dirs (edges, paired,
       // final labels — all still referenced by the returned plan),
       // not O(iterations). No-op in localCheckpoint mode.
-      checkpointFileOf(labels).foreach(deleteCheckpointFile(s, _))
+      checkpointFileOf(labels).foreach(deleteCheckpointFile(ls, _))
       labels = upd
       iter += 1
     }
     if (!converged)
       System.err.println(s"[graft] WARNING: dupClusters hit the $iter-round " +
         "cap without converging — labels may not be the full transitive closure")
-    (labels, paired)
+    // checkpointed results rebind to the caller's session so the
+    // lazy tail below plans under the caller's own conf
+    (rebindTo(s, labels), rebindTo(s, paired))
     } match { case (labels, paired) =>
       val singletons = Tables.documents(s, dir).select(col("doc_id"))
         .join(paired, Seq("doc_id"), "left_anti")
@@ -1332,19 +1365,22 @@ object Dedup {
     * keeps rounds O(log diameter). Shared by the d18 batch merge and
     * streaming.ClusterStream's per-delivery fold.
     */
-  private[graft] def minLabelFixpoint(nodes: DataFrame,
+  private[graft] def minLabelFixpoint(nodes0: DataFrame,
       edges: DataFrame, rowsHint: Long = -1L): DataFrame = {
-    val und = edges.select(col("x"), col("y"))
+    val s0 = nodes0.sparkSession
+    val und0 = edges.select(col("x"), col("y"))
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
     // size the loop partitioning off the measured (checkpointed)
-    // contracted-edge count — see withMicroLoopConf. Callers that
+    // contracted-edge count — see microLoopSession. Callers that
     // already measured their edge frame pass the count through
     // (rowsHint); otherwise count the checkpointed RDD directly —
-    // one job, no fresh SQL planning.
+    // one job, no fresh SQL planning. The loop runs on a PRIVATE
+    // session clone; the result rebinds to the caller's session.
     val rows = if (rowsHint >= 0L) rowsHint
-      else und.queryExecution.toRdd.count()
-    withMicroLoopConf(nodes.sparkSession, rows) {
+      else und0.queryExecution.toRdd.count()
+    withMicroLoopSession(s0, rows, Seq(und0, nodes0)) {
+      case (ls, Seq(und, nodes)) =>
     // no checkpoint on the seed labels: round 1 derives them inline
     // from the (checkpointed) nodes frame; every later round's lbl is
     // the previous round's checkpointed upd, so lineage stays flat
@@ -1375,7 +1411,7 @@ object Dedup {
       lbl = upd
       iter += 1
     }
-    lbl
+    rebindTo(s0, lbl)
     }
   }
 
@@ -1427,19 +1463,19 @@ object Dedup {
     * contracted fixpoint's rename application — both are the
     * component minimum).
     */
-  private[graft] def taggedMinLabelFixpoint(und0: DataFrame,
+  private[graft] def taggedMinLabelFixpoint(undIn: DataFrame,
       rowsHint: Long = -1L): DataFrame = {
     // callers that already checkpointed + measured the symmetric edge
     // frame pass the count through (the minLabelFixpoint rowsHint
     // convention) — a second localCheckpoint would copy the RDD again
-    val und = if (rowsHint >= 0L) und0 else und0.localCheckpoint()
+    val und0 = if (rowsHint >= 0L) undIn else undIn.localCheckpoint()
     val rows = if (rowsHint >= 0L) rowsHint
-      else und.queryExecution.toRdd.count()
-    val s = und.sparkSession
+      else und0.queryExecution.toRdd.count()
+    val s0 = und0.sparkSession
     // (broadcast hints inside the loop measured NEUTRAL-to-worse: at
     // 1 shuffle partition the exchanges are one-task cheap, and each
     // BroadcastExchange added its own build job — left as shuffles)
-    withMicroLoopConf(s, rows) {
+    withMicroLoopSession(s0, rows, Seq(und0)) { case (ls, Seq(und)) =>
     // seed labels derive inline from the checkpointed edge frame
     // (und is symmetric, so x alone covers every endpoint per graph);
     // `g` is renamed per frame (lg/mg/pg) because every frame in the
@@ -1478,7 +1514,7 @@ object Dedup {
       lbl = upd
       iter += 1
     }
-    lbl.select(col("lg").as("g"), col("node"), col("lbl"))
+    rebindTo(s0, lbl).select(col("lg").as("g"), col("node"), col("lbl"))
     }
   }
 

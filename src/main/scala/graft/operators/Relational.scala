@@ -510,12 +510,14 @@ object Relational {
     val rows = kept.queryExecution.toRdd.count()
     // the tail is |types|²·k-row sketch algebra (~6 shuffles): under
     // the session conf each shuffle paid an AQE stage job (~45 ms) to
-    // plan 32-partition exchanges of a few KB — run it eagerly under
-    // the measured micro-loop conf (the d07/d18 discipline; above the
-    // threshold nothing changes) and hand the caller the materialized
-    // bounded result plus the contract sort
-    val body = graft.operators.Dedup.withMicroLoopConf(s, rows) {
-      overlapFromKeptFrame(kept, k).localCheckpoint()
+    // plan 32-partition exchanges of a few KB — run it eagerly on the
+    // measured PRIVATE micro-loop session (the d07/d18 discipline;
+    // above the threshold nothing changes) and hand the caller the
+    // materialized bounded result plus the contract sort
+    val body = graft.operators.Dedup.withMicroLoopSession(s, rows,
+        Seq(kept)) { case (ls, Seq(keptB)) =>
+      graft.operators.Dedup.rebindTo(s,
+        overlapFromKeptFrame(keptB, k).localCheckpoint())
     }
     body.orderBy(col("type_a"), col("type_b"))
   }
